@@ -1,0 +1,37 @@
+"""Vector math over ``array<float|double>`` columns.
+
+Pure Column expressions (``zip_with`` + ``aggregate``) — executed by
+the JVM inside whole-stage codegen, so a 100 TB embedding scan never
+crosses into Python. ``aggregate`` folds left-to-right, which makes
+the double accumulation order deterministic — required for the exact
+hash-match against the DuckDB oracle, and for reproducible results
+regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns (double, sequential fold)."""
+    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    """Euclidean norm of an array column."""
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 for zero vectors (no NaN poisoning)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)

@@ -1,0 +1,91 @@
+"""As-of join (point-in-time / "most recent prior row") — absent from
+both the reference (SURVEY.md §2.8) and Spark's built-ins.
+
+Spark-first implementation: union both sides, run one
+``last(..., ignorenulls=True)`` window per key ordered by time, keep
+the left rows. Cost = ONE shuffle on the join key + a sort within
+partitions — no range cross-product, no per-key driver loop, so it
+scales linearly to 100 TB and skew only affects hot keys (AQE skew
+handling applies). This beats the naive broadcast/cross-join formula
+whenever the right side is large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_is_left"
+_TIE = "__asof_tie"
+_PAYLOAD = "__asof_payload"
+_TS = "__asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: dict[str, str] | None = None,
+    left_tiebreak: str | None = None,
+    right_tiebreak: str | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` (``<`` when ``strict``) and equal keys.
+
+    right_cols maps right column → output alias (default: all
+    non-key/non-ts right columns, prefixed ``right_``). Tiebreak
+    columns make ordering deterministic when timestamps collide.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        skip = set(keys) | {right_ts}
+        right_cols = {c: f"right_{c}" for c in right.columns if c not in skip}
+
+    payload = F.struct(*[F.col(c).alias(a) for c, a in right_cols.items()])
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias(_TS),
+        F.lit(False).alias(_SIDE),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).cast("long").alias(_TIE),
+        payload.alias(_PAYLOAD),
+    )
+
+    left_keep = [c for c in left.columns]
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias(_TS),
+        F.lit(True).alias(_SIDE),
+        (F.col(left_tiebreak) if left_tiebreak else F.lit(0)).cast("long").alias(_TIE),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        *[F.col(c).alias(f"__l_{c}") for c in left_keep],
+    )
+    r_aligned = r.select(
+        *[F.col(k) for k in keys],
+        _TS,
+        _SIDE,
+        _TIE,
+        _PAYLOAD,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left_keep],
+    )
+    both = l.unionByName(r_aligned)
+
+    # right rows sort before left rows at equal ts → inclusive ("<=")
+    # semantics; flip for strict ("<").
+    side_order: Column = F.col(_SIDE).cast("int")
+    if strict:
+        side_order = F.lit(1) - side_order
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), side_order.asc(), F.col(_TIE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = both.withColumn("__match", F.last(_PAYLOAD, ignorenulls=True).over(w))
+
+    out = matched.filter(F.col(_SIDE)).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left_keep],
+        *[F.col("__match").getField(a).alias(a) for a in right_cols.values()],
+    )
+    return out

@@ -1,0 +1,404 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are expressed as DataFrame plans whose only wide
+operations are key-hash shuffles — the shapes that survive a 100 TB
+corpus:
+
+- exact          — one shuffle on the (hashed) key
+- MinHash + LSH  — per-row JVM signature (no Python), explode bands,
+                   shuffle on (band, band_hash) buckets only
+- SimHash        — per-row 63-bit fingerprint, chunked banding
+- n-gram Jaccard — shingle inverted index with a document-frequency
+                   cap so hot shingles can't quadratically explode
+- embedding cosine — brute pairs for small blocks, random-hyperplane
+                   LSH buckets as the scale path
+
+Hash constants are fixed (seeded) so every run — and every executor —
+produces identical signatures. All arithmetic stays under 2^62 so
+Spark 4 ANSI mode can never hit bigint overflow.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MERSENNE31 = 2147483647  # 2^31 - 1
+_SEED = 42
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """Keep exactly one row (lowest ``id_col``) per duplicate group.
+    One shuffle on the key columns; ties broken deterministically."""
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+
+def _hash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    rng = random.Random(_SEED)
+    # a,b < 2^20 and shingle hash < 2^31 keep a*h+b < 2^52 (ANSI-safe)
+    return [
+        (rng.randrange(1, 1 << 20), rng.randrange(0, 1 << 20))
+        for _ in range(num_hashes)
+    ]
+
+
+def _char_shingles(text_col: str, shingle_len: int):
+    """Distinct character shingles, JVM-side (transform over a
+    position sequence — no Python)."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t) - F.lit(shingle_len - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.substring(t, i, shingle_len),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_len: int = 5,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — narrow, per-row compute."""
+    coeffs = _hash_coeffs(num_hashes)
+    shingle_hashes = F.transform(
+        _char_shingles(text_col, shingle_len),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)),
+    )
+    perms = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in coeffs]
+    )
+    sig = F.transform(
+        perms,
+        lambda p: F.array_min(
+            F.transform(
+                shingle_hashes,
+                lambda h: F.pmod(p["a"] * h + p["b"], F.lit(_MERSENNE31)),
+            )
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_len: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate pairs from banded LSH, scored by signature-equality
+    (the MinHash Jaccard estimate), filtered at ``threshold``.
+
+    Wide ops: explode → shuffle on (band, band_hash); each bucket
+    joins only within itself — the standard near-linear dedup shape.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len)
+
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast(
+                    "string"
+                )
+            ).alias("bucket"),
+        ),
+    )
+    exploded = sigs.select("id", "sig", F.explode(band_arr).alias("bb")).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y
+                        ),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, fingerprint: long) — 63-bit SimHash over whitespace tokens
+    (bit 63 unused so ANSI bigint arithmetic cannot overflow)."""
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # shiftright/shiftleft with a *column* bit index needs the SQL
+    # function form (the Python wrapper only takes int literals)
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(62)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(62)),
+            lambda v, b: F.when(
+                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(fp_a, fp_b) <= max_hamming.
+
+    Banding: split the 63-bit fingerprint into 4 chunks; by pigeonhole
+    any pair within Hamming distance 3 shares at least one exact
+    chunk, so candidates reduce to per-(chunk-index, chunk-value)
+    buckets — a key shuffle, not a cross join.
+    """
+    fps = simhash(df, text_col, id_col)
+    chunk = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda i: F.struct(
+            i.alias("ci"),
+            F.call_function("shiftright", F.col("fingerprint"), i * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("cv"),
+        ),
+    )
+    exploded = fps.select(
+        "id", "fingerprint", F.explode(chunk).alias("c")
+    ).select("id", "fingerprint", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.ci") == F.col("b.ci"),
+                F.col("a.cv") == F.col("b.cv"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 10000,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets via an inverted
+    index: explode shingles → shuffle on shingle → per-shingle pair
+    expansion → count common shingles per pair.
+
+    ``max_df`` drops shingles occurring in more than that many
+    documents — at 100 TB a stop-shingle ("of the and") would expand
+    quadratically; capping DF bounds every bucket.
+    """
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(tokens, i + 1, n))
+            ),
+        )
+    )
+    docs = df.select(F.col(id_col).alias("id"), shingles.alias("sh")).withColumn(
+        "n_sh", F.size("sh")
+    )
+    inv = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        inv = (
+            inv.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("df") <= max_df)
+            .drop("df")
+        )
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            on=[F.col("a.shingle") == F.col("b.shingle"), F.col("a.id") < F.col("b.id")],
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return common.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    rng = random.Random(_SEED)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    dim: int | None = None,
+    num_tables: int = 8,
+    bits_per_table: int = 8,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold.
+
+    method="brute": exact non-equi self-join — only for small/blocked
+    inputs. method="lsh" (default): random-hyperplane signatures,
+    candidates share a (table, bucket), exact cosine re-check — the
+    100 TB shape (shuffle on buckets, no cross product).
+    """
+    from dasladen_spark.functions.vectors import cosine_sim
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    if method == "brute":
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, on=[F.col("a.id") < F.col("b.id")])
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                cosine_sim(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(num_tables * bits_per_table, dim)
+
+    def bucket_for(table_idx: int):
+        acc = F.lit(0).cast("long")
+        for bit in range(bits_per_table):
+            p = planes[table_idx * bits_per_table + bit]
+            plane = F.array(*[F.lit(x) for x in p])
+            d = F.aggregate(
+                F.zip_with(F.col("vec").cast("array<double>"), plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda accu, x: accu + x,
+            )
+            acc = acc + F.when(d >= 0, F.lit(1 << bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return acc
+
+    buckets = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), bucket_for(t).alias("bkt"))
+            for t in range(num_tables)
+        ]
+    )
+    exploded = base.select("id", "vec", F.explode(buckets).alias("b")).select(
+        "id", "vec", F.col("b.t").alias("t"), F.col("b.bkt").alias("bkt")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.t") == F.col("b.t"),
+                F.col("a.bkt") == F.col("b.bkt"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        cosine_sim(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

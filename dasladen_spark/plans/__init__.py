@@ -1,0 +1,14 @@
+"""Query plan library.
+
+Importing this package populates the global query registry with every
+implemented query/operator (one entry per SURVEY.md §2 line). The
+driver contract (``__spark_entry__.py``) reads ``QUERIES`` and
+``ORACLES`` from here.
+"""
+
+from dasladen_spark.plans.registry import ORACLES, QUERIES, query  # noqa: F401
+
+# populate the registry
+from dasladen_spark.plans import relational  # noqa: F401,E402
+from dasladen_spark.plans import llm  # noqa: F401,E402
+from dasladen_spark.plans import transforms_parity  # noqa: F401,E402

@@ -1,0 +1,301 @@
+"""Training-data pipeline queries: dedup, similarity, text analysis,
+multimodal — the north-star extensions (BASELINE.json; absent from
+the reference, SURVEY §2.8).
+
+Oracle-backed where DuckDB can express the same computation; the
+signature/LSH operators (MinHash, SimHash) register without an oracle
+→ the driver records the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dasladen_spark.functions.text import (
+    LANG_MARKERS,
+    lang_id,
+    lang_scores,
+    normalize_text,
+    quality_score,
+    token_count,
+)
+from dasladen_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from dasladen_spark.operators.multimodal import extract_image_features, with_payload
+from dasladen_spark.operators.similarity import cosine_topk
+from dasladen_spark.plans.registry import query
+from dasladen_spark.session import load_table as _t
+
+
+# -------------------------------------------------------------- dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-shuffle on the text; survivor = min id."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(F.md5("text").alias("text_hash"), "keep_id", "n_copies")
+    )
+
+
+@query(
+    "dedup_fingerprint",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-fingerprint dedup: case/punct/whitespace-insensitive
+    exact matching (document fingerprinting via md5 of canonical
+    form)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("fp", "keep_id", "n_copies")
+    )
+
+
+@query("dedup_minhash_lsh")  # signature op — no SQL oracle (rows-only check)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidate pairs at est-Jaccard ≥ 0.5
+    over 5-char shingles."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=64,
+        bands=16,
+        shingle_len=5,
+        threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash")  # signature op — no SQL oracle (rows-only check)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 8 on 63-bit fingerprints."""
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_ngram_jaccard")  # inverted-index op — no SQL oracle yet
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard ≥ 0.2 via shingle inverted index
+    with a document-frequency cap."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------- similarity
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """DuckDB cosine with double accumulation, matching the Spark
+    zip_with/aggregate fold."""
+    return (
+        f"list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]),"
+        f" p -> p[1] * p[2]))"
+        f" / (sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({b}::DOUBLE[], x -> x * x))))"
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_cosine_sql('q.qv', 'e.embedding')} AS cosine
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: queries
+    broadcast, corpus scanned once — the exact-ANN baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    res = cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, exclude_self=True
+    )
+    return res.withColumn("cosine", F.round("cosine", 6))
+
+
+@query("ann_lsh_topk")  # approximate variant — no SQL oracle (recall < 1)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (the 100 TB scale path: probes
+    buckets instead of scanning the corpus)."""
+    from dasladen_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = lsh_cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, dim=64
+    )
+    return res.withColumn("cosine", F.round("cosine", 6)).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.8
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.8), brute-force exact at
+    oracle scale; the `lsh` method of the same operator is the
+    at-scale path."""
+    pairs = embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        threshold=0.8,
+        method="brute",
+    )
+    return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
+# ------------------------------------------------------ text analysis
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization counts (JVM split, no Python)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+_Q_SQL = r"""
+    SELECT doc_id,
+           ROUND(
+             0.5 * (len(regexp_extract_all(text, '[A-Za-z]'))
+                    / greatest(length(text), 1))
+           + 0.25 * greatest(0.0,
+               1.0 - (len(regexp_extract_all(text, '[A-Za-z]'))
+                        / greatest(len(regexp_extract_all(text, '\S+')), 1) - 5.0)
+                    * (len(regexp_extract_all(text, '[A-Za-z]'))
+                        / greatest(len(regexp_extract_all(text, '\S+')), 1) - 5.0)
+                    / 25.0)
+           + 0.25 * (len(list_distinct(regexp_extract_all(text, '\S+')))
+                     / greatest(len(regexp_extract_all(text, '\S+')), 1)),
+           4) AS quality
+    FROM documents
+"""
+
+
+@query("text_quality", oracle=_Q_SQL)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (alpha density, token-length sanity,
+    repetition)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_oracle() -> str:
+    counts = {
+        lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for lang, pat in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    whens = " ".join(
+        f"WHEN {c} = __best THEN '{lang}'" for lang, c in counts.items()
+    )
+    return rf"""
+    SELECT doc_id, lang,
+           CASE WHEN __best = 0 THEN 'und' ELSE (CASE {whens} END) END AS lang_pred
+    FROM (SELECT doc_id, lang, {best} AS __best, text FROM documents) t
+    """
+
+
+@query("text_lang_id", oracle=_lang_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID (argmax of per-language marker
+    hits, fixed tie order)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "text_lang_quality_summary",
+    oracle=r"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(length(text) AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             AS avg_len
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup — the filter-and-mix report every
+    training-data pipeline runs."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.length("text").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_len"),
+    )
+
+
+# ---------------------------------------------------------- multimodal
+
+
+@query(
+    "multimodal_payload_meta",
+    oracle="""
+    SELECT doc_id, strlen(text) AS n_bytes FROM documents
+    """,
+)
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload plumbing: text → binary payload → Arrow-batched
+    mapInPandas metadata extraction. The byte count is checkable in
+    SQL; decode features are covered by unit tests (decoder stubbed —
+    no codecs in this container)."""
+    d = with_payload(_t(spark, sf_dir, "documents"))
+    feats = extract_image_features(d, id_col="doc_id", payload_col="payload")
+    return feats.select("doc_id", "n_bytes")

@@ -1,0 +1,121 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference engine is a single-threaded petl pipeline (see SURVEY.md
+§3: /root/reference/dasladen/task.py:200-202 materializes rows one at a
+time). Here a tuned SparkSession is the execution substrate; every
+default below is chosen so the same code runs on local[N] for tests and
+on a 1000-executor cluster against ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join
+  strategy switch) so plans self-correct at scale.
+- Arrow on, so any unavoidable Python stage is vectorized.
+- shuffle.partitions is a *starting* number; AQE coalesces down on
+  small data and the advisory partition size governs the large end.
+- session timezone pinned to UTC so timestamp semantics are identical
+  across driver, executors, and the DuckDB correctness oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: configs applied to every session; callers may override via extra_conf
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # columnar batch reads for parquet (vectorized reader is default-on,
+    # keep it explicit — it is the 100 TB scan path)
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # at 100 TB a single 1 GiB row-group-dense file must still split
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def default_parallelism() -> int:
+    """CPU budget: SPARK_GRAFT_CPUS env, else all local cores."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "dasladen-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``; on a real
+    cluster pass ``None`` after setting ``--master`` via spark-submit
+    (an existing session is reused untouched).
+    """
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    elif master is not None:
+        builder = builder.master(master)
+
+    conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions if shuffle_partitions is not None else max(cpus, 32)
+    )
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic fixture table (see TESTDATA.md).
+
+    The events table stores TIMESTAMP(NANOS) parquet, which Spark only
+    reads via the nanosAsLong legacy conf; convert to timestamp_ntz at
+    microsecond precision — exactly what DuckDB does natively, so the
+    oracle comparison stays bit-identical. The conf is set at runtime
+    (works on any session, including the driver's own)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so ``spark.sql``
+    can be used as the query engine (the reference delegates SQL text
+    to its backing RDBMS — /root/reference/dasladen/task.py:94-107;
+    here Spark SQL *is* the backing engine)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
