@@ -1,0 +1,188 @@
+"""Named connections — parity with the reference's driver factory
+(/root/reference/dasladen/task.py:41-80, taskdriver.py) re-expressed
+as Spark I/O option bundles.
+
+Reference drivers → JDBC url builders (same config keys: host, port,
+user, pass, database/service, charset, environment, initializing,
+and `$env.VAR` secret indirection, taskdriver.py:49-54). Two engine
+extensions make Spark itself a backing engine:
+
+- driver "spark":   SQL runs on the session catalog (temp views /
+                    tables) — the lakehouse mode where Catalyst
+                    replaces the RDBMS
+- driver "parquet": a base-path bound catalog: table names resolve to
+                    `<base>/<table>.parquet`
+
+JDBC jars are not shipped in this container; building the option
+bundle is pure config and fully tested, the actual connect is
+exercised only when a driver jar is present.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def resolve_env(value: Any) -> Any:
+    """'$env.VAR' → os.environ['VAR'] (taskdriver.py:49-54)."""
+    if isinstance(value, str) and value.startswith("$env."):
+        return os.environ.get(value[5:], "")
+    return value
+
+
+_JDBC_URLS = {
+    "MySQL": "jdbc:mysql://{host}:{port}/{database}",
+    "PostgreSQL": "jdbc:postgresql://{host}:{port}/{database}",
+    "MSSQL": "jdbc:sqlserver://{host}:{port};databaseName={database}",
+    "Oracle": "jdbc:oracle:thin:@//{host}:{port}/{service}",
+}
+
+_JDBC_DRIVERS = {
+    "MySQL": "com.mysql.cj.jdbc.Driver",
+    "PostgreSQL": "org.postgresql.Driver",
+    "MSSQL": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+    "Oracle": "oracle.jdbc.OracleDriver",
+}
+
+_DEFAULT_PORTS = {"MySQL": 3306, "PostgreSQL": 5432, "MSSQL": 1433, "Oracle": 1521}
+
+
+@dataclass
+class Connection:
+    """One named connection from the task file's "connections" list."""
+
+    config: dict
+    name: str = field(init=False)
+    driver: str = field(init=False)
+
+    def __post_init__(self) -> None:
+        self.name = self.config.get("name", "")
+        self.driver = self.config.get("driver", "spark")
+        # reference exports `environment` k/v before connecting
+        # (task.py:63-69)
+        for item in self.config.get("environment", []) or []:
+            for k, v in item.items():
+                os.environ[k] = str(resolve_env(v))
+
+    # ------------------------------------------------------------ jdbc
+
+    @property
+    def is_jdbc(self) -> bool:
+        return self.driver in _JDBC_URLS
+
+    def jdbc_url(self) -> str:
+        cfg = {
+            "host": resolve_env(self.config.get("host", "localhost")),
+            "port": resolve_env(
+                self.config.get("port", _DEFAULT_PORTS.get(self.driver, 0))
+            ),
+            "database": resolve_env(self.config.get("database", "")),
+            "service": resolve_env(self.config.get("service", "")),
+        }
+        return _JDBC_URLS[self.driver].format(**cfg)
+
+    def jdbc_options(self) -> dict[str, str]:
+        opts = {
+            "url": self.jdbc_url(),
+            "driver": _JDBC_DRIVERS[self.driver],
+            "user": str(resolve_env(self.config.get("user", ""))),
+            "password": str(resolve_env(self.config.get("pass", ""))),
+            # batched writes — the executemany/execute_batch parity
+            # (taskdriver.py:175-185), but per-partition and parallel
+            "batchsize": str(self.config.get("batchsize", 10000)),
+        }
+        init = self.config.get("initializing") or []
+        if init:
+            opts["sessionInitStatement"] = "; ".join(init)
+        if self.driver == "PostgreSQL":
+            opts["reWriteBatchedInserts"] = "true"
+        if self.driver == "MySQL" and self.config.get("charset"):
+            opts["characterEncoding"] = self.config["charset"]
+        return opts
+
+    # ------------------------------------------------------- lakehouse
+
+    def table_path(self, table: str) -> str:
+        base = self.config.get("path", ".")
+        return os.path.join(base, f"{table}.parquet")
+
+    # ----------------------------------------------------------- query
+
+    def read_sql(self, spark: SparkSession, sql: str) -> DataFrame:
+        """Run SQL on this connection (the reference pushes raw SQL
+        text to the RDBMS, task.py:94-107)."""
+        if self.is_jdbc:
+            return (
+                spark.read.format("jdbc")
+                .options(**self.jdbc_options())
+                .option("query", sql)
+                .load()
+            )
+        if self.driver == "parquet":
+            self.register_views(spark)
+        return spark.sql(sql)
+
+    def register_views(self, spark: SparkSession) -> None:
+        """parquet driver: expose <base>/<t>.parquet files as views."""
+        base = self.config.get("path", ".")
+        if os.path.isdir(base):
+            for fn in sorted(os.listdir(base)):
+                if fn.endswith(".parquet"):
+                    t = fn[: -len(".parquet")]
+                    spark.read.parquet(os.path.join(base, fn)).createOrReplaceTempView(
+                        t
+                    )
+
+    def execute_sql(self, spark: SparkSession, sql: str) -> None:
+        """DDL/DML execution (sql-exec task, task.py:527-536)."""
+        if self.is_jdbc:
+            raise RuntimeError(
+                "sql-exec against external JDBC requires a driver jar and a"
+                " live database; configure spark.jars and use the JDBC"
+                " statement passthrough"
+            )
+        spark.sql(sql)
+
+    def write_table(
+        self,
+        df: DataFrame,
+        spark: SparkSession,
+        table: str,
+        truncate: bool = True,
+        schema: str | None = None,
+    ) -> None:
+        """todb/appenddb parity (task.py:242-245): truncate keeps DDL
+        and replaces rows; append inserts."""
+        if self.is_jdbc:
+            target = f"{schema}.{table}" if schema else table
+            writer = (
+                df.write.format("jdbc")
+                .options(**self.jdbc_options())
+                .option("dbtable", target)
+            )
+            if truncate:
+                writer.option("truncate", "true").mode("overwrite").save()
+            else:
+                writer.mode("append").save()
+        elif self.driver == "parquet":
+            mode = "overwrite" if truncate else "append"
+            df.write.mode(mode).parquet(self.table_path(table))
+        else:  # spark catalog
+            mode = "overwrite" if truncate else "append"
+            df.write.mode(mode).saveAsTable(table)
+
+
+class ConnectionRegistry:
+    """get_connection parity (task.py:41-50)."""
+
+    def __init__(self, configs: list[dict] | None):
+        self._conns = {c["name"]: Connection(c) for c in configs or []}
+
+    def get(self, name: str) -> Connection:
+        if name not in self._conns:
+            raise KeyError(f"unknown connection: {name!r}")
+        return self._conns[name]

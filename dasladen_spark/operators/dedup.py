@@ -22,11 +22,25 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _MERSENNE31 = 2147483647  # 2^31 - 1
 _SEED = 42
+
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Ensure per-row heavy compute is spread across the cluster: a
+    small single-file scan otherwise runs the whole signature stage
+    on one core. No-op (cheap round-robin) when the input is already
+    wide."""
+    current = df.rdd.getNumPartitions()
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if current < target:
+        return df.repartition(target, F.col(id_col))
+    return df
 
 
 def exact_dedup(
@@ -74,25 +88,40 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_len: int = 5,
 ) -> DataFrame:
-    """(id, sig: array<long>[num_hashes]) — narrow, per-row compute."""
+    """(id, sig: array<long>[num_hashes]) — narrow, per-row compute.
+
+    Hybrid execution: shingling + xxhash64 run JVM-side inside
+    codegen; the (num_hashes × shingles) permutation-min runs as a
+    vectorized numpy kernel over Arrow batches. Catalyst's
+    higher-order lambdas are *interpreted* (no codegen), which makes
+    the pure-JVM formulation ~100× slower — this split keeps both
+    halves on their fast path and stays fully distributed.
+    """
     coeffs = _hash_coeffs(num_hashes)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+
     shingle_hashes = F.transform(
         _char_shingles(text_col, shingle_len),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)),
     )
-    perms = F.array(
-        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in coeffs]
+
+    @F.pandas_udf("array<bigint>")
+    def sig_udf(hashes: pd.Series) -> pd.Series:
+        empty = [int(_MERSENNE31 - 1)] * len(a_vec)
+
+        def one(h):
+            if h is None or len(h) == 0:
+                return empty
+            hh = np.asarray(h, dtype=np.int64)[None, :]
+            return ((a_vec * hh + b_vec) % _MERSENNE31).min(axis=1).tolist()
+
+        return hashes.map(one)
+
+    base = _spread(df, id_col)
+    return base.select(
+        F.col(id_col).alias("id"), sig_udf(shingle_hashes).alias("sig")
     )
-    sig = F.transform(
-        perms,
-        lambda p: F.array_min(
-            F.transform(
-                shingle_hashes,
-                lambda h: F.pmod(p["a"] * h + p["b"], F.lit(_MERSENNE31)),
-            )
-        ),
-    )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -165,35 +194,30 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, fingerprint: long) — 63-bit SimHash over whitespace tokens
-    (bit 63 unused so ANSI bigint arithmetic cannot overflow)."""
+    (bit 63 unused so the fingerprint stays positive in a bigint).
+
+    Same hybrid split as minhash_signatures: JVM tokenization +
+    xxhash64, vectorized numpy bit-voting over Arrow batches.
+    """
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    # shiftright/shiftleft with a *column* bit index needs the SQL
-    # function form (the Python wrapper only takes int literals)
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(62)),
-        lambda b: F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(
-                F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        ),
-    )
-    fp = F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(62)),
-            lambda v, b: F.when(
-                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+    bit_idx = np.arange(63, dtype=np.int64)[None, :]
+    powers = (np.int64(1) << np.arange(63, dtype=np.int64))[None, :]
+
+    @F.pandas_udf("bigint")
+    def fp_udf(h: pd.Series) -> pd.Series:
+        def one(hs):
+            if hs is None or len(hs) == 0:
+                return 0
+            hh = np.asarray(hs, dtype=np.int64)[:, None]
+            bits = (hh >> bit_idx) & 1  # (tokens, 63)
+            votes = (2 * bits - 1).sum(axis=0)
+            return int((powers[0] * (votes > 0)).sum())
+
+        return h.map(one)
+
+    base = _spread(df, id_col)
+    return base.select(F.col(id_col).alias("id"), fp_udf(hashes).alias("fingerprint"))
 
 
 def simhash_pairs(
@@ -318,6 +342,34 @@ def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
 
 
+def hyperplane_bucket_udf(num_tables: int, bits_per_table: int, dim: int):
+    """Vectorized random-hyperplane signatures: one Arrow batch →
+    one (rows × planes) matmul → per-table bucket ids. Returns a
+    pandas_udf producing array<bigint>[num_tables]."""
+    planes_mat = np.array(
+        _hyperplanes(num_tables * bits_per_table, dim), dtype=np.float64
+    )
+    weights = (np.int64(1) << np.arange(bits_per_table, dtype=np.int64))
+
+    @F.pandas_udf("array<bigint>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (x @ planes_mat.T >= 0).astype(np.int64)  # (rows, T*B)
+        out = []
+        for row in bits:
+            out.append(
+                [
+                    int((row[t * bits_per_table : (t + 1) * bits_per_table] * weights).sum())
+                    for t in range(num_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return buckets
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -353,31 +405,9 @@ def embedding_near_dup_pairs(
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(num_tables * bits_per_table, dim)
-
-    def bucket_for(table_idx: int):
-        acc = F.lit(0).cast("long")
-        for bit in range(bits_per_table):
-            p = planes[table_idx * bits_per_table + bit]
-            plane = F.array(*[F.lit(x) for x in p])
-            d = F.aggregate(
-                F.zip_with(F.col("vec").cast("array<double>"), plane, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda accu, x: accu + x,
-            )
-            acc = acc + F.when(d >= 0, F.lit(1 << bit).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return acc
-
-    buckets = F.array(
-        *[
-            F.struct(F.lit(t).alias("t"), bucket_for(t).alias("bkt"))
-            for t in range(num_tables)
-        ]
-    )
-    exploded = base.select("id", "vec", F.explode(buckets).alias("b")).select(
-        "id", "vec", F.col("b.t").alias("t"), F.col("b.bkt").alias("bkt")
+    bucket_udf = hyperplane_bucket_udf(num_tables, bits_per_table, dim)
+    exploded = _spread(base, "id").select(
+        "id", "vec", F.posexplode(bucket_udf(F.col("vec"))).alias("t", "bkt")
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dasladen_spark.functions.vectors import cosine_sim
-from dasladen_spark.operators.dedup import _hyperplanes
+from dasladen_spark.operators.dedup import _spread, hyperplane_bucket_udf
 
 
 def cosine_topk(
@@ -74,39 +74,23 @@ def lsh_cosine_topk(
     exploded once per table (cheap, narrow) and the join is an equi
     join on (table, bucket) — a key shuffle instead of a cross join.
     """
-    planes = _hyperplanes(num_tables * bits_per_table, dim)
-
-    def buckets(vec_col):
-        arr = []
-        v = vec_col.cast("array<double>")
-        for t in range(num_tables):
-            acc = F.lit(0).cast("long")
-            for bit in range(bits_per_table):
-                p = planes[t * bits_per_table + bit]
-                plane = F.array(*[F.lit(x) for x in p])
-                d = F.aggregate(
-                    F.zip_with(v, plane, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                acc = acc + F.when(d >= 0, F.lit(1 << bit).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            arr.append(F.struct(F.lit(t).alias("t"), acc.alias("bkt")))
-        return F.array(*arr)
+    bucket_udf = hyperplane_bucket_udf(num_tables, bits_per_table, dim)
 
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("qv"),
-        F.explode(buckets(F.col(query_vec))).alias("b"),
-    ).select("query_id", "qv", F.col("b.t").alias("t"), F.col("b.bkt").alias("bkt"))
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("cv"),
-        F.explode(buckets(F.col(corpus_vec))).alias("b"),
+        F.posexplode(bucket_udf(F.col(query_vec))).alias("t", "bkt"),
+    ).select("query_id", "qv", "t", "bkt")
+    c = _spread(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
+        ),
+        "neighbor_id",
     ).select(
-        "neighbor_id", "cv", F.col("b.t").alias("t"), F.col("b.bkt").alias("bkt")
-    )
+        "neighbor_id",
+        "cv",
+        F.posexplode(bucket_udf(F.col("cv"))).alias("t", "bkt"),
+    ).select("neighbor_id", "cv", "t", "bkt")
     cand = q.join(c, on=["t", "bkt"]).dropDuplicates(["query_id", "neighbor_id"])
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))

@@ -1,0 +1,111 @@
+"""Recurring-schedule parsing — parity with processor.py:54-136 but
+without the `schedule` library (not installed): compute next-fire
+times directly. Supports the reference's JSON schema:
+
+    {"recurring": true, "frequency": "daily" | "weekly" | "minutes" |
+     "hours", "time": "HH:MM", "minutes": N, "hours": N,
+     "weekday": ["monday", ...], "one_shot": bool}
+
+The reference's non-recurring branch is unreachable
+(taskrun.py:41-47 requires `recurring` truthy — SURVEY §2.7); kept
+that gate for parity.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+_WEEKDAYS = [
+    "monday",
+    "tuesday",
+    "wednesday",
+    "thursday",
+    "friday",
+    "saturday",
+    "sunday",
+]
+
+
+def _parse_time(s: str | None) -> dt.time:
+    if not s:
+        return dt.time(0, 0)
+    parts = [int(p) for p in s.split(":")]
+    return dt.time(*parts[:3])
+
+
+def next_fire(schedule: dict, now: dt.datetime) -> dt.datetime | None:
+    """Next fire instant strictly after `now`, or None if the
+    schedule is not recurring."""
+    if not schedule.get("recurring"):
+        return None
+    freq = schedule.get("frequency", "daily")
+
+    if freq == "minutes":
+        n = int(schedule.get("minutes", 1))
+        return now + dt.timedelta(minutes=n)
+    if freq == "hours":
+        n = int(schedule.get("hours", 1))
+        return now + dt.timedelta(hours=n)
+
+    at = _parse_time(schedule.get("time"))
+    if freq == "daily":
+        candidate = dt.datetime.combine(now.date(), at)
+        if candidate <= now:
+            candidate += dt.timedelta(days=1)
+        return candidate
+    if freq == "weekly":
+        days = schedule.get("weekday") or _WEEKDAYS
+        wanted = {_WEEKDAYS.index(d.lower()) for d in days}
+        for offset in range(8):
+            day = now.date() + dt.timedelta(days=offset)
+            if day.weekday() in wanted:
+                candidate = dt.datetime.combine(day, at)
+                if candidate > now:
+                    return candidate
+        return None
+    raise ValueError(f"unknown frequency {freq!r}")
+
+
+class ScheduledJob:
+    """One recurring task file; one-shot jobs cancel after the first
+    fire (processor.py:50-51)."""
+
+    def __init__(self, schedule: dict, action, now: dt.datetime | None = None):
+        self.schedule = schedule
+        self.action = action
+        self.one_shot = bool(schedule.get("one_shot"))
+        self.cancelled = False
+        self._next = next_fire(schedule, now or dt.datetime.now())
+
+    @property
+    def next_run(self) -> dt.datetime | None:
+        return None if self.cancelled else self._next
+
+    def tick(self, now: dt.datetime | None = None) -> bool:
+        """Fire if due; returns whether it fired."""
+        now = now or dt.datetime.now()
+        if self.cancelled or self._next is None or now < self._next:
+            return False
+        self.action()
+        if self.one_shot:
+            self.cancelled = True
+        else:
+            self._next = next_fire(self.schedule, now)
+        return True
+
+
+class Scheduler:
+    """Minimal job list ticked from the watch loop (base.py:69-77)."""
+
+    def __init__(self):
+        self.jobs: list[ScheduledJob] = []
+
+    def enqueue(self, schedule: dict, action) -> ScheduledJob:
+        job = ScheduledJob(schedule, action)
+        self.jobs.append(job)
+        return job
+
+    def run_pending(self, now: dt.datetime | None = None) -> int:
+        fired = sum(1 for j in self.jobs if j.tick(now))
+        self.jobs = [j for j in self.jobs if not j.cancelled]
+        return fired

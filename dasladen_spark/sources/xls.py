@@ -1,0 +1,49 @@
+"""XLS source — parity with the reference's xlrd read
+(/root/reference/dasladen/task.py:321-328).
+
+Workbooks are driver-side, non-splittable artifacts (as in the
+reference); pandas parses them and the rows become a distributed
+DataFrame. Excel engines (openpyxl/xlrd) are not installed in this
+container, so the reader is gated behind an import-try with a clear
+error; tests skip when absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def excel_available() -> bool:
+    try:
+        import openpyxl  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    try:
+        import xlrd  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def read_xls(
+    spark: SparkSession,
+    path: str,
+    sheet: str | int | None = None,
+    all_strings: bool = True,
+) -> DataFrame:
+    """Read one sheet (name, index, or first). all_strings mirrors the
+    engine's CSV policy: values land as strings, `convert` types them."""
+    if not excel_available():
+        raise RuntimeError(
+            "no Excel engine installed (openpyxl/xlrd); install one to use"
+            " xls sources"
+        )
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=0 if sheet is None else sheet)
+    if all_strings:
+        pdf = pdf.astype("string").where(pdf.notna(), None)
+    return spark.createDataFrame(pdf)

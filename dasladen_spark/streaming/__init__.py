@@ -1,0 +1,4 @@
+"""Structured Streaming surface (SURVEY §2.8 — absent from the
+reference, whose watcher is control-plane only)."""
+
+from dasladen_spark.streaming.ingest import stream_csv_folder, windowed_event_counts  # noqa: F401

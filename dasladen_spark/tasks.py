@@ -1,0 +1,278 @@
+"""Task types — the reference's full task matrix (SURVEY §2.5,
+/root/reference/dasladen/task.py:577-599) compiled to Spark plans.
+
+Every ETL task is source → transform chain → sink as ONE lazy
+DataFrame plan: Catalyst sees the whole pipeline, so filters written
+as `transform.filter` strings reach the scan as pushed-down
+predicates — something the reference's row-at-a-time petl chain can
+never do.
+
+The emptiness short-circuit keeps the reference's semantics
+(task.py:181 etc.) but reads the source ONCE per job instead of
+twice (fix per SURVEY §4.8): `isEmpty()` peeks at one partition.
+
+Non-data tasks (zip/unzip/download/ftp/py-exec/custom) stay
+driver-side Python, as in the reference — they are control-plane.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+import zipfile
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dasladen_spark.connections import ConnectionRegistry
+from dasladen_spark.sinks.csv import write_csv
+from dasladen_spark.sources.csv import read_csv
+from dasladen_spark.sources.xls import read_xls
+from dasladen_spark.sources.xml import read_xml
+from dasladen_spark.transforms.compiler import apply_transforms
+
+
+@dataclass
+class TaskContext:
+    """Folders + session + connections for one task file run
+    (the reference's folder convention, base.py:19-25)."""
+
+    spark: SparkSession
+    connections: ConnectionRegistry
+    input_path: str = "input"
+    output_path: str = "output"
+    module_path: str = "module"
+    log: Callable[[str], None] = field(default=lambda m: None)
+
+
+def _src_path(ctx: TaskContext, src: dict) -> str:
+    return os.path.join(src.get("folder", src.get("path", ctx.input_path)), src["file"])
+
+
+def _tgt_path(ctx: TaskContext, tgt: dict) -> str:
+    return os.path.join(tgt.get("folder", tgt.get("path", ctx.output_path)), tgt["file"])
+
+
+def _parse_sql(ctx: TaskContext, src: dict) -> str:
+    """command | query-file + params — parity with _parse_sql
+    (task.py:94-107) incl. trailing-';' strip; `.format(**params)`
+    substitution is kept (documented, no eval)."""
+    if "command" in src:
+        sql = src["command"]
+    else:
+        path = os.path.join(src.get("path", ctx.input_path), src["query"])
+        with open(path, encoding=src.get("encoding", "utf-8")) as f:
+            sql = f.read()
+    params = src.get("params")
+    if params:
+        sql = sql.format(**params)
+    return sql.strip().rstrip(";")
+
+
+def _transformed(ctx: TaskContext, task: dict, df: DataFrame) -> DataFrame:
+    return apply_transforms(
+        df,
+        transform=task.get("transform"),
+        transforms=task.get("transforms"),
+        module_path=ctx.module_path,
+    )
+
+
+def _read_source(ctx: TaskContext, task: dict) -> DataFrame | None:
+    """Dispatch the task type's source; None for non-table sources."""
+    src = task["source"]
+    kind = task["type"].split("-")[0]
+    if kind == "csv":
+        return read_csv(
+            ctx.spark,
+            _src_path(ctx, src),
+            delimiter=src.get("delimiter", ";"),
+            encoding=src.get("encoding", "utf-8"),
+        )
+    if kind == "db":
+        conn = ctx.connections.get(src["connection"])
+        return conn.read_sql(ctx.spark, _parse_sql(ctx, src))
+    if kind == "xml":
+        return read_xml(
+            ctx.spark,
+            _src_path(ctx, src),
+            row=src["row"],
+            value=src.get("value"),
+            attr=src.get("attr"),
+            mapping=src.get("mapping"),
+        )
+    if kind == "xls":
+        return read_xls(ctx.spark, _src_path(ctx, src), sheet=src.get("sheet"))
+    raise ValueError(f"unknown source kind {kind!r}")
+
+
+def _write_sink(ctx: TaskContext, task: dict, df: DataFrame) -> None:
+    tgt = task["target"]
+    kind = task["type"].split("-")[-1]
+    if kind == "csv":
+        write_csv(
+            df,
+            _tgt_path(ctx, tgt),
+            delimiter=tgt.get("delimiter", ";"),
+            encoding=tgt.get("encoding", "utf-8"),
+            truncate=bool(tgt.get("truncate", False)),
+            single_file=bool(tgt.get("single_file", True)),
+        )
+    elif kind == "db":
+        conn = ctx.connections.get(tgt["connection"])
+        conn.write_table(
+            df,
+            ctx.spark,
+            tgt["table"],
+            truncate=bool(tgt.get("truncate", False)),
+            schema=tgt.get("schema"),
+        )
+    else:
+        raise ValueError(f"unknown sink kind {kind!r}")
+
+
+def run_etl(ctx: TaskContext, task: dict) -> None:
+    """All seven source×sink ETL shapes share this pipeline
+    (task.py §2.5); one lazy plan end-to-end."""
+    df = _read_source(ctx, task)
+    if df.isEmpty():  # single-read short-circuit (fix of §4.8)
+        ctx.log(f"task {task.get('name')}: empty source, skipping write")
+        return
+    _write_sink(ctx, task, _transformed(ctx, task, df))
+
+
+# ------------------------------------------------------ control-plane
+
+
+def run_sql_exec(ctx: TaskContext, task: dict) -> None:
+    """DDL/DML statement on a connection (task.py:527-536)."""
+    src = task["source"]
+    conn = ctx.connections.get(src["connection"])
+    conn.execute_sql(ctx.spark, _parse_sql(ctx, src))
+
+
+def run_zip(ctx: TaskContext, task: dict) -> None:
+    """Zip files from the source folder (fixes §4.7: reads members
+    from the SOURCE path, not the target)."""
+    src, tgt = task["source"], task["target"]
+    src_dir = src.get("path", ctx.output_path)
+    out = os.path.join(tgt.get("path", ctx.output_path), tgt["file"])
+    files = src["files"] if isinstance(src.get("files"), list) else [src["file"]]
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for fn in files:
+            zf.write(os.path.join(src_dir, fn), arcname=fn)
+    if src.get("remove_after"):
+        for fn in files:
+            os.remove(os.path.join(src_dir, fn))
+
+
+def run_unzip(ctx: TaskContext, task: dict) -> None:
+    """Extract an archive (fixes §4.7: remove_after removes the real
+    source path)."""
+    src, tgt = task["source"], task.get("target", {})
+    src_path = os.path.join(src.get("path", ctx.input_path), src["file"])
+    dest = tgt.get("path", ctx.input_path)
+    with zipfile.ZipFile(src_path) as zf:
+        zf.extractall(dest)
+    if src.get("remove_after"):
+        os.remove(src_path)
+
+
+def run_download(ctx: TaskContext, task: dict) -> None:
+    """HTTP GET → file (task.py:558-574); driver-side."""
+    import requests
+
+    src, tgt = task["source"], task["target"]
+    resp = requests.get(
+        src["url"], params=src.get("params"), headers=src.get("headers"), timeout=300
+    )
+    resp.raise_for_status()
+    out = _tgt_path(ctx, tgt)
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+    with open(out, "wb") as f:
+        f.write(resp.content)
+
+
+def run_ftp_upload(ctx: TaskContext, task: dict) -> None:
+    """FTP push (task.py:441-456) via stdlib ftplib."""
+    from ftplib import FTP
+
+    src, tgt = task["source"], task["target"]
+    conn = ctx.connections.get(tgt["connection"]).config
+    local = os.path.join(src.get("path", ctx.output_path), src["file"])
+    ftp = FTP()
+    ftp.connect(conn.get("host", "localhost"), int(conn.get("port", 21)))
+    ftp.login(conn.get("user", ""), conn.get("pass", ""))
+    if tgt.get("path"):
+        ftp.cwd(tgt["path"])
+    with open(local, "rb") as f:
+        ftp.storbinary(f"STOR {tgt.get('file', src['file'])}", f)
+    ftp.quit()
+
+
+def run_py_exec(ctx: TaskContext, task: dict) -> None:
+    """Run a user module's main() (task.py:510-524); the module can
+    import the active SparkSession for Spark-aware steps."""
+    src = task["source"]
+    if ctx.module_path not in sys.path:
+        sys.path.append(ctx.module_path)
+    name = (
+        f"{src['package']}.{src['module']}" if src.get("package") else src["module"]
+    )
+    mod = importlib.import_module(name)
+    mod = importlib.reload(mod)
+    argv_backup = sys.argv
+    try:
+        sys.argv = [name] + list(src.get("args", []))
+        mod.main()
+    finally:
+        sys.argv = argv_backup
+
+
+class BaseTask:
+    """Custom-task ABC (parity with task.py:83-92); run() receives the
+    TaskContext (which carries the SparkSession) instead of a DB
+    driver factory."""
+
+    def run(self, ctx: TaskContext, task: dict) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+def run_custom(ctx: TaskContext, task: dict) -> None:
+    """User-defined task class (task.py:545-555)."""
+    if ctx.module_path not in sys.path:
+        sys.path.append(ctx.module_path)
+    name = (
+        f"{task['package']}.{task['module']}"
+        if task.get("package")
+        else task["module"]
+    )
+    mod = importlib.reload(importlib.import_module(name))
+    inst = getattr(mod, task["class"])()
+    inst.run(ctx, task)
+
+
+def run_nop(ctx: TaskContext, task: dict) -> None:
+    ctx.log(f"task {task.get('name')}: nop")
+
+
+#: type → runner (TaskFactory parity, task.py:577-599)
+TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
+    "csv-db": run_etl,
+    "db-csv": run_etl,
+    "db-db": run_etl,
+    "csv-csv": run_etl,
+    "xls-csv": run_etl,
+    "xml-csv": run_etl,
+    "xml-db": run_etl,
+    "sql-exec": run_sql_exec,
+    "zip": run_zip,
+    "unzip": run_unzip,
+    "download": run_download,
+    "ftp-upload": run_ftp_upload,
+    "py-exec": run_py_exec,
+    "custom": run_custom,
+    "nop": run_nop,
+}

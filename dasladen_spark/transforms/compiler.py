@@ -28,6 +28,8 @@ import re
 import sys
 from typing import Any
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -86,7 +88,6 @@ def compile_convert_spec(col: Column, spec: str | list) -> Column:
 def _python_method_fallback(df: DataFrame, field: str, spec: str | list) -> DataFrame:
     """Exact petl parity for unmapped specs: call the method on each
     value, Arrow-batched (pandas UDF), never row-at-a-time pickle."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     if isinstance(spec, str):

@@ -1,0 +1,148 @@
+"""Custom-operator semantics on handcrafted frames: as-of join,
+dedup family, similarity, multimodal plumbing."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dasladen_spark.operators.asof import asof_join
+from dasladen_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from dasladen_spark.operators.multimodal import extract_image_features, with_payload
+from dasladen_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+
+def ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "l1"), (1, ts(30), "l2"), (2, ts(5), "l3")],
+        ["k", "t", "lid"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts(5), "r1"), (1, ts(10), "r2"), (1, ts(20), "r3"), (2, ts(6), "r4")],
+        ["k", "t", "rid"],
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        right_cols={"rid": "matched"},
+    )
+    got = {r["lid"]: r["matched"] for r in out.collect()}
+    # inclusive: left@10 matches right@10; left@30 matches right@20;
+    # k=2 left@5 has no right at-or-before → null
+    assert got == {"l1": "r2", "l2": "r3", "l3": None}
+
+
+def test_asof_join_strict(spark):
+    left = spark.createDataFrame([(1, ts(10), "l1")], ["k", "t", "lid"])
+    right = spark.createDataFrame(
+        [(1, ts(5), "r1"), (1, ts(10), "r2")], ["k", "t", "rid"]
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        right_cols={"rid": "matched"}, strict=True,
+    )
+    assert out.collect()[0]["matched"] == "r1"
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "a"), (1, "a"), (2, "b")], ["id", "txt"]
+    )
+    out = exact_dedup(df, ["txt"], "id")
+    assert {(r["id"], r["txt"]) for r in out.collect()} == {(1, "a"), (2, "b")}
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2, "the quick brown fox jumps over the lazy dog and runs far away hom"),
+    (3, "completely different text about spark query engines and big data"),
+    (4, "the quick brown fox jumps over the lazy dog and runs far away home"),
+]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in got  # identical
+    assert (1, 2) in got or (2, 4) in got  # near-identical
+    assert not any(3 in p for p in got)
+
+
+def test_simhash_identical_and_distance(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    fps = {r["id"]: r["fingerprint"] for r in simhash(df, "text", "doc_id").collect()}
+    assert fps[1] == fps[4]
+    assert 0 <= fps[1] < 2**63
+    pairs = simhash_pairs(df, "text", "doc_id", max_hamming=8)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 4)] == 0
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.1)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 4)] == pytest.approx(1.0)
+    assert (1, 3) not in got
+
+
+VECS = [
+    (1, [1.0, 0.0, 0.0]),
+    (2, [0.99, 0.14, 0.0]),
+    (3, [0.0, 1.0, 0.0]),
+    (4, [1.0, 0.001, 0.0]),
+]
+
+
+def test_cosine_topk_ranking(spark):
+    df = spark.createDataFrame(VECS, ["vec_id", "embedding"])
+    out = cosine_topk(df.filter(F.col("vec_id") == 1), df, k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [4, 2]
+    assert rows[0]["cosine"] > 0.999
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    df = spark.createDataFrame(VECS, ["vec_id", "embedding"])
+    out = lsh_cosine_topk(
+        df.filter(F.col("vec_id") == 1), df, k=3, dim=3, num_tables=8,
+        bits_per_table=2,
+    )
+    ids = {r["neighbor_id"] for r in out.collect()}
+    assert ids <= {2, 3, 4}
+    assert 4 in ids  # the near-identical vector must be found
+
+
+def test_embedding_near_dup_brute_vs_lsh(spark):
+    df = spark.createDataFrame(VECS, ["vec_id", "embedding"])
+    brute = embedding_near_dup_pairs(
+        df, "embedding", "vec_id", threshold=0.95, method="brute"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert got == {(1, 2), (1, 4), (2, 4)}
+    lsh = embedding_near_dup_pairs(
+        df, "embedding", "vec_id", threshold=0.95, method="lsh", dim=3
+    )
+    assert {(r["id_a"], r["id_b"]) for r in lsh.collect()} <= got
+
+
+def test_multimodal_feature_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "")], ["doc_id", "text"])
+    feats = extract_image_features(with_payload(df))
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows[1]["n_bytes"] == 5
+    assert rows[2]["n_bytes"] == 0
+    # deterministic fake decode: same payload → same features
+    again = extract_image_features(with_payload(df))
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in feats.collect()}

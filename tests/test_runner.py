@@ -1,0 +1,163 @@
+"""Control-plane tests: watcher diffing, zip intake, copy rules,
+scheduler parsing (incl. the fixed int quirks) — pure driver-side."""
+
+import datetime as dt
+import json
+import zipfile
+
+import pytest
+
+from dasladen_spark.runner.scheduler import ScheduledJob, Scheduler, next_fire
+from dasladen_spark.runner.taskrun import Runner, parse_to_int
+from dasladen_spark.runner.watcher import Watcher
+
+
+def test_is_task_detection(tmp_path):
+    p = tmp_path / "a.json"
+    p.write_text(json.dumps({"tasks": []}))
+    assert Runner(str(p)).is_task()
+    p.write_text(json.dumps({"other": 1}))
+    assert not Runner(str(p)).is_task()
+
+
+def test_parse_to_int_accepts_int_and_string():
+    """The reference only honored string "3" (processor.py:189-196);
+    both must work now."""
+    assert parse_to_int(3) == 3
+    assert parse_to_int("3") == 3
+    assert parse_to_int(None, default=1) == 1
+    assert parse_to_int("x", default=7) == 7
+
+
+def test_schedule_times_runs_n_times(spark, tmp_path):
+    for d in ("input", "output", "module", "capture"):
+        (tmp_path / d).mkdir()
+    (tmp_path / "input" / "src.csv").write_text("id;v\n1;a\n")
+    cfg = {
+        "schedule": {"times": 3},  # JSON *number*, the fixed quirk
+        "tasks": [
+            {
+                "name": "t",
+                "type": "csv-csv",
+                "source": {"file": "src.csv"},
+                "target": {"file": "out.csv", "truncate": False},
+            }
+        ],
+    }
+    from dasladen_spark.runner.taskrun import TaskRunner
+
+    TaskRunner(
+        spark,
+        Runner(cfg),
+        input_path=str(tmp_path / "input"),
+        output_path=str(tmp_path / "output"),
+        log=lambda m: None,
+    ).run_with_schedule()
+    lines = (tmp_path / "output" / "out.csv").read_text().strip().splitlines()
+    assert lines.count("1;a") == 3
+
+
+def test_next_fire_daily_and_minutes():
+    now = dt.datetime(2026, 8, 13, 10, 0)
+    n = next_fire({"recurring": True, "frequency": "daily", "time": "09:30"}, now)
+    assert n == dt.datetime(2026, 8, 14, 9, 30)
+    n = next_fire({"recurring": True, "frequency": "minutes", "minutes": 5}, now)
+    assert n == now + dt.timedelta(minutes=5)
+    assert next_fire({"recurring": False}, now) is None
+
+
+def test_next_fire_weekly_weekday():
+    now = dt.datetime(2026, 8, 13, 10, 0)  # a Thursday
+    n = next_fire(
+        {"recurring": True, "frequency": "weekly", "weekday": ["friday"],
+         "time": "08:00"},
+        now,
+    )
+    assert n == dt.datetime(2026, 8, 14, 8, 0)
+
+
+def test_one_shot_job_cancels():
+    fired = []
+    now = dt.datetime(2026, 8, 13, 10, 0)
+    job = ScheduledJob(
+        {"recurring": True, "frequency": "minutes", "minutes": 1, "one_shot": True},
+        lambda: fired.append(1),
+        now=now,
+    )
+    sched = Scheduler()
+    sched.jobs.append(job)
+    assert sched.run_pending(now + dt.timedelta(minutes=2)) == 1
+    assert sched.run_pending(now + dt.timedelta(minutes=10)) == 0
+    assert fired == [1]
+
+
+@pytest.fixture()
+def watch_env(spark, tmp_path):
+    w = Watcher(
+        spark,
+        capture_path=str(tmp_path / "capture"),
+        input_path=str(tmp_path / "input"),
+        output_path=str(tmp_path / "output"),
+        module_path=str(tmp_path / "module"),
+        log=lambda m: None,
+    )
+    return w, tmp_path
+
+
+def test_watcher_copy_rules(watch_env):
+    w, tmp = watch_env
+    (tmp / "capture" / "data.csv").write_text("id\n1\n")
+    (tmp / "capture" / "trans.py").write_text("# module")
+    added = w.check()
+    assert set(added) == {"data.csv", "trans.py"}
+    assert (tmp / "input" / "data.csv").exists()
+    assert (tmp / "module" / "trans.py").exists()
+    assert w.check() == []  # no re-processing
+
+
+def test_watcher_runs_and_consumes_task_file(watch_env):
+    w, tmp = watch_env
+    (tmp / "input" / "src.csv").write_text("id;v\n1;a\n2;b\n")
+    task_file = tmp / "capture" / "job.json"
+    task_file.write_text(
+        json.dumps(
+            {
+                "tasks": [
+                    {
+                        "name": "t",
+                        "type": "csv-csv",
+                        "source": {"file": "src.csv"},
+                        "target": {"file": "out.csv", "truncate": True},
+                    }
+                ]
+            }
+        )
+    )
+    w.check()
+    assert (tmp / "output" / "out.csv").exists()
+    assert not task_file.exists()  # consumed (processor.py:186)
+
+
+def test_watcher_zip_package_intake(watch_env):
+    w, tmp = watch_env
+    pkg = tmp / "pkg.zip"
+    with zipfile.ZipFile(pkg, "w") as zf:
+        zf.writestr("src.csv", "id;v\n7;z\n")
+        zf.writestr(
+            "job.json",
+            json.dumps(
+                {
+                    "tasks": [
+                        {
+                            "name": "t",
+                            "type": "csv-csv",
+                            "source": {"file": "src.csv"},
+                            "target": {"file": "out.csv", "truncate": True},
+                        }
+                    ]
+                }
+            ),
+        )
+    w.process_file(str(pkg))
+    out = (tmp / "output" / "out.csv").read_text().strip().splitlines()
+    assert out == ["id;v", "7;z"]

@@ -1,0 +1,319 @@
+"""End-to-end task tests: JSON task file → DataFrame plan → sink,
+covering the ETL matrix + control-plane tasks (SURVEY §2.5)."""
+
+import json
+import os
+import zipfile
+
+import pytest
+
+from dasladen_spark.runner.taskrun import Runner, TaskRunner
+
+
+def write_csv_file(path, rows, header="id;name;qty", delim=";"):
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(header + "\n")
+        for r in rows:
+            f.write(delim.join(str(x) for x in r) + "\n")
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    for d in ("input", "output", "module", "capture"):
+        (tmp_path / d).mkdir()
+    return tmp_path
+
+
+def run_tasks(spark, workdir, config):
+    TaskRunner(
+        spark,
+        Runner(config),
+        input_path=str(workdir / "input"),
+        output_path=str(workdir / "output"),
+        module_path=str(workdir / "module"),
+        log=lambda m: None,
+    ).run()
+
+
+def test_csv_csv_with_transforms(spark, workdir):
+    write_csv_file(
+        workdir / "input" / "src.csv",
+        [(1, "Alpha", 10), (2, "Beta", 3), (3, "Gamma", 50)],
+    )
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "t1",
+                    "type": "csv-csv",
+                    "source": {"file": "src.csv"},
+                    "target": {"file": "out.csv", "truncate": True},
+                    "transform": {
+                        "convert": [["qty", "int"], ["name", "lower"]],
+                        "filter": "{qty} > 5",
+                        "rename": [["name", "label"]],
+                    },
+                }
+            ]
+        },
+    )
+    out = (workdir / "output" / "out.csv").read_text().strip().splitlines()
+    assert out[0] == "id;label;qty"
+    assert set(out[1:]) == {"1;alpha;10", "3;gamma;50"}
+
+
+def test_csv_append_without_header(spark, workdir):
+    write_csv_file(workdir / "input" / "src.csv", [(1, "a", 1)])
+    cfg = {
+        "tasks": [
+            {
+                "name": "t",
+                "type": "csv-csv",
+                "source": {"file": "src.csv"},
+                "target": {"file": "out.csv", "truncate": True},
+            }
+        ]
+    }
+    run_tasks(spark, workdir, cfg)
+    cfg["tasks"][0]["target"]["truncate"] = False
+    run_tasks(spark, workdir, cfg)
+    lines = (workdir / "output" / "out.csv").read_text().strip().splitlines()
+    # header once (truncate), appended rows headerless (task.py:202)
+    assert lines.count("id;name;qty") == 1
+    assert lines.count("1;a;1") == 2
+
+
+def test_empty_source_short_circuit(spark, workdir):
+    write_csv_file(workdir / "input" / "src.csv", [])
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "t",
+                    "type": "csv-csv",
+                    "source": {"file": "src.csv"},
+                    "target": {"file": "out.csv", "truncate": True},
+                }
+            ]
+        },
+    )
+    assert not (workdir / "output" / "out.csv").exists()
+
+
+def test_db_csv_via_parquet_connection(spark, workdir, sf_dir):
+    """db-* tasks with the parquet lakehouse driver: Spark SQL is the
+    backing engine (reference pushes SQL text to an RDBMS)."""
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "connections": [
+                {"name": "lake", "driver": "parquet", "path": sf_dir}
+            ],
+            "tasks": [
+                {
+                    "name": "t",
+                    "type": "db-csv",
+                    "source": {
+                        "connection": "lake",
+                        "command": (
+                            "SELECT r_regionkey, r_name FROM region"
+                            " ORDER BY r_regionkey;"
+                        ),
+                    },
+                    "target": {"file": "regions.csv", "truncate": True},
+                }
+            ],
+        },
+    )
+    lines = (workdir / "output" / "regions.csv").read_text().strip().splitlines()
+    assert lines[0] == "r_regionkey;r_name"
+    assert len(lines) == 6
+
+
+def test_db_db_parquet_roundtrip(spark, workdir, sf_dir):
+    out_base = workdir / "lake_out"
+    out_base.mkdir()
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "connections": [
+                {"name": "src", "driver": "parquet", "path": sf_dir},
+                {"name": "dst", "driver": "parquet", "path": str(out_base)},
+            ],
+            "tasks": [
+                {
+                    "name": "t",
+                    "type": "db-db",
+                    "source": {
+                        "connection": "src",
+                        "command": "SELECT n_nationkey, n_name FROM nation",
+                    },
+                    "target": {
+                        "connection": "dst",
+                        "table": "nation_copy",
+                        "truncate": True,
+                    },
+                }
+            ],
+        },
+    )
+    df = spark.read.parquet(str(out_base / "nation_copy.parquet"))
+    assert df.count() == 25
+
+
+def test_sql_query_file_with_params(spark, workdir, sf_dir):
+    (workdir / "input" / "q.sql").write_text(
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = '{seg}';"
+    )
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "connections": [{"name": "lake", "driver": "parquet", "path": sf_dir}],
+            "tasks": [
+                {
+                    "name": "t",
+                    "type": "db-csv",
+                    "source": {
+                        "connection": "lake",
+                        "query": "q.sql",
+                        "path": str(workdir / "input"),
+                        "params": {"seg": "BUILDING"},
+                    },
+                    "target": {"file": "out.csv", "truncate": True},
+                }
+            ],
+        },
+    )
+    lines = (workdir / "output" / "out.csv").read_text().strip().splitlines()
+    assert lines[0] == "c_custkey"
+    assert len(lines) > 1
+
+
+def test_xml_csv_mapping(spark, workdir):
+    (workdir / "input" / "src.xml").write_text(
+        "<data><item code='p1'><name>widget</name><price>9</price></item>"
+        "<item code='p2'><name>gadget</name><price>12</price></item></data>"
+    )
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "t",
+                    "type": "xml-csv",
+                    "source": {
+                        "file": "src.xml",
+                        "row": "item",
+                        "mapping": {"sku": "@code", "label": "name"},
+                    },
+                    "target": {"file": "out.csv", "truncate": True},
+                }
+            ]
+        },
+    )
+    lines = (workdir / "output" / "out.csv").read_text().strip().splitlines()
+    assert lines[0] == "sku;label"
+    assert set(lines[1:]) == {"p1;widget", "p2;gadget"}
+
+
+def test_zip_unzip_roundtrip(spark, workdir):
+    (workdir / "output" / "a.txt").write_text("hello")
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "z",
+                    "type": "zip",
+                    "source": {"files": ["a.txt"], "path": str(workdir / "output")},
+                    "target": {"file": "pkg.zip", "path": str(workdir / "output")},
+                },
+                {
+                    "name": "u",
+                    "type": "unzip",
+                    "source": {"file": "pkg.zip", "path": str(workdir / "output")},
+                    "target": {"path": str(workdir / "input")},
+                },
+            ]
+        },
+    )
+    assert (workdir / "input" / "a.txt").read_text() == "hello"
+
+
+def test_py_exec(spark, workdir):
+    (workdir / "module" / "myscript.py").write_text(
+        "import sys, pathlib\n"
+        "def main():\n"
+        "    pathlib.Path(sys.argv[1]).write_text('ran')\n"
+    )
+    marker = workdir / "marker.txt"
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "p",
+                    "type": "py-exec",
+                    "source": {"module": "myscript", "args": [str(marker)]},
+                }
+            ]
+        },
+    )
+    assert marker.read_text() == "ran"
+
+
+def test_custom_task(spark, workdir):
+    (workdir / "module" / "mytask.py").write_text(
+        "from dasladen_spark.tasks import BaseTask\n"
+        "import pathlib\n"
+        "class Marker(BaseTask):\n"
+        "    def run(self, ctx, task):\n"
+        "        p = pathlib.Path(task['args']['out'])\n"
+        "        p.write_text(str(ctx.spark.range(3).count()))\n"
+    )
+    marker = workdir / "custom.txt"
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "c",
+                    "type": "custom",
+                    "module": "mytask",
+                    "class": "Marker",
+                    "args": {"out": str(marker)},
+                }
+            ]
+        },
+    )
+    assert marker.read_text() == "3"
+
+
+def test_disabled_task_is_nop(spark, workdir):
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "d",
+                    "type": "csv-csv",
+                    "disabled": True,
+                    "source": {"file": "missing.csv"},
+                    "target": {"file": "out.csv"},
+                }
+            ]
+        },
+    )
+    assert not (workdir / "output" / "out.csv").exists()
