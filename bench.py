@@ -43,9 +43,18 @@ def main() -> None:
     spark = get_spark("dasladen-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so timings measure the
-    # query, not session bootstrap
+    # warm the JVM + parquet footers + Python UDF workers once so
+    # timings measure the query, not session bootstrap
     QUERIES["scan_filter_project"](spark, sf_dir).count()
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _warm_fn(s):
+        return s
+
+    _warm = F.pandas_udf(_warm_fn, "long")
+
+    spark.range(1000, numPartitions=32).select(F.sum(_warm("id"))).collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -43,6 +43,48 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df
 
 
+def _bucket_pairs(
+    exploded: DataFrame, bucket_cols: list[str], payload_col: str
+) -> DataFrame:
+    """(id, <payload>, bucket...) → all i<j member pairs per bucket:
+    (id_a, id_b, payload_a, payload_b).
+
+    One hash shuffle on the bucket key; pairs are generated in place
+    with codegen-friendly array ops, so upstream per-row signatures
+    are computed exactly once. Buckets are tiny by construction
+    (that's the point of LSH banding); a pathological hot bucket is a
+    parameter-tuning problem (more bands / longer bucket keys), the
+    same knob as in the join formulation.
+    """
+    members = (
+        exploded.groupBy(*[F.col(c) for c in bucket_cols])
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col(payload_col)))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    # two chained Generates (posexplode a, then explode the tail for
+    # b) rather than one giant nested-lambda pair expression — same
+    # result, far smaller codegen units
+    left = members.select(
+        "ms", F.posexplode(F.col("ms")).alias("i", "a")
+    )
+    return left.select(
+        F.col("a")["id"].alias("id_a"),
+        F.col("a")[payload_col].alias(f"{payload_col}_a"),
+        F.explode(
+            F.slice(F.col("ms"), F.col("i") + 2, F.size(F.col("ms")))
+        ).alias("b"),
+    ).select(
+        "id_a",
+        F.col("b")["id"].alias("id_b"),
+        f"{payload_col}_a",
+        F.col("b")[payload_col].alias(f"{payload_col}_b"),
+    )
+
+
 def exact_dedup(
     df: DataFrame, key_cols: list[str], id_col: str
 ) -> DataFrame:
@@ -157,36 +199,23 @@ def minhash_lsh_pairs(
         "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.id") < F.col("b.id"),
-            ],
+    # Single-pass bucket pairing: a naive self-join on (band, bucket)
+    # evaluates the signature UDF once per join side (no exchange to
+    # reuse under BHJ) — at 100 TB that doubles the most expensive
+    # stage. Instead: one shuffle to the bucket, collect the (tiny)
+    # member list, emit i<j pairs in place.
+    pairs = _bucket_pairs(exploded, ["band", "bucket"], "sig")
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with(
-                            F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y
-                        ),
-                        lambda eq: eq,
-                    )
-                ).cast("double")
-                / F.lit(float(num_hashes))
-            ).alias("est_jaccard"),
-        )
-        .distinct()
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
-    return pairs
 
 
 # ---------------------------------------------------------------- SimHash
@@ -247,24 +276,16 @@ def simhash_pairs(
         "id", "fingerprint", F.explode(chunk).alias("c")
     ).select("id", "fingerprint", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
 
-    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = _bucket_pairs(exploded, ["ci", "cv"], "fingerprint")
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.ci") == F.col("b.ci"),
-                F.col("a.cv") == F.col("b.cv"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
+        pairs.dropDuplicates(["id_a", "id_b"])
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.bit_count(
-                F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+                F.col("fingerprint_a").bitwiseXOR(F.col("fingerprint_b"))
             ).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -409,23 +430,8 @@ def embedding_near_dup_pairs(
     exploded = _spread(base, "id").select(
         "id", "vec", F.posexplode(bucket_udf(F.col("vec"))).alias("t", "bkt")
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.t") == F.col("b.t"),
-                F.col("a.bkt") == F.col("b.bkt"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("vec_a"),
-            F.col("b.vec").alias("vec_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _bucket_pairs(exploded, ["t", "bkt"], "vec").dropDuplicates(
+        ["id_a", "id_b"]
     )
     return cand.select(
         "id_a",

@@ -35,8 +35,11 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
+    c = _spread(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
+        ),
+        "neighbor_id",
     )
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
