@@ -52,3 +52,128 @@ def test_windowed_event_counts_batch_parity(spark):
     assert got[(0, "click")] == 2
     assert got[(10, "click")] == 1
     assert got[(0, "view")] == 1
+
+
+def _drain_to_memory(spark, stream, name, output_mode="append"):
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_sessionized_counts_stream_and_batch(spark, tmp_path):
+    from dasladen_spark.streaming.stateful import sessionized_counts
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # the 04:00 sentinel (user 99) pushes the watermark past every
+    # other session's close so append mode emits them; its own
+    # still-open session stays in state — exactly the late-data
+    # semantics the operator is for
+    (src / "a.csv").write_text(
+        "ts;user_id\n"
+        "2024-01-01 00:01:00;1\n"
+        "2024-01-01 00:05:00;1\n"
+        "2024-01-01 02:00:00;1\n"
+        "2024-01-01 00:02:00;2\n"
+        "2024-01-01 04:00:00;99\n"
+    )
+    schema = "ts TIMESTAMP, user_id BIGINT"
+    stream = spark.readStream.schema(schema).option("sep", ";").option(
+        "header", True
+    ).csv(str(src))
+    got = _drain_to_memory(
+        spark, sessionized_counts(stream, gap="30 minutes"), "sess_t"
+    )
+    rows = {(r["user_id"], r["n_events"]) for r in got.collect()}
+    # user 1: two sessions (00:01-00:05 merged, 02:00 separate); user 2: one
+    assert rows == {(1, 2), (1, 1), (2, 1)}
+
+    batch = spark.read.schema(schema).option("sep", ";").option("header", True).csv(
+        str(src)
+    )
+    brows = {
+        (r["user_id"], r["n_events"])
+        for r in sessionized_counts(batch, gap="30 minutes").collect()
+    }
+    # batch mode has no watermark: the sentinel's session appears too
+    assert brows == rows | {(99, 1)}
+
+
+def test_running_user_stats_accumulates_across_microbatches(spark, tmp_path):
+    from dasladen_spark.streaming.stateful import running_user_stats
+
+    src = tmp_path / "vals"
+    src.mkdir()
+    (src / "b1.csv").write_text("user_id;value\n1;10.0\n1;20.0\n2;5.0\n")
+    schema = "user_id BIGINT, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("sep", ";")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    emitted: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend(
+            (r["user_id"], r["n_events"], r["total_value"], r["max_value"])
+            for r in batch_df.collect()
+        )
+
+    def drain(s):
+        q = (
+            running_user_stats(s)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(stream)
+    # second file arrives -> state must carry over the first run
+    (src / "b2.csv").write_text("user_id;value\n1;30.0\n")
+    drain(
+        spark.readStream.schema(schema)
+        .option("sep", ";")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    latest = {u: (n, t, m) for (u, n, t, m) in emitted}
+    assert latest[1] == (3, 60.0, 30.0)
+    assert latest[2] == (1, 5.0, 5.0)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from dasladen_spark.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "dups"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "ts;event_id\n"
+        "2024-01-01 00:01:00;100\n"
+        "2024-01-01 00:02:00;100\n"
+        "2024-01-01 00:03:00;101\n"
+    )
+    schema = "ts TIMESTAMP, event_id BIGINT"
+    stream = spark.readStream.schema(schema).option("sep", ";").option(
+        "header", True
+    ).csv(str(src))
+    got = _drain_to_memory(
+        spark, streaming_dedup(stream, ["event_id"]), "dedup_t"
+    )
+    assert sorted(r["event_id"] for r in got.collect()) == [100, 101]
+
+    batch = spark.read.schema(schema).option("sep", ";").option("header", True).csv(
+        str(src)
+    )
+    assert streaming_dedup(batch, ["event_id"]).count() == 2
