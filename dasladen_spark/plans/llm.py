@@ -98,7 +98,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("dedup_ngram_jaccard")  # inverted-index op — no SQL oracle yet
+@query(
+    "dedup_ngram_jaccard",
+    # same inverted-index algorithm in DuckDB: unnest distinct word
+    # 3-grams, self-join on the shingle, count common per pair.
+    # (Spark buckets on xxhash64 of the shingle rather than the raw
+    # string — identical pairs barring a 64-bit collision.)
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               generate_series(0, greatest(len(regexp_extract_all(trim(text), '\S+')) - 3, 0)),
+               i -> array_to_string(regexp_extract_all(trim(text), '\S+')[i+1:i+3], ' ')
+             )) AS sh
+      FROM documents
+    ),
+    inv AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             COUNT(*) AS n_common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE)
+             / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+    FROM common
+    WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.2
+    """,
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard ≥ 0.2 via shingle inverted index
     with a document-frequency cap."""

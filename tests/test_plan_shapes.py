@@ -1,0 +1,91 @@
+"""Physical-plan invariants — the 100 TB guardrails.
+
+Correctness tests prove the small-SF answer; these prove the *plan*
+is the one we'd want on a 1000-executor cluster: filters reach the
+parquet scan, projections prune columns, small dims broadcast, big
+joins shuffle on keys (not nested loops), signature UDFs run exactly
+once, and nothing funnels through a single partition unless the
+result is provably tiny.
+"""
+
+import re
+
+import pytest
+
+from dasladen_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_filter_project_pushdown(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan or "GreaterThan" in plan
+    # column pruning: the lineitem scan must read only the 4 needed
+    # columns plus filter columns, never the full 11-column schema
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 5
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume", "q7_nation_volume"],
+)
+def test_fact_joins_are_hash_joins_not_nested_loops(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q5_region_nation_broadcast(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert "BroadcastExchange" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    # partial (map-side) aggregation before the exchange: two
+    # HashAggregate levels around one shuffle
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_minhash_signature_udf_runs_once(spark):
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_simhash_signature_udf_runs_once(spark):
+    plan = plan_of(spark, "dedup_simhash")
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_topk_uses_limit_not_global_sort_materialization(spark):
+    # deterministic top-k should end in TakeOrderedAndProject (limit
+    # pushed into the sort), not a full global Sort + CollectLimit
+    plan = plan_of(spark, "q_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_topk_partitions_by_group(spark):
+    # the per-group top-k must window over the group key — a global
+    # (empty-partition) window would single-thread the sort
+    plan = plan_of(spark, "q_window_topk_per_group")
+    assert "SinglePartition" not in plan
+
+
+def test_asof_join_no_cartesian(spark):
+    plan = plan_of(spark, "q_asof_join")
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    # one hash exchange on the dedup key — no sort-based re-shuffle
+    plan = plan_of(spark, "dedup_exact")
+    assert plan.count("Exchange hashpartitioning") == 1
