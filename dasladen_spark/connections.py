@@ -127,15 +127,18 @@ class Connection:
         return spark.sql(sql)
 
     def register_views(self, spark: SparkSession) -> None:
-        """parquet driver: expose <base>/<t>.parquet files as views."""
+        """parquet driver: expose <base>/<t>.parquet files as views
+        (via load_table, which owns the NANOS-timestamp handling —
+        a raw read fails on nanos parquet unless the legacy conf is
+        already set)."""
+        from dasladen_spark.session import load_table
+
         base = self.config.get("path", ".")
         if os.path.isdir(base):
             for fn in sorted(os.listdir(base)):
                 if fn.endswith(".parquet"):
                     t = fn[: -len(".parquet")]
-                    spark.read.parquet(os.path.join(base, fn)).createOrReplaceTempView(
-                        t
-                    )
+                    load_table(spark, base, t).createOrReplaceTempView(t)
 
     def execute_sql(self, spark: SparkSession, sql: str) -> None:
         """DDL/DML execution (sql-exec task, task.py:527-536)."""

@@ -47,3 +47,45 @@ def read_xls(
     if all_strings:
         pdf = pdf.astype("string").where(pdf.notna(), None)
     return spark.createDataFrame(pdf)
+
+
+def read_xls_many(
+    spark: SparkSession,
+    glob_path: str,
+    schema: str,
+    sheet: str | int | None = None,
+    parser=None,
+) -> DataFrame:
+    """Distributed many-workbook read: `binaryFile` ships each
+    workbook's bytes to an executor, `mapInPandas` parses it there —
+    the scale path when there are thousands of small workbooks (one
+    task per file, no driver bottleneck).
+
+    ``schema`` is the output schema (workbooks must agree).
+    ``parser(bytes) -> pandas.DataFrame`` defaults to
+    ``pd.read_excel`` on the given sheet; tests inject a fake parser
+    since no Excel engine ships in this container.
+    """
+    import io
+
+    if parser is None:
+        if not excel_available():
+            raise RuntimeError(
+                "no Excel engine installed (openpyxl/xlrd); install one or"
+                " pass parser="
+            )
+        import pandas as pd
+
+        def parser(raw: bytes):
+            return pd.read_excel(
+                io.BytesIO(raw), sheet_name=0 if sheet is None else sheet
+            )
+
+    files = spark.read.format("binaryFile").load(glob_path)
+
+    def parse(batches):
+        for pdf in batches:
+            for raw in pdf["content"]:
+                yield parser(bytes(raw))
+
+    return files.select("content").mapInPandas(parse, schema=schema)

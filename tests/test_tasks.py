@@ -317,3 +317,27 @@ def test_disabled_task_is_nop(spark, workdir):
         },
     )
     assert not (workdir / "output" / "out.csv").exists()
+
+
+def test_read_xls_many_distributed_plumbing(spark, tmp_path):
+    """binaryFile + mapInPandas plumbing for many-workbook reads,
+    exercised with an injected parser (no Excel engine in this
+    container — the Spark side is what's under test)."""
+    import pandas as pd
+
+    from dasladen_spark.sources.xls import read_xls_many
+
+    for i in range(3):
+        (tmp_path / f"wb{i}.xlsx").write_bytes(f"id;v\n{i};{i * 10}\n".encode())
+
+    def fake_parser(raw: bytes) -> pd.DataFrame:
+        import io
+
+        return pd.read_csv(io.BytesIO(raw), sep=";")
+
+    df = read_xls_many(
+        spark, str(tmp_path / "*.xlsx"), schema="id long, v long",
+        parser=fake_parser,
+    )
+    assert df.rdd.getNumPartitions() >= 1
+    assert {(r["id"], r["v"]) for r in df.collect()} == {(0, 0), (1, 10), (2, 20)}
