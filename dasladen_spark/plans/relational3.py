@@ -507,3 +507,75 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.95) AS p95,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, bit-identical on doubles).
+    Exact percentiles need the group's values together — one shuffle
+    on the group key; for percentiles *of huge groups* at 100 TB the
+    approx_percentile sketch (mergeable, no sort) is the scale path —
+    see q_approx_sketches."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+             AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor binning — the single-shuffle
+    binned aggregate behind every distribution dashboard."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("decimal(38,4)").alias("total"),
+        )
+    )
+
+
+@query("q_approx_sketches")  # sketch values are impl-specific — rows-only
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketch aggregates — the 100 TB substitutes for their
+    exact cousins: HLL++ approx_count_distinct (vs COUNT DISTINCT's
+    two-level shuffle) and KLL-style approx_percentile (vs full-sort
+    percentiles). Values are algorithm-specific, so the driver runs
+    the rows-only check; tests/test_operators.py asserts the error
+    bound against the exact answers."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -146,3 +146,33 @@ def test_multimodal_feature_plumbing(spark):
     # deterministic fake decode: same payload → same features
     again = extract_image_features(with_payload(df))
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in feats.collect()}
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    """approx_count_distinct at rsd=2% and approx_percentile with a
+    10k accuracy knob must land within tight bounds of the exact
+    answers (the sketches replace exact ops at 100 TB; unbounded
+    error would make them useless)."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.plans import QUERIES
+    from dasladen_spark.session import load_table
+
+    approx = {
+        r["l_returnflag"]: (r["approx_orders"], r["approx_median"])
+        for r in QUERIES["q_approx_sketches"](spark, sf_dir).collect()
+    }
+    l = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["n"], r["med"])
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_orderkey").alias("n"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    for flag, (n_exact, med_exact) in exact.items():
+        n_approx, med_approx = approx[flag]
+        assert abs(n_approx - n_exact) / n_exact < 0.05
+        assert abs(med_approx - med_exact) / med_exact < 0.05
