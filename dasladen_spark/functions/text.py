@@ -92,3 +92,17 @@ def lang_id(text: Column) -> Column:
         cond = scores[lang] == best
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     return F.when(best == 0, out).otherwise(expr)
+
+
+#: GPT-2-style pre-tokenizer pattern, restricted to constructs that
+#: behave identically in Java regex (Spark) and RE2 (DuckDB): no
+#: lookahead, explicit ASCII classes. Contractions | letter runs |
+#: digit runs (optional leading space) | symbol runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+| ?[0-9]+|[^A-Za-z0-9\s']+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish subword-boundary token count (the pre-tokenization
+    granularity LLM data pipelines budget by) — JVM regexp_count, no
+    Python."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN))

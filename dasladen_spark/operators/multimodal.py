@@ -102,3 +102,99 @@ def extract_image_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB — real deployments plug PIL's resize here. The
+    deterministic fake re-samples the byte stream to a size
+    proportional to the target area so batch-shape and output-size
+    behavior are testable."""
+    if not payload:
+        return b""
+    target_len = max(1, (target_w * target_h) // 64)
+    reps = (target_len // len(payload)) + 1
+    return (payload * reps)[:target_len]
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    resizer: Callable[[bytes, int, int], bytes] = resize_image,
+) -> DataFrame:
+    """Distributed image resize: one mapInPandas stage, payload in /
+    payload out, metadata updated to the target dimensions. At 100 TB
+    the input partitioning (maxPartitionBytes on a binary scan)
+    bounds per-task memory — no single task ever holds more than one
+    partition of payloads."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        resizer(
+                            bytes(p) if p is not None else b"", target_w, target_h
+                        )
+                        for p in pdf[payload_col]
+                    ],
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 256,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """STUB video frame sampling — real deployments plug ffmpeg/pyav
+    keyframe extraction; the fake slices the payload at fixed strides.
+    The Spark shape is the real contract: one input row fans out to
+    ≤ max_frames output rows inside a single mapInPandas stage (no
+    explode of a giant collected array, no driver involvement), so
+    a 100 TB video corpus streams through at scan parallelism."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p) if p is not None else b""
+                for i in range(min(max_frames, max(len(raw) // every_n_bytes, 1))):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(raw[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from dasladen_spark.functions.text import (
     LANG_MARKERS,
+    bpe_token_count,
     lang_id,
     lang_scores,
     normalize_text,
@@ -327,3 +328,19 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_payload(_t(spark, sf_dir, "documents"))
     feats = extract_image_features(d, id_col="doc_id", payload_col="payload")
     return feats.select("doc_id", "n_bytes")
+
+
+@query(
+    "text_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+| ?[0-9]+|[^A-Za-z0-9\s'']+')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts over the corpus (token budgeting
+    for training mixes). Same RE2/Java-portable pattern on both
+    engines — see BPE_PATTERN."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))

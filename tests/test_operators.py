@@ -176,3 +176,28 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
         n_approx, med_approx = approx[flag]
         assert abs(n_approx - n_exact) / n_exact < 0.05
         assert abs(med_approx - med_exact) / med_exact < 0.05
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    from dasladen_spark.operators.multimodal import resize_images, with_payload
+    from dasladen_spark.session import load_table
+
+    d = with_payload(load_table(spark, sf_dir, "documents").limit(20))
+    out = resize_images(d, 32, 16)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["width"] == 32 and r["height"] == 16 for r in rows)
+    assert all(len(r["payload"]) == (32 * 16) // 64 for r in rows)
+
+
+def test_sample_frames_fanout_bounded(spark, sf_dir):
+    from dasladen_spark.operators.multimodal import sample_frames, with_payload
+    from dasladen_spark.session import load_table
+
+    d = with_payload(load_table(spark, sf_dir, "documents").limit(10))
+    out = sample_frames(d, every_n_bytes=64, max_frames=3)
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert len(per_doc) == 10
+    assert all(1 <= r["count"] <= 3 for r in per_doc)
+    one = out.filter("frame_idx = 0").first()
+    assert len(one["frame"]) <= 64
