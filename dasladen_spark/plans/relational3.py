@@ -579,3 +579,108 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH stage1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), stage2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN stage1 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t1
+      GROUP BY e.user_id
+    ), stage3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN stage2 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM stage1) AS n_view,
+           (SELECT COUNT(*) FROM stage2) AS n_view_click,
+           (SELECT COUNT(*) FROM stage3) AS n_view_click_purchase
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): each
+    stage is a per-user MIN over events after the previous stage's
+    timestamp. Three key-partitioned aggregates on the same user_id
+    key — under AQE the shuffles reuse one partitioning, and no
+    per-user event list is ever collected (the naive
+    collect_list+UDF funnel OOMs on power users at 100 TB)."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             datediff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_n
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_n, COUNT(*) AS n_active
+    FROM activity
+    WHERE week_n <= 4
+    GROUP BY cohort_week, week_n
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-seen week,
+    counted in each later week they return. Shuffles: one per-user
+    MIN, one distinct on (user, cohort, week) — both on the user_id
+    key."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_n") <= 4)
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -201,3 +201,36 @@ def test_sample_frames_fanout_bounded(spark, sf_dir):
     assert all(1 <= r["count"] <= 3 for r in per_doc)
     one = out.filter("frame_idx = 0").first()
     assert len(one["frame"]) <= 64
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """The salted fan-out must be a pure physical rewrite: identical
+    rows to the plain equi-join, for inner and left shapes."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.skew import salted_join
+    from dasladen_spark.session import load_table
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    small = p.withColumnRenamed("p_partkey", "l_partkey")
+
+    plain = l.join(small, "l_partkey").groupBy("p_brand").count()
+    salted = (
+        salted_join(l, small, "l_partkey", salt=8)
+        .groupBy("p_brand")
+        .count()
+    )
+    assert {(r["p_brand"], r["count"]) for r in plain.collect()} == {
+        (r["p_brand"], r["count"]) for r in salted.collect()
+    }
+
+    # left join keeps unmatched big-side rows exactly once
+    few = small.filter(F.col("l_partkey") < 10)
+    plain_left = l.join(few, "l_partkey", "left")
+    salted_left = salted_join(l, few, "l_partkey", salt=8, how="left")
+    assert plain_left.count() == salted_left.count()
+    assert (
+        plain_left.filter("p_brand IS NULL").count()
+        == salted_left.filter("p_brand IS NULL").count()
+    )
