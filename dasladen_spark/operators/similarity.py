@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -95,6 +97,117 @@ def lsh_cosine_topk(
         F.posexplode(bucket_udf(F.col("cv"))).alias("t", "bkt"),
     ).select("neighbor_id", "cv", "t", "bkt")
     cand = q.join(c, on=["t", "bkt"]).dropDuplicates(["query_id", "neighbor_id"])
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is
+    partitioned into ``n_centroids`` Voronoi cells; each query scores
+    only the ``n_probe`` nearest cells' members.
+
+    Scale anatomy (the 100 TB path):
+    - centroids: seeded from the lowest-id corpus vectors
+      (deterministic), refined by ``lloyd_iters`` distributed k-means
+      steps — each step is one mapInPandas assign (broadcast
+      centroid matrix, numpy matmul) + one groupBy mean. Centroids
+      (n_centroids × dim floats) always fit on the driver.
+    - inverted lists: one shuffle of the corpus on cell id — done
+      once, reusable across query batches (persist/bucket by cell).
+    - search: queries explode to n_probe cells, equi-join on cell id
+      (a key shuffle over n_probe/n_centroids of the corpus), exact
+      cosine re-rank, per-query top-k window.
+    """
+    c = _spread(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
+        ),
+        "neighbor_id",
+    )
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"))
+
+    seeds = (
+        c.orderBy("neighbor_id").limit(n_centroids).select("cv").collect()
+    )
+    cent = np.array([r["cv"] for r in seeds], dtype=np.float64)
+
+    def assign_udf(cent_mat: np.ndarray):
+        norm = cent_mat / np.maximum(
+            np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-12
+        )
+
+        @F.pandas_udf("int")
+        def assign(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int32")
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            return pd.Series((x @ norm.T).argmax(axis=1).astype("int32"))
+
+        return assign
+
+    for _ in range(lloyd_iters):
+        assigned = c.withColumn("cell", assign_udf(cent)(F.col("cv")))
+        # per-dimension mean via posexplode: the shuffle key is
+        # (cell, dim) — n_centroids × dim groups regardless of corpus
+        # size, and only that many rows come back to the driver
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col("cv").cast("array<double>"))
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        for r in means:
+            cent[r["cell"], r["pos"]] = r["m"]
+
+    assign = assign_udf(cent)
+    lists = c.withColumn("cell", assign(F.col("cv")))
+
+    probe_norm = cent / np.maximum(
+        np.linalg.norm(cent, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ probe_norm.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    probed = q.select(
+        "query_id", "qv", F.explode(probe_cells(F.col("qv"))).alias("cell")
+    )
+    cand = probed.join(lists, on="cell")
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(

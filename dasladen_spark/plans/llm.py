@@ -344,3 +344,19 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — see BPE_PATTERN."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+@query("ann_ivf_topk")  # approximate variant — no SQL oracle (recall < 1)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-5 (inverted-file cells + n_probe
+    search — the other standard ANN scale path besides LSH)."""
+    from dasladen_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = ivf_cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5,
+        n_centroids=16, n_probe=4,
+    )
+    return res.withColumn("cosine", F.round("cosine", 6)).orderBy(
+        "query_id", "rank"
+    )

@@ -234,3 +234,27 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         plain_left.filter("p_brand IS NULL").count()
         == salted_left.filter("p_brand IS NULL").count()
     )
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF with 16 cells / 4 probes must recover most of the exact
+    top-5 (recall >= 0.5 on the fixture; 1.0 would need n_probe =
+    n_centroids). Guards against a broken cell assignment, which
+    would silently return plausible-but-wrong neighbors."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+    from dasladen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(qs, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(qs, emb, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"

@@ -89,3 +89,50 @@ def test_exact_dedup_single_shuffle(spark):
     # one hash exchange on the dedup key — no sort-based re-shuffle
     plan = plan_of(spark, "dedup_exact")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key -> SortMergeJoin with zero
+    Exchange nodes: the write-once-shuffle-never layout for repeated
+    100 TB fact joins."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.session import load_table
+    from dasladen_spark.sinks.bucketed import read_table, write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    for t in ("b_lineitem", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    l = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_orderdate")
+    write_bucketed(l, "b_lineitem", "l_orderkey", 8, sort_cols="l_orderkey")
+    write_bucketed(o, "b_orders", "o_orderkey", 8, sort_cols="o_orderkey")
+
+    bl, bo = read_table(spark, "b_lineitem"), read_table(spark, "b_orders")
+    # disable broadcast so the tiny test tables take the same SMJ
+    # path a 100 TB fact-fact join would
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).groupBy(
+            "o_orderdate"
+        ).agg(F.sum("l_quantity").alias("q"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        pre_agg = plan.split("HashAggregate")[-1]  # below the partial agg
+        assert "Exchange" not in pre_agg, pre_agg
+        # and it computes the same thing as the unbucketed plan
+        plain = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderdate")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("b_lineitem", "b_orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
