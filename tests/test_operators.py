@@ -258,3 +258,55 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_merge_upsert_last_writer_wins(spark):
+    from dasladen_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], ["id", "val", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 2), (4, "D", 2)], ["id", "val", "v"]
+    )
+    out = {
+        r["id"]: (r["val"], r["v"])
+        for r in merge_upsert(base, updates, "id", version_col="v").collect()
+    }
+    assert out == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1), 4: ("D", 2)}
+
+    # idempotence: replaying an OLD batch cannot regress versions
+    stale = spark.createDataFrame([(2, "old", 1)], ["id", "val", "v"])
+    merged = merge_upsert(
+        merge_upsert(base, updates, "id", version_col="v"),
+        stale,
+        "id",
+        version_col="v",
+    )
+    assert {r["id"]: r["val"] for r in merged.collect()}[2] == "B"
+
+
+def test_scd2_apply_closes_and_appends(spark):
+    import datetime as dt
+
+    from dasladen_spark.operators.merge import scd2_apply
+
+    end = dt.datetime(9999, 12, 31)
+    dim = spark.createDataFrame(
+        [
+            (1, "x", dt.datetime(2024, 1, 1), end),
+            (2, "y", dt.datetime(2024, 1, 1), end),
+            (1, "old", dt.datetime(2023, 1, 1), dt.datetime(2024, 1, 1)),
+        ],
+        ["id", "attr", "valid_from", "valid_to"],
+    )
+    changes = spark.createDataFrame(
+        [(1, "x2", dt.datetime(2024, 6, 1))], ["id", "attr", "ts"]
+    )
+    out = scd2_apply(dim, changes, "id", "ts", open_end="9999-12-31")
+    rows = {(r["id"], r["attr"]): (r["valid_from"], r["valid_to"]) for r in out.collect()}
+    assert rows[(1, "x")] == (dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1))
+    assert rows[(1, "x2")] == (dt.datetime(2024, 6, 1), end)
+    assert rows[(2, "y")][1] == end          # untouched key stays open
+    assert rows[(1, "old")][1] == dt.datetime(2024, 1, 1)  # history intact
+    assert out.count() == 4
