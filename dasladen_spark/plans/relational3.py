@@ -684,3 +684,77 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_n")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice, o_orderdate,
+             '1-URGENT' AS o_orderpriority, 2 AS v
+      FROM orders WHERE o_orderkey % 100 = 0
+    ), base AS (
+      SELECT *, 1 AS v FROM orders
+    ), unioned AS (
+      SELECT *, 0 AS src FROM base
+      UNION ALL SELECT *, 1 AS src FROM updates
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY v DESC, src DESC) AS rn
+      FROM unioned
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority, v
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned last-writer-wins upsert of a derived updates batch
+    into the orders snapshot (operators/merge.py): one key shuffle,
+    idempotent under replay. The updates batch is synthesized from
+    the fixture (every 100th order re-priced) so the oracle can
+    reproduce it."""
+    from dasladen_spark.operators.merge import merge_upsert
+
+    o = _t(spark, sf_dir, "orders").withColumn("v", F.lit(1))
+    updates = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("o_orderpriority", F.lit("1-URGENT"))
+        .withColumn("v", F.lit(2))
+    )
+    return merge_upsert(o, updates, "o_orderkey", version_col="v")
+
+
+@query(
+    "q_skew_salted_join",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))
+             AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join rewrite (operators/skew.py) must be
+    result-identical to the plain equi-join — proven here against the
+    plain-join oracle. 8-way salt on the fact side, dim replicated
+    8×; the shape that survives a single monster key no AQE split
+    can fix."""
+    from dasladen_spark.operators.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    return (
+        salted_join(l, p, "l_partkey", salt=8)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("decimal(38,4)").alias("total_qty"),
+        )
+    )
