@@ -758,3 +758,62 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("l_quantity")).cast("decimal(38,4)").alias("total_qty"),
         )
     )
+
+
+@query(
+    "q_json_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           COUNT(json_extract_string(props, '$.missing')) AS n_missing_key
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over JSON-extracted fields (semi-structured props →
+    typed aggregation; missing paths count as NULL on both engines).
+    Extraction runs inside the scan projection — no intermediate
+    materialized JSON table."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int"))
+        .cast("bigint")
+        .alias("sum_k"),
+        F.count(F.get_json_object("props", "$.missing")).alias("n_missing_key"),
+    )
+
+
+@query(
+    "q_array_ops",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             list_sort(list(o_totalprice)) AS totals
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           len(totals) AS n_orders,
+           totals[1] AS smallest,
+           totals[-1] AS largest,
+           totals[1:3] AS smallest3
+    FROM per_cust
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + manipulation per group: sorted
+    collect_list, element access, slicing — the nested-type surface
+    (one shuffle on the group key; arrays stay columnar end-to-end)."""
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("o_totalprice")).alias("totals"))
+    )
+    return per.select(
+        "o_custkey",
+        F.size("totals").alias("n_orders"),
+        F.col("totals")[0].alias("smallest"),
+        F.element_at("totals", -1).alias("largest"),
+        F.slice("totals", 1, 3).alias("smallest3"),
+    )
