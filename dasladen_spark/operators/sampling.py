@@ -1,0 +1,48 @@
+"""Deterministic sampling — reproducible training-data mixes.
+
+`df.sample()` is seed-stable only for a fixed partitioning; any
+repartition/scale-up changes which rows land where and therefore
+which rows survive. These samplers decide per ROW from a hash of the
+row's own id, so the sample is a pure function of the data: same
+corpus in, same sample out, on 1 core or 1000 executors — and a
+document keeps/loses its membership even if the corpus is re-sharded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _hash_frac(id_col: Column, salt: int) -> Column:
+    """Uniform [0, 1) value derived from the id (xxhash64 → bucket)."""
+    return F.pmod(F.xxhash64(id_col, F.lit(salt)), F.lit(_BUCKETS)) / F.lit(
+        float(_BUCKETS)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str, salt: int = 42
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by id hash (repartition-proof)."""
+    return df.filter(_hash_frac(F.col(id_col), salt) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+    salt: int = 42,
+) -> DataFrame:
+    """Per-stratum sampling rates (the 'mix' step of a training-data
+    pipeline: 30% of web, 100% of books, ...). Unlisted strata get
+    ``default_fraction``. No shuffle at all — the decision is a
+    scan-side filter, so at 100 TB this costs one pass."""
+    frac = F.lit(float(default_fraction))
+    for value, f in fractions.items():
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
+    return df.filter(_hash_frac(F.col(id_col), salt) < frac)

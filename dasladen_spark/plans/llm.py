@@ -360,3 +360,62 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("cosine", F.round("cosine", 6)).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "text_corpus_cleanup",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, source, lang, text,
+             ROUND(
+               0.5 * (len(regexp_extract_all(text, '[A-Za-z]'))
+                      / greatest(length(text), 1))
+             + 0.25 * greatest(0.0,
+                 1.0 - (len(regexp_extract_all(text, '[A-Za-z]'))
+                          / greatest(len(regexp_extract_all(text, '\S+')), 1) - 5.0)
+                      * (len(regexp_extract_all(text, '[A-Za-z]'))
+                          / greatest(len(regexp_extract_all(text, '\S+')), 1) - 5.0)
+                      / 25.0)
+             + 0.25 * (len(list_distinct(regexp_extract_all(text, '\S+')))
+                       / greatest(len(regexp_extract_all(text, '\S+')), 1)),
+             4) AS quality
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored WHERE quality >= 0.5 AND lang IN ('en', 'de', 'fr')
+    ), deduped AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+        ORDER BY doc_id) AS rn
+      FROM kept
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(length(text) AS DECIMAL(18,4))) AS DECIMAL(38,4))
+             AS total_chars
+    FROM deduped WHERE rn = 1
+    GROUP BY lang, source
+    """,
+)
+def text_corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data cleanup every corpus goes through:
+    quality-filter → language-filter → normalized-fingerprint dedup
+    (survivor = lowest id) → per-(lang, source) mix report.
+
+    One pipeline, two shuffles (fingerprint dedup, final rollup);
+    the quality/lang filters run in the scan projection, so at 100 TB
+    the expensive dedup shuffle only carries surviving rows."""
+    d = _t(spark, sf_dir, "documents")
+    kept = d.select(
+        "doc_id", "source", "lang", "text",
+        quality_score(F.col("text")).alias("quality"),
+    ).filter((F.col("quality") >= 0.5) & F.col("lang").isin("en", "de", "fr"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(normalize_text(F.col("text")))).orderBy("doc_id")
+    surv = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return surv.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("total_chars"),
+    )

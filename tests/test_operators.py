@@ -310,3 +310,38 @@ def test_scd2_apply_closes_and_appends(spark):
     assert rows[(2, "y")][1] == end          # untouched key stays open
     assert rows[(1, "old")][1] == dt.datetime(2024, 1, 1)  # history intact
     assert out.count() == 4
+
+
+def test_deterministic_sample_is_repartition_proof(spark, sf_dir):
+    from dasladen_spark.operators.sampling import deterministic_sample
+    from dasladen_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    s1 = {r["doc_id"] for r in deterministic_sample(d, 0.3, "doc_id").collect()}
+    s2 = {
+        r["doc_id"]
+        for r in deterministic_sample(d.repartition(17), 0.3, "doc_id").collect()
+    }
+    assert s1 == s2                      # membership survives re-sharding
+    n = d.count()
+    assert 0.2 * n < len(s1) < 0.4 * n   # rate is roughly honored
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    from dasladen_spark.operators.sampling import stratified_sample
+    from dasladen_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    keep_all, drop = langs[0], langs[1]
+    out = stratified_sample(
+        d, "lang", {keep_all: 1.0, drop: 0.0}, "doc_id", default_fraction=0.5
+    )
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    tot = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    assert got[keep_all] == tot[keep_all]        # fraction 1.0 keeps all
+    assert drop not in got                       # fraction 0.0 keeps none
+    others = [g for g in langs[2:]]
+    if others:
+        frac = sum(got.get(g, 0) for g in others) / sum(tot[g] for g in others)
+        assert 0.35 < frac < 0.65                # default 0.5 honored
