@@ -345,3 +345,64 @@ def test_stratified_sample_rates(spark, sf_dir):
     if others:
         frac = sum(got.get(g, 0) for g in others) / sum(tot[g] for g in others)
         assert 0.35 < frac < 0.65                # default 0.5 honored
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark, sf_dir):
+    """For every LSH candidate pair, the MinHash estimate must be
+    within 0.25 of the TRUE char-5-shingle Jaccard (64 hashes ->
+    stderr ~ sqrt(J(1-J)/64) ~ 0.06; 0.25 = 4 sigma)."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.dedup import _char_shingles, minhash_lsh_pairs
+    from dasladen_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.3)
+    sh = d.select(
+        F.col("doc_id").alias("id"), _char_shingles("text", 5).alias("sh")
+    )
+    a = sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})
+    b = sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})
+    joined = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", "est_jaccard",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("true_jaccard"),
+        )
+        .collect()
+    )
+    assert joined, "no candidate pairs found at threshold 0.3"
+    for r in joined:
+        assert abs(r["est_jaccard"] - r["true_jaccard"]) < 0.25, r
+
+
+def test_simhash_banding_complete_at_hamming_3(spark, sf_dir):
+    """Pigeonhole: a 63-bit fingerprint in 4 chunks -> any pair
+    within Hamming distance 3 shares >= 1 exact chunk, so banded
+    candidate generation must find EVERY such pair (vs brute force
+    over the fingerprints)."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.dedup import simhash, simhash_pairs
+    from dasladen_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(d, "text", "doc_id", max_hamming=3).collect()
+    }
+    fps = simhash(d, "text", "doc_id")
+    a, b = fps.withColumnsRenamed({"id": "id_a", "fingerprint": "f_a"}), (
+        fps.withColumnsRenamed({"id": "id_b", "fingerprint": "f_b"})
+    )
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b"))) <= 3)
+        .collect()
+    }
+    assert banded == brute
