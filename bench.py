@@ -25,13 +25,16 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q9_profit_proxy",
     "q_window_topk_per_group",
     "q_asof_join",
     "q_range_join",
+    "q_funnel",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality",
+    "text_corpus_cleanup",
 ]
 
 
