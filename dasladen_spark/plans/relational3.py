@@ -817,3 +817,70 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("totals", -1).alias("largest"),
         F.slice("totals", 1, 3).alias("smallest3"),
     )
+
+
+@query(
+    "q_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS win_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows in batch mode — the same `window()`
+    expression the streaming path uses (windowed_event_counts), here
+    proven equivalent to DuckDB time_bucket. One shuffle on
+    (window, type)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("total"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+    )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_n
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_n
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in `session_window` (30-min gap) verified
+    against the first-principles gaps-and-islands SQL — the same
+    expression the streaming sessionizer uses, so its batch/stream
+    parity is oracle-checked, not assumed."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+    )
