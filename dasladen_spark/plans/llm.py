@@ -403,7 +403,10 @@ def text_corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One pipeline, two shuffles (fingerprint dedup, final rollup);
     the quality/lang filters run in the scan projection, so at 100 TB
-    the expensive dedup shuffle only carries surviving rows."""
+    the expensive dedup shuffle only carries surviving rows (and the
+    many-file scan parallelizes the regex work for free — forcing a
+    repartition here costs a full-text shuffle that outweighs the
+    parallelism below ~100 MB inputs)."""
     d = _t(spark, sf_dir, "documents")
     kept = d.select(
         "doc_id", "source", "lang", "text",
