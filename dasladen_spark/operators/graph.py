@@ -1,0 +1,80 @@
+"""Distributed connected components — pair lists → dedup clusters.
+
+Every near-dup operator (MinHash/SimHash/embedding) emits PAIRS; the
+keep/drop decision needs CLUSTERS (transitive closure: a~b, b~c ⇒
+{a,b,c} share one survivor). This is min-label propagation:
+
+    label(v) ← min(label(v), min over neighbors(label(u)))
+
+iterated to fixpoint. Each iteration is one join + one groupBy on the
+node key (no driver-side graph), so it scales to billions of edges;
+iterations needed = graph diameter, and near-dup graphs are
+shallow (chains of a few hops). Lineage is truncated per iteration
+with localCheckpoint so 20 iterations don't build a 20-deep plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(src, dst) pairs → (id, component) with component = the
+    smallest node id reachable from ``id``. Deterministic; nodes
+    include every id on either side of any edge."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.a == labels.id)
+            .groupBy(F.col("b").alias("id2"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Pairs → (member, survivor): survivor = min id per component —
+    the drop-list a dedup pipeline applies."""
+    cc = connected_components(edges, src, dst, max_iter)
+    return cc.select(
+        F.col("id").alias("member"), F.col("component").alias("survivor")
+    )

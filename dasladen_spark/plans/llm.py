@@ -422,3 +422,42 @@ def text_corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,4)")
         .alias("total_chars"),
     )
+
+
+@query(
+    "dedup_clusters_embedding",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.8
+    ), sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, label) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON r.id = s.a
+    )
+    SELECT id AS member, MIN(label) AS survivor
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive dedup clusters: the embedding
+    cosine ≥ 0.8 pair graph resolved to (member, survivor=min id)
+    by distributed min-label propagation (operators/graph.py).
+    The oracle recomputes the same closure with a recursive CTE —
+    feasible at oracle scale, while the Spark loop (join+groupBy per
+    hop, checkpoint-truncated lineage) is the shape that survives
+    billions of edges."""
+    from dasladen_spark.operators.graph import dedup_clusters
+
+    pairs = embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        threshold=0.8,
+        method="brute",
+    ).select("id_a", "id_b")
+    return dedup_clusters(pairs)

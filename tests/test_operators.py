@@ -406,3 +406,19 @@ def test_simhash_banding_complete_at_hamming_3(spark, sf_dir):
         .collect()
     }
     assert banded == brute
+
+
+def test_connected_components_known_graph(spark):
+    from dasladen_spark.operators.graph import connected_components
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (21, 20), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
