@@ -461,3 +461,35 @@ def dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         method="brute",
     ).select("id_a", "id_b")
     return dedup_clusters(pairs)
+
+
+@query(
+    "text_vocab_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    )
+    SELECT tok, COUNT(*) AS n
+    FROM toks GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 100
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 most frequent lowercased tokens
+    (tiebreak by token). Explode → partial-agg'd count (map-side
+    combine absorbs the Zipf head) → TakeOrdered top-k; the full
+    vocab never sorts globally."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(100)
+    )

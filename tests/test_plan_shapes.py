@@ -34,7 +34,15 @@ def test_scan_filter_project_pushdown(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["q3_shipping_priority", "q5_local_supplier_volume", "q7_nation_volume"],
+    [
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_profit_proxy",
+        "q13_custdist",
+        "q17_small_qty_revenue",
+    ],
 )
 def test_fact_joins_are_hash_joins_not_nested_loops(spark, name):
     plan = plan_of(spark, name)
