@@ -89,3 +89,67 @@ def asof_join(
         *[F.col("__match").getField(a).alias(a) for a in right_cols.values()],
     )
     return out
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: dict[str, str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join for a SMALL right side (rates, quotes, configs):
+    the right table is collected once and shipped in the task
+    closure; each left partition runs a vectorized pandas merge_asof
+    locally. ZERO shuffle of the (huge) left side — the complement
+    of asof_join's union+window, which shuffles both sides.
+
+    Use when |right| fits in executor memory (≲ tens of MB); the
+    union+window form handles the general case.
+    """
+    import pandas as pd
+
+    right_df = right
+    if right_cols is None:
+        skip = {on, right_ts}
+        right_cols = {c: f"right_{c}" for c in right_df.columns if c not in skip}
+
+    rts = "__asof_right_ts"
+    rpdf = (
+        right_df.select(on, F.col(right_ts).alias(rts), *right_cols.keys())
+        .toPandas()
+        .rename(columns=right_cols)
+        .sort_values(rts)
+        .reset_index(drop=True)
+    )
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        left.schema.fields
+        + [
+            type(f)(right_cols[f.name], f.dataType, True)
+            for f in right_df.schema.fields
+            if f.name in right_cols
+        ]
+    )
+    allow_exact = not strict
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ordered = pdf.sort_values(left_ts).reset_index(drop=True)
+            merged = pd.merge_asof(
+                ordered,
+                rpdf,
+                left_on=left_ts,
+                right_on=rts,
+                by=on,
+                allow_exact_matches=allow_exact,
+                direction="backward",
+            ).drop(columns=[rts])
+            yield merged
+
+    return left.mapInPandas(run, out_schema)

@@ -351,3 +351,97 @@ def q_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return cnt("orders").unionAll(cnt("lineitem")).unionAll(cnt("customer"))
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, val
+    FROM (SELECT o_orderkey, o_totalprice, o_custkey FROM orders)
+    UNPIVOT (val FOR metric IN (o_totalprice, o_custkey))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide metrics → (key, metric, value) long form —
+    the inverse of q_pivot_segments. Generate-based (no shuffle);
+    both engines cast the value set to a common type (double here)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double"),
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+    )
+    return o.unpivot(
+        "o_orderkey", ["o_totalprice", "o_custkey"], "metric", "val"
+    )
+
+
+@query(
+    "q_window_time_range",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(38,4)) AS spend_30d
+    FROM orders
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-customer trailing-30-day spend.
+    Unlike a ROWS frame, the frame is defined by timestamp distance —
+    the rolling-metric shape for irregular event spacing. One shuffle
+    on the partition key; rangeBetween over unix seconds replicates
+    the INTERVAL semantics exactly."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w).cast("decimal(38,4)").alias("spend_30d"),
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           COUNT(v) AS n_nonnull,
+           COUNT(*) - COUNT(v) AS n_null,
+           CAST(SUM(CASE WHEN v IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe,
+           COALESCE(CAST(MAX(v) AS DOUBLE), -1.0) AS max_or_default
+    FROM t GROUP BY user_id
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling corners under aggregation: COUNT(*) vs COUNT(col),
+    null-safe equality (<=> / IS NOT DISTINCT FROM), COALESCE
+    defaults — semantics that silently diverge between engines if
+    unspecified, pinned here bit-for-bit."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+        F.sum(F.when(F.col("v").eqNullSafe(F.lit(None)), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nullsafe"),
+        F.coalesce(F.max("v").cast("double"), F.lit(-1.0)).alias("max_or_default"),
+    )

@@ -422,3 +422,32 @@ def test_connected_components_known_graph(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_asof_join_broadcast_matches_union_window(spark, sf_dir):
+    """The broadcast merge_asof variant must produce the same rows as
+    the general union+window as-of join (same semantics, different
+    physical shape: zero shuffle of the left side)."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.asof import asof_join, asof_join_broadcast
+    from dasladen_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    a = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"purchase_value": "pv"},
+    )
+    b = asof_join_broadcast(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"purchase_value": "pv"},
+    )
+    ka = {(r["user_id"], r["ts"], r["event_id"], r["pv"]) for r in a.collect()}
+    kb = {(r["user_id"], r["ts"], r["event_id"], r["pv"]) for r in b.collect()}
+    assert ka == kb

@@ -3,6 +3,8 @@ folder with transforms, and watermarked windowed aggregation."""
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from dasladen_spark.streaming.ingest import (
     run_available_now,
     stream_csv_folder,
@@ -177,3 +179,44 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         str(src)
     )
     assert streaming_dedup(batch, ["event_id"]).count() == 2
+
+
+def test_incremental_matview_equals_batch_recompute(spark, tmp_path):
+    """Two micro-batches maintained incrementally must equal one
+    batch recompute over all the data (sum/count additivity), and the
+    sum must stay long-typed (no double drift)."""
+    from dasladen_spark.streaming.matview import run_incremental_matview
+
+    src = tmp_path / "inc"
+    src.mkdir()
+    (src / "b1.csv").write_text("k;v\na;1\na;2\nb;10\n")
+    schema = "k STRING, v BIGINT"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("sep", ";")
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(src))
+        )
+
+    snap = str(tmp_path / "snapshot")
+    ck = str(tmp_path / "ck")
+    aggs = {"n": "count(1)", "total": "sum(v)"}
+    run_incremental_matview(stream(), snap, ck, "k", aggs)
+    (src / "b2.csv").write_text("k;v\na;4\nc;100\n")
+    run_incremental_matview(stream(), snap, ck, "k", aggs)
+
+    got = {
+        r["k"]: (r["n"], r["total"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    batch = (
+        spark.read.schema(schema).option("sep", ";").option("header", True)
+        .csv(str(src))
+        .groupBy("k")
+        .agg(F.expr("count(1)").alias("n"), F.expr("sum(v)").alias("total"))
+    )
+    want = {r["k"]: (r["n"], r["total"]) for r in batch.collect()}
+    assert got == want == {"a": (3, 7), "b": (1, 10), "c": (1, 100)}
