@@ -884,3 +884,112 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_last", "n_events")
     )
+
+
+@query(
+    "q_fuzzy_name_match",
+    oracle="""
+    SELECT c.c_custkey AS key_a, c2.c_custkey AS key_b,
+           levenshtein(c.c_name, c2.c_name) AS dist
+    FROM customer c JOIN customer c2
+      ON c.c_custkey < c2.c_custkey
+     AND substr(c.c_name, 1, 9) = substr(c2.c_name, 1, 9)
+    WHERE levenshtein(c.c_name, c2.c_name) <= 3
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity matching with a prefix blocking key: the
+    9-char-prefix equi-join bounds the candidate set (levenshtein on
+    a full cross product is quadratic death at any scale); the
+    distance only scores within blocks — the standard
+    blocking+scoring record-linkage shape."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 1, 9).alias("blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 1, 9).alias("blk"),
+    )
+    return (
+        a.join(b, on=[a.blk == b.blk, F.col("key_a") < F.col("key_b")])
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+    )
+
+
+@query(
+    "q_window_navigation",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+           LEAD(o_totalprice, 1, -1.0) OVER w2 AS next_price,
+           LAG(o_totalprice, 2) OVER w2 AS prev2_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation functions (first/nth/lead-with-default/lag)
+    over a deterministic per-customer order — one shuffle on the
+    partition key serves all four."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # lead/lag are frame-less by definition (they address rows by
+    # offset, not frame) — same partitioning, so still one shuffle
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.lead("o_totalprice", 1, -1.0).over(w2).alias("next_price"),
+        F.lag("o_totalprice", 2).over(w2).alias("prev2_price"),
+    )
+
+
+@query(
+    "q_datetime_breadth",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           dayofweek(o_orderdate) + 1 AS dow,
+           CAST(datediff('day', o_orderdate,
+                         TIMESTAMP '2000-01-01') AS INT) AS days_to_y2k,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+)
+def q_datetime_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function surface: interval arithmetic, truncation,
+    month boundaries, weekday numbering (Spark Sunday=1 vs DuckDB
+    Sunday=0 — aligned in the oracle),
+    date differences, formatting."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp_ntz"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_y2k"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
