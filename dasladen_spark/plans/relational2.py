@@ -445,3 +445,77 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_nullsafe"),
         F.coalesce(F.max("v").cast("double"), F.lit(-1.0)).alias("max_or_default"),
     )
+
+
+@query(
+    "q_full_outer",
+    oracle="""
+    WITH cust_orders AS (
+      SELECT o_custkey, COUNT(*) AS n_orders
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ), cust_urgent AS (
+      SELECT o_custkey, COUNT(*) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_urgent, 0) AS n_urgent
+    FROM cust_orders a FULL OUTER JOIN cust_urgent b
+      ON a.o_custkey = b.o_custkey
+    """,
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two partial aggregates (customers with
+    finished orders vs customers with urgent orders — each side has
+    keys the other lacks). COALESCE reconciles the key and fills
+    absent counts with 0."""
+    o = _t(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    b = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("b_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    return a.join(b, a.o_custkey == b.b_custkey, "full_outer").select(
+        F.coalesce("o_custkey", "b_custkey").alias("custkey"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+    )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT ts, event_type, time_bucket(INTERVAL 5 MINUTE, ts) AS b
+      FROM events
+    ), assigned AS (
+      SELECT ts, event_type, b AS win_start FROM starts
+      UNION ALL
+      SELECT ts, event_type, b - INTERVAL 5 MINUTE FROM starts
+    )
+    SELECT win_start, event_type, COUNT(*) AS n
+    FROM assigned
+    WHERE ts >= win_start AND ts < win_start + INTERVAL 10 MINUTE
+    GROUP BY win_start, event_type
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute width, 5-minute slide): each event
+    lands in 2 overlapping windows. Spark's window() generates the
+    copies; the oracle derives the same membership from shifted
+    tumbling buckets. The fan-out factor is width/slide — bounded and
+    known at plan time."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
