@@ -161,3 +161,42 @@ def test_watcher_zip_package_intake(watch_env):
     w.process_file(str(pkg))
     out = (tmp / "output" / "out.csv").read_text().strip().splitlines()
     assert out == ["id;v", "7;z"]
+
+
+def test_cli_single_task_end_to_end(tmp_path):
+    """The real user entry point: `python -m dasladen_spark.runner.cli
+    -task f.json` in a fresh process must run a csv-csv pipeline and
+    write the output file (catches packaging/arg/import regressions
+    no in-process test can)."""
+    import json
+    import subprocess
+    import sys
+
+    (tmp_path / "input").mkdir()
+    (tmp_path / "capture").mkdir()
+    (tmp_path / "input" / "src.csv").write_text("id;qty\n1;10\n2;3\n3;50\n")
+    task = {
+        "tasks": [
+            {
+                "name": "t",
+                "type": "csv-csv",
+                "source": {"file": "src.csv"},
+                "transform": {"convert": [["qty", "int"]], "filter": "{qty} > 5"},
+                "target": {"file": "out.csv", "truncate": True},
+            }
+        ]
+    }
+    tf = tmp_path / "job.json"
+    tf.write_text(json.dumps(task))
+    r = subprocess.run(
+        [sys.executable, "-m", "dasladen_spark.runner.cli", "-task", str(tf),
+         "-capture", str(tmp_path / "capture")],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = (tmp_path / "output" / "out.csv").read_text().strip().splitlines()
+    assert out[0] == "id;qty"
+    assert set(out[1:]) == {"1;10", "3;50"}
