@@ -1,0 +1,87 @@
+"""Distributed global ranking — total-order row numbers without a
+single-partition window.
+
+`ROW_NUMBER() OVER (ORDER BY ...)` with no PARTITION BY funnels the
+whole dataset through one task (Spark even warns). The scalable
+form: range-repartition on the order key, number rows within each
+partition, then add the count of all preceding partitions (a tiny
+driver-side cumulative sum — one row per partition). Cost: one range
+shuffle + one pid shuffle, both fully parallel.
+
+The order must be TOTAL (include a unique tiebreak column):
+RangePartitioner may split equal keys across partition boundaries,
+which would make ranks of tied rows partition-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__rank_pid"
+_RN = "__rank_rn"
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = 1-based global row number under the total
+    order ``order_by``. Fully distributed; exact."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint pins the range partitioning: RangePartitioner
+    # SAMPLES to pick boundaries, so re-executing the plan (the count
+    # job below + the final job) could place rows differently and
+    # corrupt the offsets. Materializing once makes both jobs read
+    # the same layout (at cluster scale: persist MEMORY_AND_DISK or
+    # write an intermediate table).
+    ranged = (
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r[_PID], r["n"])
+        for r in ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets = []
+    acc = 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = df.sparkSession.createDataFrame(
+        offsets, f"{_PID} int, __rank_off long"
+    )
+    w = Window.partitionBy(_PID).orderBy(*order_by)
+    return (
+        ranged.withColumn(_RN, F.row_number().over(w))
+        .join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, (F.col(_RN) + F.col("__rank_off")).cast("long"))
+        .drop(_PID, _RN, "__rank_off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: list[Column],
+    k: int,
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(k) under a total order, without a global window.
+
+    SQL NTILE's fill rule: base = n div k rows per tile, and the
+    FIRST n mod k tiles take one extra row — reproduced piecewise
+    from the global row number. Needs the total row count — one
+    extra cheap action over data already shuffled."""
+    ranked = global_row_number(df, order_by, out_col="__gn", num_partitions=num_partitions)
+    n = ranked.count()
+    base, rem = divmod(n, k)
+    big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+    rn0 = F.col("__gn") - 1
+    tile = F.when(rn0 < big, (rn0 / (base + 1)).cast("long")).otherwise(
+        rem + ((rn0 - big) / base).cast("long") if base else F.lit(rem - 1)
+    )
+    return ranked.withColumn(out_col, (tile + 1).cast("int")).drop("__gn")

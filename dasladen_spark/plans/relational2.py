@@ -302,18 +302,24 @@ def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE quartiles over exact-decimal spend (global window —
-    note: single-partition sort; at 100 TB use range-partitioned
-    percent_rank instead, kept here for NTILE parity)."""
+    """NTILE quartiles over exact-decimal spend, computed by the
+    DISTRIBUTED global-ranking operator (operators/ranking.py:
+    range-repartition + partition offsets) instead of the
+    single-partition `Window.orderBy` Spark would otherwise plan —
+    same bit-exact result (this oracle proves it), no 100 TB funnel."""
+    from dasladen_spark.operators.ranking import global_ntile
+
     spend = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(_dec("o_totalprice")).cast("decimal(38,4)").alias("total_spend"))
     )
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
-    return spend.select(
-        "o_custkey", "total_spend", F.ntile(4).over(w).alias("quartile")
-    )
+    return global_ntile(
+        spend,
+        [F.col("total_spend").desc(), F.col("o_custkey")],
+        k=4,
+        out_col="quartile",
+    ).select("o_custkey", "total_spend", "quartile")
 
 
 @query(

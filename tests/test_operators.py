@@ -451,3 +451,37 @@ def test_asof_join_broadcast_matches_union_window(spark, sf_dir):
     ka = {(r["user_id"], r["ts"], r["event_id"], r["pv"]) for r in a.collect()}
     kb = {(r["user_id"], r["ts"], r["event_id"], r["pv"]) for r in b.collect()}
     assert ka == kb
+
+
+def test_global_row_number_matches_single_partition_window(spark, sf_dir):
+    """Distributed ranking (range partition + offsets) must equal the
+    single-partition global window exactly, including with ties in
+    the first order column (unique tiebreak makes the order total)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.ranking import global_row_number
+    from dasladen_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    order = [F.col("o_orderpriority"), F.col("o_orderkey")]  # ties in col 1
+    got = {
+        r["o_orderkey"]: r["rn"]
+        for r in global_row_number(o, order, num_partitions=7).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["o_orderkey"]: r["rn"]
+        for r in o.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    # and no single-partition window in the distributed plan
+    plan = (
+        global_row_number(o, order, num_partitions=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
