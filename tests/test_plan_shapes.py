@@ -144,3 +144,44 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("b_lineitem", "b_orders"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A filter on the partition key must become a PartitionFilter
+    (directory pruning before any I/O) — and the pruned scan must
+    read fewer files than the full dataset has."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.session import load_table
+    from dasladen_spark.sinks.partitioned import write_partitioned
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    out = str(tmp_path / "ev_part")
+    write_partitioned(ev, out, "day")
+
+    scan = spark.read.parquet(out).filter(F.col("day") == "2024-01-01")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    m = [seg for seg in plan.split("PartitionFilters: [")[1:]]
+    assert any("day" in seg.split("]")[0] for seg in m), plan
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    import os
+
+    from dasladen_spark.session import load_table
+    from dasladen_spark.sinks.partitioned import compact
+
+    out = str(tmp_path / "frag")
+    # fragment: 64 small files
+    load_table(spark, SF, "orders").repartition(64).write.parquet(out)
+    n_before = sum(
+        1 for _r, _d, fs in os.walk(out) for f in fs if f.endswith(".parquet")
+    )
+    assert n_before == 64
+    rows_before = spark.read.parquet(out).count()
+    n_after = compact(spark, out, target_mb=128)
+    assert n_after < 8
+    assert spark.read.parquet(out).count() == rows_before
