@@ -341,3 +341,38 @@ def test_read_xls_many_distributed_plumbing(spark, tmp_path):
     )
     assert df.rdd.getNumPartitions() >= 1
     assert {(r["id"], r["v"]) for r in df.collect()} == {(0, 0), (1, 10), (2, 20)}
+
+
+def test_read_csv_robust_quarantines_corrupt_rows(spark, tmp_path):
+    from dasladen_spark.sources.csv import quarantine_corrupt, read_csv_robust
+
+    src = tmp_path / "dirty.csv"
+    src.write_text(
+        "id;qty\n"
+        "1;10\n"
+        "2;not_a_number\n"   # type error -> corrupt under typed schema
+        "3;30\n"
+    )
+    df = read_csv_robust(spark, str(src), "id BIGINT, qty BIGINT")
+    q = tmp_path / "quarantine"
+    clean = quarantine_corrupt(df, str(q))
+    assert {(r["id"], r["qty"]) for r in clean.collect()} == {(1, 10), (3, 30)}
+    bad_lines = spark.read.text(str(q)).collect()
+    assert len(bad_lines) == 1 and "not_a_number" in bad_lines[0]["value"]
+
+    # FAILFAST honors the data contract
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_csv_robust(
+            spark, str(src), "id BIGINT, qty BIGINT", mode="FAILFAST"
+        ).collect()
+
+    # DROPMALFORMED silently drops (documented foot-gun). NB: a bare
+    # count() would prune every column and the parser would never
+    # see the malformed value — materialize the columns to observe
+    # the drop (the same trap in production metrics!)
+    dropped = read_csv_robust(
+        spark, str(src), "id BIGINT, qty BIGINT", mode="DROPMALFORMED"
+    )
+    assert len(dropped.select("id", "qty").collect()) == 2
