@@ -485,3 +485,45 @@ def test_global_row_number_matches_single_partition_window(spark, sf_dir):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_quality_rules_single_pass(spark, sf_dir):
+    from dasladen_spark.operators.quality import (
+        check_rules,
+        check_unique,
+        split_valid,
+    )
+    from dasladen_spark.session import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_positive": "l_quantity > 0",
+        "discount_range": "l_discount BETWEEN 0 AND 1",
+        "qty_small": "l_quantity < 10",   # deliberately violated
+    }
+    counts = check_rules(l, rules)
+    assert counts["qty_positive"] == 0
+    assert counts["discount_range"] == 0
+    assert counts["qty_small"] > 0
+
+    clean, bad = split_valid(l, rules)
+    assert clean.count() + bad.count() == l.count()
+    assert bad.filter("array_contains(violated, 'qty_small')").count() == counts["qty_small"]
+
+    # orders PK is unique; lineitem's orderkey alone is not
+    o = load_table(spark, sf_dir, "orders")
+    assert check_unique(o, "o_orderkey").count() == 0
+    assert check_unique(l, "l_orderkey").count() > 0
+
+
+def test_read_parquet_evolving_schema_merge(spark, tmp_path):
+    from dasladen_spark.sources.csv import read_parquet_evolving
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(p + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.parquet(p + "/batch=2")
+    df = read_parquet_evolving(spark, p)
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
