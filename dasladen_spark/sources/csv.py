@@ -82,11 +82,3 @@ def quarantine_corrupt(
         bad.write.mode("overwrite").text(quarantine_path)
     return df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
 
-
-def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
-    """Schema-evolution read: mergeSchema unions the schemas of all
-    files, so rows written before a column existed surface it as
-    NULL. This is an extra footer pass over every file — at 100 TB
-    pin the merged schema in a catalog instead; this reader is for
-    the transition window while old and new writers coexist."""
-    return spark.read.option("mergeSchema", True).parquet(path)

@@ -517,7 +517,7 @@ def test_quality_rules_single_pass(spark, sf_dir):
 
 
 def test_read_parquet_evolving_schema_merge(spark, tmp_path):
-    from dasladen_spark.sources.csv import read_parquet_evolving
+    from dasladen_spark.sources.parquet import read_parquet_evolving
 
     p = str(tmp_path / "evolving")
     spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(p + "/batch=1")
