@@ -55,7 +55,11 @@ _CONVERT_TABLE: dict[str, Any] = {
     "strip": lambda c: F.trim(c),
     "lstrip": lambda c: F.ltrim(c),
     "rstrip": lambda c: F.rtrim(c),
-    "title": lambda c: F.initcap(c),
+    # "title" deliberately falls back: Python str.title() uppercases
+    # after ANY non-alpha ("a1b" -> "A1B") while JVM initcap only
+    # breaks on whitespace — parity beats speed for reference specs.
+    "title": None,
+    "initcap": lambda c: F.initcap(c),  # engine extension: the fast JVM one
     "capitalize": _capitalize,
     "swapcase": None,  # no JVM equivalent → fallback
     "replace": lambda c, a, b: F.replace(c, F.lit(a), F.lit(b)),

@@ -31,13 +31,8 @@ def test_convert_string_methods_match_python(spark, values, method):
     df = spark.createDataFrame([(v,) for v in values], ["x"])
     out = apply_declarative(df, {"convert": [["x", method]]})
     got = [r["x"] for r in out.collect()]
-    if method == "title":
-        # Spark initcap ≠ str.title on words with inner digits/caps:
-        # documented engine deviation — compare initcap semantics
-        want = [" ".join(w[:1].upper() + w[1:].lower() for w in v.split(" ")) for v in values]
-    else:
-        want = [getattr(v, method)() for v in values]
-    assert got == want
+    # includes "title": exact str.title() parity via the Arrow fallback
+    assert got == [getattr(v, method)() for v in values]
 
 
 @settings(
