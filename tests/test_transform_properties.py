@@ -77,3 +77,61 @@ def test_convert_replace_matches_python(spark, values, old, new):
     out = apply_declarative(df, {"convert": [["x", ["replace", old, new]]]})
     got = [r["x"] for r in out.collect()]
     assert got == [v.replace(old, new) for v in values]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1,
+        max_size=10,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 999)),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """Randomized differential test of the union+window as-of join
+    against pandas merge_asof (backward, inclusive) — keys, ties, and
+    no-match cases all drawn by hypothesis. Right-side duplicate
+    (key, ts) pairs are deduped to the max payload so both engines
+    face a deterministic winner."""
+    import pandas as pd
+
+    from dasladen_spark.operators.asof import asof_join
+
+    best = {}
+    for k, ts, payload in right:
+        best[(k, ts)] = max(best.get((k, ts), -1), payload)
+    right_rows = [(k, ts, p) for (k, ts), p in sorted(best.items())]
+
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], ["k", "t", "lid"]
+    )
+    rdf = spark.createDataFrame(right_rows, ["k", "t", "payload"])
+    out = asof_join(
+        ldf, rdf, on="k", left_ts="t", right_ts="t",
+        right_cols={"payload": "pv"}, right_tiebreak="payload",
+    )
+    got = {r["lid"]: r["pv"] for r in out.collect()}
+
+    lpdf = pd.DataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)],
+        columns=["k", "t", "lid"],
+    ).sort_values(["t", "lid"])
+    rpdf = pd.DataFrame(right_rows, columns=["k", "t", "payload"]).sort_values("t")
+    want_df = pd.merge_asof(
+        lpdf, rpdf, on="t", by="k", direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+        for r in want_df.itertuples()
+    }
+    assert got == want
