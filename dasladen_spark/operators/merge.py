@@ -86,3 +86,43 @@ def scd2_apply(
         .drop("__chg_ts")
     )
     return closing.unionByName(chg.select(*closing.columns))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC between two snapshots: one row per changed key with
+    ``change_type`` ∈ {insert, update, delete}. One full-outer join
+    on the key; change detection is a null-safe struct comparison so
+    NULL-valued attributes diff correctly."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__old"),
+    )
+    n = new.select(
+        *keys, F.struct(*[F.col(c) for c in compare_cols]).alias("__new")
+    )
+    cond = [n[k].eqNullSafe(o[f"__ok_{k}"]) for k in keys]
+    joined = n.join(o, cond, "full_outer")
+    key_out = [F.coalesce(n[k], o[f"__ok_{k}"]).alias(k) for k in keys]
+    change = (
+        F.when(o["__old"].isNull(), F.lit("insert"))
+        .when(n["__new"].isNull(), F.lit("delete"))
+        .when(~n["__new"].eqNullSafe(o["__old"]), F.lit("update"))
+    )
+    return (
+        joined.select(
+            *key_out,
+            change.alias("change_type"),
+            n["__new"].alias("new_values"),
+            o["__old"].alias("old_values"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -993,3 +993,88 @@ def q_datetime_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_to_y2k"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
+
+
+@query(
+    "q_cdc_diff",
+    oracle="""
+    WITH new_snap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), old_snap AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN n.o_totalprice IS DISTINCT FROM o.o_totalprice
+                  THEN 'update' END AS change_type
+    FROM new_snap n FULL OUTER JOIN old_snap o USING (o_orderkey)
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+               WHEN n.o_orderkey IS NULL THEN 'delete'
+               WHEN n.o_totalprice IS DISTINCT FROM o.o_totalprice
+                 THEN 'update' END IS NOT NULL
+    """,
+)
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between snapshots (operators/merge.py
+    snapshot_diff): the new snapshot drops every 7th order (deletes)
+    and re-prices every 100th (updates); the oracle recomputes the
+    same diff with a full-outer join."""
+    from dasladen_spark.operators.merge import snapshot_diff
+
+    old = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    new = (
+        old.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return snapshot_diff(old, new, "o_orderkey").select(
+        "o_orderkey", "change_type"
+    )
+
+
+@query(
+    "q_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id AS k, epoch(ts) AS s,
+             epoch(ts) + (event_id % 604800) AS e, event_id
+      FROM events WHERE event_id % 3 = 0
+    )
+    SELECT a.k, a.event_id AS eid_a, b.event_id AS eid_b
+    FROM iv a JOIN iv b
+      ON a.k = b.k AND a.event_id < b.event_id
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping interval pairs via grid binning
+    (operators/interval.py): equi-join on (key, bin) + exact filter,
+    instead of the per-key nested loop the naive predicate join
+    plans. The oracle runs the naive form — identical pairs."""
+    from dasladen_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    iv = ev.select(
+        F.col("user_id").alias("k"),
+        F.unix_timestamp("ts").alias("start"),
+        (F.unix_timestamp("ts") + F.col("event_id") % 604800).alias("end"),
+        "event_id",
+    )
+    out = interval_join(
+        iv.withColumnRenamed("event_id", "eid"),
+        iv.withColumnRenamed("event_id", "eid"),
+        "k",
+        bin_width=86400,
+    )
+    return (
+        out.filter(F.col("eid_a") < F.col("eid_b"))
+        .select("k", "eid_a", "eid_b")
+    )

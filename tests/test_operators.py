@@ -527,3 +527,59 @@ def test_read_parquet_evolving_schema_merge(spark, tmp_path):
     df = read_parquet_evolving(spark, p)
     rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_interval_join_vs_naive(spark, sf_dir):
+    """Binned interval join must equal the naive overlap join exactly
+    (pairs emitted once, closed-interval semantics), on real data:
+    per-user event windows of varying width."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.interval import interval_join
+    from dasladen_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(400)
+    iv = ev.select(
+        F.col("user_id").alias("k"),
+        F.unix_timestamp("ts").alias("start"),
+        (F.unix_timestamp("ts") + (F.col("event_id") % 5000)).alias("end"),
+        "event_id",
+    )
+    a = iv.withColumnRenamed("event_id", "eid")
+    b = iv.withColumnRenamed("event_id", "eid")
+    got = {
+        (r["k"], r["eid_a"], r["eid_b"])
+        for r in interval_join(
+            a, b, "k", bin_width=2000
+        ).filter(F.col("eid_a") < F.col("eid_b")).collect()
+    }
+    naive = (
+        a.select("k", F.col("start").alias("sa"), F.col("end").alias("ea"),
+                 F.col("eid").alias("eid_a"))
+        .join(
+            b.select(F.col("k").alias("k2"), F.col("start").alias("sb"),
+                     F.col("end").alias("eb"), F.col("eid").alias("eid_b")),
+            on=[F.col("k") == F.col("k2"), F.col("eid_a") < F.col("eid_b")],
+        )
+        .filter((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+    )
+    want = {(r["k"], r["eid_a"], r["eid_b"]) for r in naive.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_snapshot_diff_cdc(spark):
+    from dasladen_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None)], ["id", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40), (3, "c", 5)], ["id", "s", "v"]
+    )
+    got = {
+        r["id"]: r["change_type"] for r in snapshot_diff(old, new, "id").collect()
+    }
+    # id=1 unchanged (absent), 2 update, 3 NULL→5 update, 4 insert, no deletes
+    assert got == {2: "update", 3: "update", 4: "insert"}
+    deleted = snapshot_diff(new, old, "id")
+    assert {r["id"]: r["change_type"] for r in deleted.collect()}[4] == "delete"
