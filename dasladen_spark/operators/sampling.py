@@ -46,3 +46,23 @@ def stratified_sample(
     for value, f in fractions.items():
         frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
     return df.filter(_hash_frac(F.col(id_col), salt) < frac)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    target_fraction: float,
+    id_col: str,
+    salt: int = 42,
+) -> DataFrame:
+    """Importance sampling: keep probability ∝ weight, scaled so the
+    expected overall rate is ``target_fraction``. Weights are
+    normalized by their mean (one cheap aggregate); rows with
+    weight ≥ mean/target keep with probability 1. Same hash-based,
+    repartition-proof membership as the uniform samplers."""
+    stats = df.agg(F.avg(F.col(weight_col)).alias("__mean")).collect()[0]
+    mean_w = float(stats["__mean"]) or 1.0
+    p = (
+        F.col(weight_col) / F.lit(mean_w) * F.lit(float(target_fraction))
+    )
+    return df.filter(_hash_frac(F.col(id_col), salt) < p)

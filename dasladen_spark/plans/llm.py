@@ -493,3 +493,28 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("tok"))
         .limit(100)
     )
+
+
+@query("dedup_minhash_survivors")  # signature op upstream — rows-only
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE fuzzy-dedup pipeline: MinHash-LSH candidate
+    pairs → connected components → one survivor (min doc_id) per
+    near-dup cluster → the kept-document list. What a training-data
+    build actually materializes; every stage is the at-scale shape
+    (banded LSH shuffle, join+groupBy label propagation, anti join)."""
+    from dasladen_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16, shingle_len=5,
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(F.col("member") != F.col("survivor")).select(
+        F.col("member").alias("doc_id")
+    )
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

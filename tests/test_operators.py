@@ -583,3 +583,27 @@ def test_snapshot_diff_cdc(spark):
     assert got == {2: "update", 3: "update", 4: "insert"}
     deleted = snapshot_diff(new, old, "id")
     assert {r["id"]: r["change_type"] for r in deleted.collect()}[4] == "delete"
+
+
+def test_weighted_sample_respects_weights(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.sampling import weighted_sample
+    from dasladen_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "w", (F.col("doc_id") % 10 == 0).cast("double") * 9 + 1
+    )  # every 10th doc weighted 10x
+    out = weighted_sample(d, "w", 0.3, "doc_id")
+    n, n_heavy = d.count(), d.filter("w > 1").count()
+    k = out.count()
+    k_heavy = out.filter("w > 1").count()
+    assert 0.2 * n < k < 0.45 * n               # overall rate ~0.3
+    heavy_rate = k_heavy / n_heavy
+    light_rate = (k - k_heavy) / (n - n_heavy)
+    assert heavy_rate > 3 * light_rate          # weights actually matter
+    # deterministic across re-sharding
+    again = weighted_sample(d.repartition(13), "w", 0.3, "doc_id")
+    assert {r["doc_id"] for r in again.collect()} == {
+        r["doc_id"] for r in out.collect()
+    }
