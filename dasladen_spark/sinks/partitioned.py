@@ -78,3 +78,25 @@ def compact(
     for root, _dirs, files in os.walk(path):
         written += sum(1 for f in files if f.endswith(".parquet"))
     return written
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str] | str,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-sorted parquet export: range-repartition on the sort
+    key, sort within each partition, write — file i's max key ≤
+    file i+1's min key, with NO single-task global sort. Downstream
+    readers get sorted part files (merge-readable, binary-searchable
+    row groups, tight min/max column stats for pruning)."""
+    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -185,3 +185,38 @@ def test_compact_reduces_file_count(spark, tmp_path):
     n_after = compact(spark, out, target_mb=128)
     assert n_after < 8
     assert spark.read.parquet(out).count() == rows_before
+
+
+def test_write_sorted_produces_globally_ordered_files(spark, tmp_path):
+    """Part files from write_sorted must tile the keyspace: each
+    file internally sorted AND file ranges non-overlapping — global
+    order without a single-task sort."""
+    import os
+
+    from dasladen_spark.session import load_table
+    from dasladen_spark.sinks.partitioned import write_sorted
+
+    out = str(tmp_path / "sorted")
+    write_sorted(
+        load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice"),
+        out,
+        "o_totalprice",
+        num_files=8,
+    )
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) >= 2
+    ranges = []
+    total = 0
+    for f in files:
+        vals = [r["o_totalprice"] for r in spark.read.parquet(f).collect()]
+        if not vals:
+            continue
+        assert vals == sorted(vals)          # sorted within file
+        ranges.append((min(vals), max(vals)))
+        total += len(vals)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2                    # files tile the keyspace
+    assert total == load_table(spark, SF, "orders").count()

@@ -135,3 +135,60 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 8), st.text(alphabet="ab", max_size=2),
+                  st.integers(1, 5)),
+        min_size=0,
+        max_size=8,
+    ),
+    updates=st.lists(
+        st.tuples(st.integers(0, 8), st.text(alphabet="cd", max_size=2),
+                  st.integers(1, 5)),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_merge_upsert_properties(spark, base, updates):
+    """Invariants for any base/updates batch: (1) result keys =
+    union of input keys, exactly once each; (2) each key's surviving
+    row is the max-version one, updates winning ties; (3) replaying
+    the same updates is a no-op (idempotence)."""
+    from dasladen_spark.operators.merge import merge_upsert
+
+    def dedupe(rows, prefer_last):
+        out = {}
+        for k, s, v in rows:
+            cur = out.get(k)
+            if cur is None or v > cur[1] or (prefer_last and v == cur[1]):
+                out[k] = (s, v)
+        return out
+
+    b = dedupe(base, prefer_last=True)
+    u = dedupe(updates, prefer_last=True)
+    schema = "k int, s string, v int"
+    bdf = spark.createDataFrame([(k, s, v) for k, (s, v) in b.items()], schema)
+    udf = spark.createDataFrame([(k, s, v) for k, (s, v) in u.items()], schema)
+
+    merged = merge_upsert(bdf, udf, "k", version_col="v")
+    got = {r["k"]: (r["s"], r["v"]) for r in merged.collect()}
+    assert set(got) == set(b) | set(u)
+
+    want = {}
+    for k in set(b) | set(u):
+        bb, uu = b.get(k), u.get(k)
+        if bb is None or (uu is not None and uu[1] >= bb[1]):
+            want[k] = uu
+        else:
+            want[k] = bb
+    assert got == want
+
+    again = merge_upsert(merged, udf, "k", version_col="v")
+    assert {r["k"]: (r["s"], r["v"]) for r in again.collect()} == got
