@@ -220,3 +220,39 @@ def test_incremental_matview_equals_batch_recompute(spark, tmp_path):
     )
     want = {r["k"]: (r["n"], r["total"]) for r in batch.collect()}
     assert got == want == {"a": (3, 7), "b": (1, 10), "c": (1, 100)}
+
+
+def test_incremental_topk_equals_batch_recompute(spark, tmp_path, sf_dir):
+    """Corpus vectors arriving in two micro-batches must yield the
+    same per-query top-k as one batch recompute over everything."""
+    from dasladen_spark.operators.similarity import cosine_topk
+    from dasladen_spark.session import load_table
+    from dasladen_spark.streaming.incremental_topk import run_incremental_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    # split the corpus into two parquet drop files
+    src = tmp_path / "vecs"
+    emb.filter("vec_id % 2 = 0").write.parquet(str(src / "p1"))
+    run2 = emb.filter("vec_id % 2 = 1")
+
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    snap, ck = str(tmp_path / "topk"), str(tmp_path / "ck")
+    run_incremental_topk(stream(), queries, snap, ck, k=5)
+    run2.write.parquet(str(src / "p2"))
+    run_incremental_topk(stream(), queries, snap, ck, k=5)
+
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in spark.read.parquet(snap).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    assert got == want
