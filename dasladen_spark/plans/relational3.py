@@ -1078,3 +1078,187 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.filter(F.col("eid_a") < F.col("eid_b"))
         .select("k", "eid_a", "eid_b")
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))
+                AS DECIMAL(38,4)) AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_8')
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))
+                AS DOUBLE) >
+      (SELECT 0.0001 * CAST(SUM(CAST(l_extendedprice * l_quantity
+                                     AS DECIMAL(18,4))) AS DOUBLE)
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_8'))
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value held by a nation
+    group's suppliers, kept only when it exceeds a fraction of the
+    group-wide total (value = extendedprice*quantity standing in for
+    ps_supplycost*ps_availqty — no partsupp in the fixture).
+
+    Plan: nation-filtered supplier keys broadcast as a semi-join
+    filter on the fact scan; one shuffle for the per-part aggregate.
+    The scalar total reuses the same filtered scan (Spark's
+    ReusedExchange picks it up when AQE materializes the semi-join)
+    and broadcasts as a 1-row threshold. Value sums are decimal for
+    partition-order independence; the threshold compare happens in
+    double on both sides with identical multiplication order."""
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_3", "NATION_8")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    val = (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")
+    filtered = l.join(
+        F.broadcast(s), l.l_suppkey == F.col("s_suppkey"), "left_semi"
+    )
+    per_part = filtered.groupBy("l_partkey").agg(
+        F.sum(val).cast("decimal(38,4)").alias("part_value")
+    )
+    thresh = filtered.agg(
+        (F.lit(0.0001) * F.sum(val).cast("double")).alias("__thresh")
+    )
+    return (
+        per_part.join(F.broadcast(thresh))
+        .filter(F.col("part_value").cast("double") > F.col("__thresh"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "q12_late_lines_by_status",
+    oracle="""
+    SELECT l_linestatus AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 1000 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY ship_class
+    """,
+)
+def q12_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late shipments split by priority class, with
+    l_linestatus standing in for l_shipmode and "shipped ≥1000 days
+    after ordering" for the commitdate/receiptdate lateness test (the
+    fixture has neither column).
+
+    Plan: the shipdate range prunes the fact scan before the join;
+    lineitem⋈orders is the one big shuffle (both sides hash on
+    orderkey); the conditional counts are map-side-combined longs —
+    exact, no decimal dance needed. The theta lateness predicate is
+    evaluated post-join, which is the only place it can run."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 1000 DAYS")
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate >= o_orderdate + INTERVAL 1000 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >= o_orderdate + INTERVAL 1000 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 50
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the *sole* late supplier on
+    a finished multi-supplier order ("late" = shipped ≥1000 days after
+    ordering, standing in for receiptdate>commitdate).
+
+    Plan: both EXISTS become hash joins on orderkey — the positive
+    one a LEFT SEMI, the negative a LEFT ANTI — each with the
+    suppkey-inequality as a residual post-probe condition, so no
+    nested loop appears. The late-lines build for the anti side
+    re-derives o_orderdate by joining lineitem to the F-status orders
+    once (correlated l3 only ever probes l1's own order, whose status
+    is F). Counting is a long — exact; final top-k is
+    numwait-desc with the unique s_name tiebreak."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late_gap = F.expr("INTERVAL 1000 DAYS")
+    l1 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + late_gap)
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = l.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l1 = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("k2"))
+        & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    late_others = (
+        l.join(
+            o.select(
+                F.col("o_orderkey").alias("k3"),
+                F.col("o_orderdate").alias("d3"),
+            ),
+            F.col("l_orderkey") == F.col("k3"),
+        )
+        .filter(F.col("l_shipdate") >= F.col("d3") + late_gap)
+        .select("k3", F.col("l_suppkey").alias("s3"))
+    )
+    l1 = l1.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("k3"))
+        & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        l1.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(50)
+    )
