@@ -85,3 +85,57 @@ def global_ntile(
         rem + ((rn0 - big) / base).cast("long") if base else F.lit(rem - 1)
     )
     return ranked.withColumn(out_col, (tile + 1).cast("int")).drop("__gn")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out_col: str = "prefix_sum",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = running total of ``value_col`` under the
+    total order ``order_by`` — the distributed form of
+    ``SUM(v) OVER (ORDER BY ...)``, which Spark would otherwise plan
+    as a single-partition window.
+
+    Same two-job shape as :func:`global_row_number`: range-shuffle on
+    the order key, per-partition local prefix sums, plus a broadcast
+    of per-partition totals turned into start offsets (one row per
+    partition — driver-side cumulative sum is O(partitions), never
+    O(rows)). ``exclusive=True`` yields the sum of *strictly
+    preceding* rows (0 for the first row) — the form sequence packing
+    and offset assignment need."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = sorted(
+        (r[_PID], r["s"])
+        for r in ranged.groupBy(_PID)
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+    )
+    offsets = []
+    acc = 0
+    for pid, s in sums:
+        offsets.append((pid, acc))
+        acc += s or 0
+    off_df = df.sparkSession.createDataFrame(
+        offsets, f"{_PID} int, __psum_off long"
+    )
+    upper = -1 if exclusive else 0
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    local = F.coalesce(F.sum(value_col).over(w).cast("long"), F.lit(0))
+    return (
+        ranged.join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, local + F.col("__psum_off"))
+        .drop(_PID, "__psum_off")
+    )

@@ -1,0 +1,222 @@
+"""Relational query library, part 4: distributed statistics, time
+spines, and training-sequence packing.
+
+Same engine stance as relational.py: the reference delegates all
+query power to its backing RDBMS (/root/reference/dasladen/
+task.py:94-107,180); Spark SQL is that engine here, and every shape
+below is written for the 100 TB plan first (exact decimal component
+sums instead of streaming moment aggregates, range-partitioned
+prefix sums instead of single-partition windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dasladen_spark.functions.text import token_count
+from dasladen_spark.operators.ranking import global_prefix_sum
+from dasladen_spark.plans.registry import query
+from dasladen_spark.plans.relational import _dec, _disc_price
+from dasladen_spark.session import load_table as _t
+
+
+@query(
+    "q_exact_corr",
+    oracle="""
+    WITH c AS (
+      -- decimal->double via VARCHAR: DuckDB's direct decimal cast is
+      -- not correctly rounded past 2^53; text parse is (matches
+      -- Spark's correctly-rounded BigDecimal.doubleValue).
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                  AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                  AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4)))
+                  AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                  AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice
+                  AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_price,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price
+    FROM c
+    """,
+)
+def q_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Pearson correlation + sample covariance per
+    group, from decimal component sums (n, Σx, Σy, Σx², Σy², Σxy).
+
+    Spark's built-in ``corr``/``covar_samp`` stream a merge-order-
+    dependent moment state, so their low bits vary run-to-run with
+    partitioning; component sums in DECIMAL are associative and
+    therefore partition-order independent — one partial+final
+    aggregate (single shuffle of 6 numbers per group), then identical
+    IEEE double arithmetic on both engines. This is also the 100 TB
+    shape: the six sums are map-side combined, nothing else moves."""
+    l = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    c = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sx"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(18,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(18,4)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(18,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return c.select(
+        "l_returnflag",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "q_gapfill_monthly",
+    oracle="""
+    WITH months AS (
+      SELECT unnest(generate_series(
+        (SELECT date_trunc('month', MIN(l_shipdate)) FROM lineitem),
+        (SELECT date_trunc('month', MAX(l_shipdate)) FROM lineitem),
+        INTERVAL 1 MONTH)) AS month
+    ), rev AS (
+      SELECT date_trunc('month', l_shipdate) AS month,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+      FROM lineitem
+      WHERE l_quantity > 49 AND l_returnflag = 'R'
+      GROUP BY 1
+    )
+    SELECT m.month AS month,
+           COALESCE(r.revenue, CAST(0 AS DECIMAL(38,6))) AS revenue,
+           CASE WHEN r.month IS NULL THEN 1 ELSE 0 END AS gap_filled
+    FROM months m LEFT JOIN rev r ON m.month = r.month
+    """,
+)
+def q_gapfill_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap fill: a complete month calendar generated from
+    the data's own bounds (`sequence` + `explode` on a 1-row
+    aggregate), left-joined to a sparse monthly aggregate with
+    zero-fill — the canonical dense-time-series report.
+
+    The spine is O(months) rows built driver-free; it broadcasts to
+    the join, so the only real shuffle is the revenue aggregate. At
+    100 TB the spine side is still tiny (a century is 1,200 rows) —
+    the plan is scale-invariant."""
+    l = _t(spark, sf_dir, "lineitem")
+    bounds = l.agg(
+        F.date_trunc("month", F.min("l_shipdate")).alias("lo"),
+        F.date_trunc("month", F.max("l_shipdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 MONTH"))
+        ).alias("month")
+    )
+    rev = (
+        l.filter((F.col("l_quantity") > 49) & (F.col("l_returnflag") == "R"))
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("rmonth"))
+        .agg(F.sum(_disc_price()).cast("decimal(38,6)").alias("revenue"))
+    )
+    return (
+        spine.join(rev, F.col("month") == F.col("rmonth"), "left")
+        .select(
+            "month",
+            F.coalesce(
+                F.col("revenue"), F.lit(0).cast("decimal(38,6)")
+            ).alias("revenue"),
+            F.when(F.col("rmonth").isNull(), 1).otherwise(0).alias("gap_filled"),
+        )
+    )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+    SELECT user_bucket, event_type AS modal_type, cnt FROM (
+      SELECT user_id % 50 AS user_bucket, event_type, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 50
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY 1, 2
+    ) t WHERE rn = 1
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a deterministic
+    tiebreak — the argmax-of-count idiom. Two-level: count per
+    (group, value), then a row_number window on the already-reduced
+    counts. The window input is |groups|×|distinct values| rows, not
+    the raw data, so the expensive shuffle happens on reduced data —
+    the shape that survives 100 TB (never window the raw events)."""
+    e = _t(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(
+            (F.col("user_id") % 50).alias("user_bucket"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_bucket").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_bucket", F.col("event_type").alias("modal_type"), "cnt")
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prior
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(COALESCE(prior, 0) / 2048) AS BIGINT) AS pack_id
+    FROM cum
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign documents (in doc_id order)
+    to ~2048-token training sequences by exclusive running token
+    count — the contiguous-fill packing used when batching a corpus
+    into fixed-length LM training rows.
+
+    The running total is NOT a global window (single-partition choke
+    point): operators/ranking.global_prefix_sum range-partitions on
+    doc_id, prefix-sums within partitions, and adds per-partition
+    start offsets (one broadcast row per partition). Both jobs are
+    fully parallel — the same plan packs a trillion tokens."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    ps = global_prefix_sum(
+        toks, [F.col("doc_id")], "n_tokens", out_col="__prior", exclusive=True
+    )
+    return ps.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("__prior") / F.lit(2048)).cast("bigint").alias("pack_id"),
+    )

@@ -487,6 +487,48 @@ def test_global_row_number_matches_single_partition_window(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_global_prefix_sum_matches_single_partition_window(spark, sf_dir):
+    """Distributed running total (range partition + local prefix sums
+    + broadcast offsets) must equal SUM() OVER (ORDER BY ...) exactly,
+    in both inclusive and exclusive forms, with no single-partition
+    exchange in the plan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.ranking import global_prefix_sum
+    from dasladen_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o = o.withColumn("v", (F.col("o_totalprice") * 100).cast("long"))
+    order = [F.col("o_orderpriority"), F.col("o_orderkey")]  # ties in col 1
+    for exclusive, upper in ((False, 0), (True, -1)):
+        dist = global_prefix_sum(
+            o, order, "v", out_col="ps", exclusive=exclusive,
+            num_partitions=7,
+        )
+        got = {r["o_orderkey"]: r["ps"] for r in dist.collect()}
+        w = (
+            Window.orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, upper)
+        )
+        want = {
+            r["o_orderkey"]: r["ps"]
+            for r in o.withColumn(
+                "ps", F.coalesce(F.sum("v").over(w), F.lit(0))
+            ).collect()
+        }
+        assert got == want, f"exclusive={exclusive}"
+    plan = (
+        global_prefix_sum(o, order, "v", num_partitions=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+
+
 def test_quality_rules_single_pass(spark, sf_dir):
     from dasladen_spark.operators.quality import (
         check_rules,
