@@ -35,6 +35,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality",
     "text_corpus_cleanup",
+    "pack_sequences",
+    "train_shuffle_shards",
+    "doc_chunks",
+    "decontaminate_ngrams",
 ]
 
 

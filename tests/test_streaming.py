@@ -256,3 +256,56 @@ def test_incremental_topk_equals_batch_recompute(spark, tmp_path, sf_dir):
         for r in cosine_topk(queries, emb, k=5).collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (views x purchases
+    within 15 min) must produce exactly the batch join's inner rows."""
+    from dasladen_spark.streaming.join import interval_join
+
+    vdir, pdir = tmp_path / "views", tmp_path / "purch"
+    vdir.mkdir(), pdir.mkdir()
+    (vdir / "v.csv").write_text(
+        "user_id;vts;page\n"
+        "1;2024-01-01 00:00:00;home\n"
+        "1;2024-01-01 00:30:00;item\n"
+        "2;2024-01-01 00:05:00;item\n"
+        "3;2024-01-01 00:10:00;home\n"
+    )
+    (pdir / "p.csv").write_text(
+        "user_id;pts;amount\n"
+        "1;2024-01-01 00:10:00;5.0\n"  # matches 00:00 view only
+        "1;2024-01-01 00:31:00;7.0\n"  # matches 00:30 view only
+        "2;2024-01-01 01:00:00;9.0\n"  # outside 15 min -> no match
+        "4;2024-01-01 00:10:00;1.0\n"  # no view for user 4
+    )
+    vschema = "user_id BIGINT, vts TIMESTAMP, page STRING"
+    pschema = "user_id BIGINT, pts TIMESTAMP, amount DOUBLE"
+
+    def src(schema, d, streaming):
+        rd = spark.readStream if streaming else spark.read
+        return (
+            rd.schema(schema).option("sep", ";").option("header", True)
+            .csv(str(d))
+        )
+
+    sjoin = interval_join(
+        src(vschema, vdir, True), src(pschema, pdir, True),
+        key="user_id", left_ts="vts", right_ts="pts",
+    )
+    assert sjoin.isStreaming
+    got = {
+        (r["user_id"], str(r["vts"]), str(r["pts"]), r["amount"])
+        for r in _drain_to_memory(spark, sjoin, "ssj_t").collect()
+    }
+    bjoin = interval_join(
+        src(vschema, vdir, False), src(pschema, pdir, False),
+        key="user_id", left_ts="vts", right_ts="pts",
+    )
+    want = {
+        (r["user_id"], str(r["vts"]), str(r["pts"]), r["amount"])
+        for r in bjoin.collect()
+    }
+    assert got == want
+    assert ("1", "2024-01-01 00:00:00", "2024-01-01 00:31:00", 7.0) not in got
+    assert len(got) == 2
