@@ -105,6 +105,17 @@ def _read_source(ctx: TaskContext, task: dict) -> DataFrame | None:
         )
     if kind == "xls":
         return read_xls(ctx.spark, _src_path(ctx, src), sheet=src.get("sheet"))
+    if kind == "json":
+        # JSON-lines by default (the splittable, scale-friendly form);
+        # multiline=true opts into whole-file parsing for pretty JSON.
+        rd = ctx.spark.read
+        if src.get("schema"):
+            rd = rd.schema(src["schema"])
+        if src.get("multiline"):
+            rd = rd.option("multiLine", "true")
+        return rd.json(_src_path(ctx, src))
+    if kind == "parquet":
+        return ctx.spark.read.parquet(_src_path(ctx, src))
     raise ValueError(f"unknown source kind {kind!r}")
 
 
@@ -129,6 +140,16 @@ def _write_sink(ctx: TaskContext, task: dict, df: DataFrame) -> None:
             truncate=bool(tgt.get("truncate", False)),
             schema=tgt.get("schema"),
         )
+    elif kind == "json":
+        (
+            df.write.mode("overwrite" if tgt.get("truncate") else "append")
+            .json(_tgt_path(ctx, tgt))
+        )
+    elif kind == "parquet":
+        w = df.write.mode("overwrite" if tgt.get("truncate") else "append")
+        if tgt.get("partition_by"):
+            w = w.partitionBy(*tgt["partition_by"])
+        w.parquet(_tgt_path(ctx, tgt))
     else:
         raise ValueError(f"unknown sink kind {kind!r}")
 
@@ -276,3 +297,11 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "custom": run_custom,
     "nop": run_nop,
 }
+
+# Beyond the reference's seven ETL shapes: the full source×sink matrix
+# over the Spark-native formats (JSON-lines and parquet are what a
+# lakehouse pipeline actually moves; both splittable and columnar/
+# row-streamed at any scale).
+for _s in ("csv", "db", "xml", "xls", "json", "parquet"):
+    for _t in ("csv", "db", "json", "parquet"):
+        TASK_TYPES.setdefault(f"{_s}-{_t}", run_etl)

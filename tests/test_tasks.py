@@ -376,3 +376,39 @@ def test_read_csv_robust_quarantines_corrupt_rows(spark, tmp_path):
         spark, str(src), "id BIGINT, qty BIGINT", mode="DROPMALFORMED"
     )
     assert len(dropped.select("id", "qty").collect()) == 2
+
+
+def test_json_parquet_csv_matrix(spark, workdir):
+    """json-parquet then parquet-csv: the Spark-native format matrix
+    beyond the reference's seven shapes, one lazy plan per task."""
+    with open(workdir / "input" / "src.json", "w", encoding="utf-8") as f:
+        for i, name in [(1, "Alpha"), (2, "Beta"), (3, "Gamma")]:
+            f.write(json.dumps({"id": i, "name": name, "qty": i * 10}) + "\n")
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "j2p",
+                    "type": "json-parquet",
+                    "source": {
+                        "file": "src.json",
+                        "schema": "id BIGINT, name STRING, qty BIGINT",
+                    },
+                    "target": {"file": "mid.parquet", "truncate": True},
+                    "transform": {"filter": "{qty} > 10"},
+                },
+                {
+                    "name": "p2c",
+                    "type": "parquet-csv",
+                    "source": {"file": "mid.parquet", "folder": str(workdir / "output")},
+                    "target": {"file": "out.csv", "truncate": True},
+                    "transform": {"convert": [["name", "upper"]]},
+                },
+            ]
+        },
+    )
+    out = (workdir / "output" / "out.csv").read_text().strip().splitlines()
+    assert out[0] == "id;name;qty"
+    assert set(out[1:]) == {"2;BETA;20", "3;GAMMA;30"}
