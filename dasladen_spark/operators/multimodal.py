@@ -198,3 +198,120 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+AUDIO_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("seg_idx", IntegerType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("segment", BinaryType()),
+    ]
+)
+
+#: the fake codec's fixed byte rate (bytes per millisecond of audio)
+_BYTES_PER_MS = 2
+
+
+def probe_audio(payload: bytes) -> dict:
+    """STUB — audio codecs (torchaudio/soundfile/ffprobe) are not in
+    this container. The deterministic fake derives sample rate /
+    channels / duration from the bytes so the distributed plumbing is
+    testable; real deployments parse the container header here."""
+    n = len(payload)
+    lead = payload[0] if n else 0
+    return {
+        "sample_rate": 8000 * (1 + lead % 3),  # 8/16/24 kHz
+        "n_channels": 1 + lead % 2,
+        "duration_ms": n // _BYTES_PER_MS,
+    }
+
+
+def audio_metadata(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Typed audio metadata extraction — one mapInPandas probe stage,
+    payload dropped on output (carry metadata, not bytes)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                probe_audio(bytes(p) if p is not None else b"")
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sample_rate": pd.Series(
+                        [m["sample_rate"] for m in metas], dtype="int32"
+                    ),
+                    "n_channels": pd.Series(
+                        [m["n_channels"] for m in metas], dtype="int32"
+                    ),
+                    "duration_ms": pd.Series(
+                        [m["duration_ms"] for m in metas], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+def segment_audio(
+    df: DataFrame,
+    segment_ms: int = 1000,
+    overlap_ms: int = 200,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Duration-windowed audio segmentation (the ASR/pretraining prep
+    step): each clip fans out to overlapping fixed-length segments
+    with start/end timestamps. STUB slicing at the fake codec's byte
+    rate — real deployments cut PCM frames — but the Spark contract
+    is real: fan-out happens inside one mapInPandas stage at scan
+    parallelism, per-task memory bounded by the input partition, no
+    driver collection, segments inherit the scan's partitioning for
+    whatever consumes them downstream."""
+    if overlap_ms >= segment_ms:
+        raise ValueError("overlap_ms must be < segment_ms")
+    step = segment_ms - overlap_ms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, ends, segs = [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p) if p is not None else b""
+                duration = len(raw) // _BYTES_PER_MS
+                start, i = 0, 0
+                while start < duration or i == 0:
+                    end = min(start + segment_ms, duration)
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    starts.append(start)
+                    ends.append(end)
+                    segs.append(
+                        raw[start * _BYTES_PER_MS : end * _BYTES_PER_MS]
+                    )
+                    if end >= duration:
+                        break
+                    start, i = start + step, i + 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "seg_idx": pd.Series(idxs, dtype="int32"),
+                    "start_ms": pd.Series(starts, dtype="int64"),
+                    "end_ms": pd.Series(ends, dtype="int64"),
+                    "segment": segs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_SEGMENT_SCHEMA)

@@ -220,3 +220,87 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(F.col("__prior") / F.lit(2048)).cast("bigint").alias("pack_id"),
     )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: each event
+    opens a validity interval that closes when the key's next event
+    arrives; the last interval per key is current. The window is
+    PARTITIONED by the key (with a unique tiebreak for a total
+    order), so every key's history builds independently — one hash
+    shuffle on user_id, fully parallel at any scale, unlike a global
+    ordering."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@query(
+    "q_rolling_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), tgt AS (
+      SELECT CAST(unnest(generate_series(
+               day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS wday,
+             user_id
+      FROM du
+    ), counts AS (
+      SELECT wday, COUNT(DISTINCT user_id) AS rolling_7d_users
+      FROM tgt GROUP BY wday
+    )
+    SELECT CAST(c.wday AS TIMESTAMP) AS day, c.rolling_7d_users
+    FROM counts c JOIN (SELECT DISTINCT day FROM du) obs ON c.wday = obs.day
+    """,
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling distinct users per day — the windowed
+    COUNT(DISTINCT) SQL windows can't express.
+
+    Scale shape: instead of a range self-join (quadratic in days) or
+    a per-day rescan, each distinct (day, user) pair is EXPLODED to
+    the ≤7 window-end days it contributes to, then one hash aggregate
+    counts distinct users per window — the contribute-forward trick.
+    Cardinality is bounded by 7×|distinct day-user pairs|, the
+    distinct runs first (map-side combined), and both shuffles key on
+    day/user — no skew, no broadcast of the fact side, no windows."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    tgt = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+        "user_id",
+    )
+    counts = tgt.groupBy("wday").agg(
+        F.count_distinct("user_id").alias("rolling_7d_users")
+    )
+    obs = du.select("day").distinct()
+    return counts.join(
+        obs, counts["wday"] == obs["day"], "inner"
+    ).select(
+        F.col("wday").cast("timestamp").alias("day"), "rolling_7d_users"
+    )

@@ -649,3 +649,49 @@ def test_weighted_sample_respects_weights(spark, sf_dir):
     assert {r["doc_id"] for r in again.collect()} == {
         r["doc_id"] for r in out.collect()
     }
+
+
+def test_audio_metadata_and_segmentation(spark, sf_dir):
+    """Audio plumbing: metadata probe schema, and segmentation
+    invariants — segments tile each clip with the configured overlap,
+    cover the full duration, and reassemble to the original bytes."""
+    from dasladen_spark.operators.multimodal import (
+        _BYTES_PER_MS,
+        audio_metadata,
+        segment_audio,
+        with_payload,
+    )
+    from dasladen_spark.session import load_table
+
+    d = with_payload(
+        load_table(spark, sf_dir, "documents").limit(20)
+    ).select("doc_id", "payload")
+    meta = {r["doc_id"]: r.asDict() for r in audio_metadata(d).collect()}
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in d.collect()}
+    assert set(meta) == set(payloads)
+    for i, m in meta.items():
+        assert m["duration_ms"] == len(payloads[i]) // _BYTES_PER_MS
+        assert m["sample_rate"] in (8000, 16000, 24000)
+
+    segs = segment_audio(d, segment_ms=100, overlap_ms=25)
+    rows = sorted(
+        (r["doc_id"], r["seg_idx"], r["start_ms"], r["end_ms"], bytes(r["segment"]))
+        for r in segs.collect()
+    )
+    by_doc = {}
+    for doc_id, idx, start, end, seg in rows:
+        by_doc.setdefault(doc_id, []).append((idx, start, end, seg))
+    assert set(by_doc) == set(payloads)
+    for doc_id, ss in by_doc.items():
+        dur = meta[doc_id]["duration_ms"]
+        assert [s[0] for s in ss] == list(range(len(ss)))
+        assert ss[0][1] == 0 and ss[-1][2] == dur
+        for (_, s1, e1, seg), (_, s2, _, _) in zip(ss, ss[1:]):
+            assert s2 == s1 + 75  # stride = segment - overlap
+            assert e1 == s1 + 100
+        # non-overlapped reassembly equals the original byte stream
+        joined = b"".join(
+            seg[(25 * _BYTES_PER_MS if i else 0):]
+            for i, (_, _, _, seg) in enumerate(ss)
+        )
+        assert joined == payloads[doc_id][: dur * _BYTES_PER_MS]

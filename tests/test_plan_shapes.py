@@ -220,3 +220,31 @@ def test_write_sorted_produces_globally_ordered_files(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2                    # files tile the keyspace
     assert total == load_table(spark, SF, "orders").count()
+
+
+def test_decontaminate_broadcasts_benchmark_ngrams(spark):
+    """The benchmark n-gram set must broadcast — the training side of
+    a 100 TB corpus never shuffles for the contamination probe."""
+    plan = plan_of(spark, "decontaminate_ngrams")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["doc_chunks", "text_repetition", "pii_redact"]
+)
+def test_narrow_llm_transforms_have_no_shuffle(spark, name):
+    """Chunking / repetition flags / redaction are pure map stages:
+    any Exchange would mean a scale-breaking accidental shuffle."""
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["train_shuffle_shards", "pack_sequences"]
+)
+def test_global_order_queries_avoid_single_partition(spark, name):
+    """Global shard order / prefix sums must come from the range-
+    partitioned ranking operators, never a one-task global window."""
+    plan = plan_of(spark, name)
+    assert "SinglePartition" not in plan, plan
