@@ -248,3 +248,49 @@ def test_global_order_queries_avoid_single_partition(spark, name):
     partitioned ranking operators, never a one-task global window."""
     plan = plan_of(spark, name)
     assert "SinglePartition" not in plan, plan
+
+
+# Queries where a "red-flag" plan node is the *intended* shape: the
+# offending side is provably tiny (a scalar aggregate row, a broadcast
+# query set, a month spine) or the op is definitionally cartesian.
+_EXPECTED_FLAGS = {
+    "q_cross_join": {"cartesian", "bnlj"},  # definitionally cartesian
+    # brute-force ANN: tiny query set broadcast against the corpus
+    "ann_cosine_topk": {"bnlj"},
+    "dedup_embedding_cosine": {"bnlj"},
+    # scalar-subquery thresholds: 1-row aggregate broadcast-compared
+    "q11_important_stock": {"bnlj", "single-partition"},
+    "q22_idle_customers": {"bnlj", "single-partition"},
+    "q_funnel": {"bnlj", "single-partition"},
+    # global scalar aggregates: only partial sums cross the exchange
+    "q6_forecast_revenue": {"single-partition"},
+    "q14_promo_revenue": {"single-partition"},
+    "q15_top_supplier": {"single-partition"},
+    "q17_small_qty_revenue": {"single-partition"},
+    "q19_or_predicates": {"single-partition"},
+    "q_union_all_counts": {"single-partition"},
+    # 1-row min/max bounds feeding the month spine
+    "q_gapfill_monthly": {"single-partition"},
+}
+
+
+def test_no_query_has_unexpected_scale_red_flags(spark):
+    """Sweep EVERY registered query's physical plan: cartesian
+    products, nested-loop joins, and single-partition exchanges are
+    only allowed where the whitelist documents why the tiny side
+    makes them the right plan. A new query accidentally windowing
+    the whole input through one task fails here, not at 100 TB."""
+    bad = {}
+    for name, fn in sorted(QUERIES.items()):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        flags = set()
+        if "CartesianProduct" in plan:
+            flags.add("cartesian")
+        if "BroadcastNestedLoopJoin" in plan:
+            flags.add("bnlj")
+        if "SinglePartition" in plan:
+            flags.add("single-partition")
+        extra = flags - _EXPECTED_FLAGS.get(name, set())
+        if extra:
+            bad[name] = sorted(extra)
+    assert not bad, f"unexpected scale red flags: {bad}"
