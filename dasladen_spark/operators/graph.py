@@ -78,3 +78,59 @@ def dedup_clusters(
     return cc.select(
         F.col("id").alias("member"), F.col("component").alias("survivor")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    undirected: bool = False,
+) -> DataFrame:
+    """Distributed PageRank over an edge list → (id, rank).
+
+    Classic power iteration, expressed as one join + one aggregate
+    per step (rank mass flows src→dst along out-edges; dangling nodes
+    contribute only teleport mass). Every per-node sum is a hash
+    aggregate on the node key — partial/map-side combined, no driver
+    graph, no single-partition stage — so each iteration is exactly
+    one shuffle of (node, contribution) pairs and the whole run is
+    ``iterations`` shuffles regardless of graph size. Lineage is cut
+    per iteration with localCheckpoint (an iterative plan would
+    otherwise nest ``iterations`` joins deep and stall Catalyst).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if undirected:
+        e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("id"))
+        .union(e.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.s == ranks.id)
+            .join(out_deg, "s")
+            .select(F.col("d").alias("id2"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id2")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.id == F.col("id2"), "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

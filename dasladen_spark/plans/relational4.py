@@ -304,3 +304,32 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("wday").cast("timestamp").alias("day"), "rolling_7d_users"
     )
+
+
+@query("graph_pagerank")  # iterative algorithm — no SQL oracle (rows-only);
+# differential-tested against a dense numpy power iteration in
+# tests/test_operators.py::test_pagerank_matches_numpy_reference
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the customer↔supplier transaction
+    graph (distinct trading pairs from orders⋈lineitem, undirected):
+    which parties sit at the center of the trade network.
+
+    The graph build is two broadcast-friendly equi-joins + a
+    distinct; each power iteration is one hash-shuffle of (node,
+    contribution) pairs (operators/graph.pagerank) — the same plan
+    runs a billion-edge graph, iterations× shuffles, no driver
+    state."""
+    from dasladen_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return pagerank(edges, iterations=5, undirected=True).orderBy(
+        F.col("rank").desc(), "id"
+    )

@@ -695,3 +695,46 @@ def test_audio_metadata_and_segmentation(spark, sf_dir):
             for i, (_, _, _, seg) in enumerate(ss)
         )
         assert joined == payloads[doc_id][: dur * _BYTES_PER_MS]
+
+
+def test_pagerank_matches_numpy_reference(spark, sf_dir):
+    """Distributed PageRank must match a dense numpy power iteration
+    (same damping/teleport formulation) to ~1e-12, and conserve rank
+    mass on an undirected (dangling-free) graph."""
+    import numpy as np
+
+    from dasladen_spark.operators.graph import pagerank
+    from dasladen_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, iterations=5, undirected=True).collect()
+    }
+
+    pairs = {(r["src"], r["dst"]) for r in edges.distinct().collect()}
+    sym = pairs | {(b, a) for a, b in pairs}
+    ids = sorted({x for p in sym for x in p})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    deg = np.zeros(n)
+    for a, _ in sym:
+        deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        inflow = np.zeros(n)
+        for a, b in sym:
+            inflow[idx[b]] += r[idx[a]] / deg[idx[a]]
+        r = (1 - 0.85) / n + 0.85 * inflow
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert len(got) == n
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
