@@ -1,14 +1,24 @@
 """Custom operators Spark lacks as built-ins, expressed Spark-first:
 
-- asof     — as-of (backward) join via union + running window; one
-             shuffle on the key, no cross product, scales to 100 TB
-- dedup    — exact, fingerprint, MinHash-LSH, SimHash, n-gram Jaccard,
-             embedding-cosine near-dup
-- similarity — brute-force cosine top-k (broadcast queries) and an
-             LSH-bucketed approximate variant
+- asof       — as-of (backward) join via union + running window; one
+               shuffle on the key, no cross product, scales to 100 TB
+- dedup      — exact, fingerprint, MinHash-LSH, SimHash, n-gram
+               Jaccard, embedding-cosine near-dup
+- graph      — connected components (pairs → dedup clusters) and
+               PageRank, one shuffle per iteration
+- interval   — interval-overlap join via grid binning
+- merge      — merge-upsert, SCD2, CDC snapshot diff
 - multimodal — opaque binary payload columns with typed metadata and
-             a mapInPandas decode/feature plumbing (decoder stubbed:
-             image/audio libs are not in this container)
+               mapInPandas decode/feature/segment plumbing (decoder
+               stubbed: image/audio libs are not in this container)
+- quality    — single-pass data-quality contracts
+- ranking    — distributed global row_number / NTILE / prefix sums
+               (range partition + broadcast offsets, never a
+               single-partition window)
+- sampling   — deterministic / stratified / weighted sampling
+- similarity — brute-force cosine top-k (broadcast queries), LSH- and
+               IVF-bucketed approximate variants
+- skew       — salted join for extreme key skew
 """
 
 from dasladen_spark.operators.asof import asof_join  # noqa: F401
@@ -20,5 +30,15 @@ from dasladen_spark.operators.dedup import (  # noqa: F401
     simhash_pairs,
     ngram_jaccard_pairs,
     embedding_near_dup_pairs,
+)
+from dasladen_spark.operators.graph import (  # noqa: F401
+    connected_components,
+    dedup_clusters,
+    pagerank,
+)
+from dasladen_spark.operators.ranking import (  # noqa: F401
+    global_ntile,
+    global_prefix_sum,
+    global_row_number,
 )
 from dasladen_spark.operators.similarity import cosine_topk, lsh_cosine_topk  # noqa: F401

@@ -333,3 +333,57 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5, undirected=True).orderBy(
         F.col("rank").desc(), "id"
     )
+
+
+@query(
+    "q_percent_rank_cume",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank, cume_dist) per
+    priority class — both are pure integer-ratio definitions
+    ((rank-1)/(n-1), rows≤current/n), so the doubles match the oracle
+    bit-for-bit. One shuffle on the partition key serves both."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "q_pos_tokens",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS words
+      FROM documents WHERE doc_id < 10
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS pos,
+           words[i] AS word
+    FROM w, UNNEST(generate_series(1, len(words))) AS t(i)
+    """,
+)
+def q_pos_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional tokenization (posexplode / UNNEST WITH ORDINALITY):
+    each document row fans out to (doc_id, position, token) rows —
+    the layout feeding positional n-gram and alignment work. Narrow
+    generator, no shuffle; the doc_id<10 predicate is pushed into the
+    parquet scan so the explode only ever sees matching rows."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
