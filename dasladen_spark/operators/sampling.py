@@ -23,6 +23,24 @@ def _hash_frac(id_col: Column, salt: int) -> Column:
     )
 
 
+def portable_sample_filter(
+    id_col: Column, fraction: float, salt: str = "", hex_digits: int = 8
+) -> Column:
+    """Engine-portable deterministic membership test: keep a row iff
+    the first ``hex_digits`` of md5(salt || id) compare below the
+    fraction's hex threshold. Fixed-length lowercase-hex strings
+    compare lexicographically exactly as their numeric values, and
+    md5 hex is identical across engines — so the SAME predicate can
+    be written in ANSI SQL (``substr(md5(...), 1, 8) < '3fffffff'``)
+    and selects the SAME rows, which makes hash sampling
+    differential-testable against any SQL oracle. xxhash64
+    (:func:`_hash_frac`) stays the fast path when portability isn't
+    needed: it's one JVM op vs md5's digest + hex encode."""
+    thr = format(int(fraction * 16**hex_digits), f"0{hex_digits}x")
+    digest = F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+    return F.substring(digest, 1, hex_digits) < F.lit(thr)
+
+
 def deterministic_sample(
     df: DataFrame, fraction: float, id_col: str, salt: int = 42
 ) -> DataFrame:

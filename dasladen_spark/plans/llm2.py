@@ -254,3 +254,72 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.length(F.regexp_replace("c_name", "[0-9]", ""))
         ).cast("int").alias("n_masked"),
     )
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < '40000000'
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% corpus sample (operators/sampling.py
+    portable_sample_filter): membership is a pure function of the
+    doc_id hash, so the sample is identical across repartitions,
+    re-runs, and cluster sizes — the property `df.sample()` lacks.
+    Scan-side filter, zero shuffle; at 100 TB this is one pass that
+    prunes 75% of rows before anything downstream."""
+    from dasladen_spark.operators.sampling import portable_sample_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "source", "n_chars").filter(
+        portable_sample_filter(F.col("doc_id"), 0.25, salt="mix1:")
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE source
+              WHEN 'web'  THEN '33333333'
+              WHEN 'news' THEN 'b3333333'
+              ELSE 'ffffffff'
+            END
+    GROUP BY source
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified training-data mix — per-source keep rates (20% web,
+    70% news, 100% everything else) decided row-locally from the
+    portable doc_id hash, then a per-source audit count. The mix step
+    of a data pipeline: one scan-side filter (no shuffle to decide
+    membership), one hash agg for the audit. The rate table is a
+    CASE over the stratum column, so adding strata never changes the
+    plan shape."""
+    from dasladen_spark.operators.sampling import portable_sample_filter
+
+    d = _t(spark, sf_dir, "documents")
+    digest = F.substring(
+        F.md5(F.concat(F.lit("mix1:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    thr = (
+        F.when(F.col("source") == "web", F.lit("33333333"))
+        .when(F.col("source") == "news", F.lit("b3333333"))
+        .otherwise(F.lit("ffffffff"))
+    )
+    return (
+        d.filter(digest < thr)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )

@@ -327,6 +327,42 @@ def test_deterministic_sample_is_repartition_proof(spark, sf_dir):
     assert 0.2 * n < len(s1) < 0.4 * n   # rate is roughly honored
 
 
+def test_portable_sample_filter_matches_numeric_threshold(spark, sf_dir):
+    """The md5-hex lexicographic predicate must select exactly the
+    rows whose numeric hash prefix is below fraction * 16^8 — the
+    property that makes it expressible in any SQL oracle."""
+    from dasladen_spark.operators.sampling import portable_sample_filter
+    from dasladen_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]
+        for r in d.filter(
+            portable_sample_filter(F.col("doc_id"), 0.25, salt="s:")
+        ).select("doc_id").collect()
+    }
+    expect = {
+        r["doc_id"]
+        for r in d.select(
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long").alias("h"),
+        )
+        .filter(F.col("h") < int(0.25 * 16**8))
+        .collect()
+    }
+    assert got == expect
+    n = d.count()
+    assert 0.15 * n < len(got) < 0.35 * n
+
+
 def test_stratified_sample_rates(spark, sf_dir):
     from dasladen_spark.operators.sampling import stratified_sample
     from dasladen_spark.session import load_table
