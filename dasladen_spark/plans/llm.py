@@ -518,3 +518,87 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM toks WHERE doc_id < 100 GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             CAST(tf.tf AS DOUBLE)
+               * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+               AS tfidf
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, rnk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, tok
+             ) AS INTEGER) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (probe docs doc_id<100 scored
+    against WHOLE-corpus document frequencies) — the relevance /
+    keyword-extraction primitive of a text pipeline.
+
+    IDF is the raw ratio n_docs/df, not log(n_docs/df): ranking is
+    unchanged (log is monotone) and the score stays a product of two
+    IEEE-exact operations, so the doubles hash-match any engine —
+    libm's log is NOT guaranteed identically rounded across engines.
+
+    Scale shape: DF is one token-shuffle over the corpus with
+    map-side partial aggregation; the probe-side term counts (tiny:
+    pushed-down doc filter × vocab) broadcast to the DF table, so the
+    big side never reshuffles for the join; the final top-k window
+    shuffles only probe rows."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    tf = (
+        toks.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = float(d.count())
+    scored = F.broadcast(tf).join(dfreq, "tok").select(
+        "doc_id",
+        "tok",
+        (
+            F.col("tf").cast("double")
+            * (F.lit(n_docs) / F.col("df").cast("double"))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rnk")
+    )
