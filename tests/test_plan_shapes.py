@@ -222,6 +222,65 @@ def test_write_sorted_produces_globally_ordered_files(spark, tmp_path):
     assert total == load_table(spark, SF, "orders").count()
 
 
+def test_write_zordered_skips_files_on_any_clustered_column(spark, tmp_path):
+    """Z-order clustering must deliver multi-column data skipping: a
+    predicate on the NON-sort column prunes (by footer min/max) most
+    z-ordered files, while a single-column-sorted layout leaves every
+    file overlapping that predicate's range. Also: clustering must
+    never lose rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dasladen_spark.session import load_table
+    from dasladen_spark.sinks.partitioned import write_sorted, write_zordered
+
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    n_rows = df.count()
+    lin, zo = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    write_sorted(df, lin, "l_orderkey", num_files=16)
+    write_zordered(df, zo, ["l_orderkey", "l_partkey"], num_files=16)
+
+    bounds = df.agg(
+        F.min("l_partkey").alias("lo"), F.max("l_partkey").alias("hi")
+    ).collect()[0]
+    span = bounds["hi"] - bounds["lo"]
+    # probe: a partkey-only slice covering ~1/8 of the value range
+    q_lo = bounds["lo"] + span * 0.5
+    q_hi = bounds["lo"] + span * 0.625
+
+    def overlap_fraction(path):
+        hit, total = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }["l_partkey"]
+            fmin = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            total += 1
+            if fmax >= q_lo and fmin <= q_hi:
+                hit += 1
+        return hit / total, total
+
+    lin_frac, lin_n = overlap_fraction(lin)
+    zo_frac, zo_n = overlap_fraction(zo)
+    assert lin_n >= 8 and zo_n >= 8
+    assert lin_frac >= 0.9          # single-col sort: no skipping on col 2
+    assert zo_frac <= 0.5           # z-order: most files pruned
+    assert spark.read.parquet(zo).count() == n_rows
+
+
 def test_decontaminate_broadcasts_benchmark_ngrams(spark):
     """The benchmark n-gram set must broadcast — the training side of
     a 100 TB corpus never shuffles for the contamination probe."""
