@@ -323,3 +323,47 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("kept_chars"),
         )
     )
+
+
+@query(
+    "sample_split",
+    oracle="""
+    SELECT CASE
+             WHEN h < 'cccccccc' THEN 'train'
+             WHEN h < 'e6666666' THEN 'val'
+             ELSE 'test'
+           END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM (
+      SELECT n_chars,
+             substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from the
+    portable doc_id hash (0.8*16^8 = 0xCCCCCCCC exactly, 0.9*16^8 =
+    0xE6666666): a document's split is a pure function of its id, so
+    it NEVER migrates between train and test across re-runs,
+    re-shards, or corpus growth — the leakage guarantee `randomSplit`
+    cannot give. Row-local decision + one hash agg for the audit."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    split = (
+        F.when(h < "cccccccc", "train")
+        .when(h < "e6666666", "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )

@@ -387,3 +387,36 @@ def q_pos_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "word"),
     )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT n.n_name,
+           string_agg(c.c_name, ',' ORDER BY c.c_name) AS members,
+           COUNT(*) AS n_members
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY n.n_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): per-nation
+    roster of high-balance customers, comma-joined in name order.
+    collect_list is shuffle-partial like any agg; the in-group sort
+    happens on the grouped array (bounded by group size), never as a
+    global sort — and the explicit array_sort makes the result
+    deterministic under any partitioning, which bare collect_list
+    ordering is not."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "members"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
