@@ -367,3 +367,44 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("n_chars"),
         )
     )
+
+
+@query(
+    "dedup_source_priority",
+    oracle=r"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(trim(regexp_replace(regexp_replace(
+                 lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+               ORDER BY CAST(substr(source, 4) AS INTEGER), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept
+    FROM ranked WHERE rn = 1 GROUP BY source
+    """,
+)
+def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-priority dedup: when the same (normalized) content
+    arrives from several sources, keep the copy from the most trusted
+    one (lowest source rank; doc_id tiebreak) — the cross-source
+    merge step of corpus assembly, where a curated dump must beat its
+    web-crawl duplicates. Same single-shuffle fingerprint-window
+    shape as text_corpus_cleanup, with the survivor rule made a
+    priority ORDER BY instead of plain min-id."""
+    from pyspark.sql import Window
+
+    from dasladen_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    rank = F.substring("source", 4, 10).cast("int")
+    w = Window.partitionBy(F.md5(normalize_text(F.col("text")))).orderBy(
+        rank, "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
