@@ -602,3 +602,97 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "tok", "tfidf", "rnk")
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=r"""
+    WITH docs AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(w) AS tok FROM docs
+    ),
+    ucnt AS (SELECT tok, COUNT(*) AS n FROM uni GROUP BY tok),
+    un AS (SELECT COUNT(*) AS nt FROM uni),
+    bi AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM docs, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    bcnt AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bi GROUP BY w1, w2),
+    bn AS (SELECT COUNT(*) AS nb FROM bi),
+    scored AS (
+      SELECT b.w1, b.w2, b.n_ab,
+             (CAST(b.n_ab AS DOUBLE) / CAST(bn.nb AS DOUBLE))
+             / ((CAST(a1.n AS DOUBLE) / CAST(un.nt AS DOUBLE))
+                * (CAST(a2.n AS DOUBLE) / CAST(un.nt AS DOUBLE)))
+               AS pmi_ratio
+      FROM bcnt b
+      JOIN ucnt a1 ON b.w1 = a1.tok
+      JOIN ucnt a2 ON b.w2 = a2.tok
+      CROSS JOIN un CROSS JOIN bn
+      WHERE b.n_ab >= 5
+    )
+    SELECT w1, w2, n_ab, pmi_ratio
+    FROM scored
+    ORDER BY pmi_ratio DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations: adjacent-token pairs ranked by the PMI
+    ratio P(ab)/(P(a)P(b)) with a min-count floor — the phrase-mining
+    primitive (new-york, machine-learning) of corpus analysis. The
+    ratio form, not log-PMI: ranking is identical (log is monotone)
+    and the score stays pure IEEE divisions/multiplications, exact on
+    any engine.
+
+    Scale shape: one token shuffle for unigram counts, one pair
+    shuffle for bigram counts; the unigram count table joins the
+    bigram table twice — vocabulary-sized, so both joins stay
+    hash-shuffles on the token key (broadcast if the vocab fits);
+    totals are two scalar aggs folded in as literals. TakeOrdered
+    top-k — the full collocation table never globally sorts."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    docs = d.select(words.alias("w"))
+
+    uni = docs.select(F.explode("w").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    n_tokens = float(uni.count())
+
+    # F.sequence(1, n) DESCENDS when n < 1 — guard short docs with an
+    # empty sequence (DuckDB generate_series(1, 0) is empty).
+    idx = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bi = docs.select(F.explode(idx).alias("i"), "w").select(
+        F.element_at("w", F.col("i")).alias("w1"),
+        F.element_at("w", F.col("i") + 1).alias("w2"),
+    )
+    bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    n_bigrams = float(bi.count())
+
+    a1 = ucnt.select(F.col("tok").alias("w1"), F.col("n").alias("n_a"))
+    a2 = ucnt.select(F.col("tok").alias("w2"), F.col("n").alias("n_b"))
+    scored = (
+        bcnt.filter(F.col("n_ab") >= 5)
+        .join(a1, "w1")
+        .join(a2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                (F.col("n_ab").cast("double") / F.lit(n_bigrams))
+                / (
+                    (F.col("n_a").cast("double") / F.lit(n_tokens))
+                    * (F.col("n_b").cast("double") / F.lit(n_tokens))
+                )
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_ratio").desc(), "w1", "w2").limit(20)
