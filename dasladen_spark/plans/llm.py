@@ -696,3 +696,68 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi_ratio").desc(), "w1", "w2").limit(20)
+
+
+@query(
+    "text_oov_rate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 1000
+      )
+    )
+    SELECT t.source,
+           COUNT(*) AS n_tokens,
+           SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.source
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: per-source out-of-vocabulary token
+    rate against the corpus top-1000 vocabulary (count-desc, token
+    tiebreak so the boundary is deterministic) — the metric that
+    tells you which corpus slice a fixed tokenizer vocabulary serves
+    worst.
+
+    Scale shape: one token shuffle builds the vocab via TakeOrdered
+    (the full vocabulary never globally sorts); the vocab is
+    top-k-bounded so it BROADCASTS to the token stream — the corpus
+    side never shuffles for membership; one final rollup on source.
+    The rate is a single long→double division, engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(1000)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.sum(
+        F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    ).alias("n_oov")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        oov,
+        (
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("oov_rate"),
+    )
