@@ -473,3 +473,54 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_custkey) AS d_custkey,
+           COUNT(DISTINCT c_nationkey) AS d_nationkey,
+           COUNT(DISTINCT c_mktsegment) AS d_mktsegment,
+           SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS null_name,
+           SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+             AS null_mktsegment,
+           MIN(c_acctbal) AS min_acctbal,
+           MAX(c_acctbal) AS max_acctbal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4))
+             AS sum_acctbal,
+           MIN(length(c_name)) AS min_name_len,
+           MAX(length(c_name)) AS max_name_len
+    FROM customer
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile — row count, key cardinalities, null
+    counts, numeric ranges, exact decimal sum, string-length bounds —
+    the discovery step an ETL tool runs before wiring a pipeline.
+
+    All metrics fold into ONE aggregation pass: Catalyst plans the
+    multiple COUNT(DISTINCT)s as a single Expand + two-stage agg, so
+    the table is scanned once however many metrics are stacked; the
+    decimal-component sum keeps the total exact under any
+    partitioning."""
+    c = _t(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_custkey").alias("d_custkey"),
+        F.countDistinct("c_nationkey").alias("d_nationkey"),
+        F.countDistinct("c_mktsegment").alias("d_mktsegment"),
+        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias(
+            "null_name"
+        ),
+        F.sum(F.when(F.col("c_mktsegment").isNull(), 1).otherwise(0)).alias(
+            "null_mktsegment"
+        ),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("sum_acctbal"),
+        F.min(F.length("c_name")).alias("min_name_len"),
+        F.max(F.length("c_name")).alias("max_name_len"),
+    )

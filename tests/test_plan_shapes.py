@@ -328,6 +328,7 @@ _EXPECTED_FLAGS = {
     "q17_small_qty_revenue": {"single-partition"},
     "q19_or_predicates": {"single-partition"},
     "q_union_all_counts": {"single-partition"},
+    "q_profile_table": {"single-partition"},
     # 1-row min/max bounds feeding the month spine
     "q_gapfill_monthly": {"single-partition"},
 }
