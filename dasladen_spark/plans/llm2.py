@@ -408,3 +408,37 @@ def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+@query(
+    "sample_balanced",
+    oracle="""
+    SELECT source, doc_id
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced subset: exactly 10 documents per source, chosen by
+    hash order (md5 of the id = a deterministic shuffle), so the
+    selection is uniform-random-like yet identical across runs,
+    partitionings, and engines — the class-balancing step of an eval
+    or fine-tune set. One shuffle on the stratum; within-stratum
+    top-k by hash rank, never a global sort."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("source", "doc_id")
+    )

@@ -524,3 +524,36 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("c_name")).alias("min_name_len"),
         F.max(F.length("c_name")).alias("max_name_len"),
     )
+
+
+@query(
+    "q_degree_distribution",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), deg AS (
+      SELECT cust, COUNT(*) AS degree FROM edges GROUP BY cust
+    )
+    SELECT degree, COUNT(*) AS n_customers
+    FROM deg GROUP BY degree
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer→supplier trade graph: how
+    many distinct suppliers each customer trades with, rolled up to
+    (degree, customer count) — the first diagnostic run on any graph
+    (skew here predicts every downstream join hotspot).
+
+    Strictly linear shapes: edge-list distinct, per-node count, tiny
+    rollup — deliberately NOT a hub self-join, which is degree² and
+    the thing this distribution exists to warn you about."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = edges.groupBy("cust").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_customers"))
