@@ -557,3 +557,39 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("cust").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "q_nullsafe_join",
+    oracle="""
+    SELECT c.c_custkey, n.n_name,
+           COALESCE(CAST(c.k AS VARCHAR), 'NULL') AS join_key
+    FROM (SELECT c_custkey, NULLIF(c_nationkey, 3) AS k FROM customer) c
+    JOIN (SELECT n_nationkey, n_name, NULLIF(n_nationkey, 3) AS k
+          FROM nation) n
+      ON c.k IS NOT DISTINCT FROM n.k
+    """,
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension
+    tables with 'unknown' members need. NULLIF fabricates NULL keys
+    on both sides (nationkey 3 → NULL); the null-safe equality still
+    plans as a broadcast HASH join (Spark rewrites <=> to a
+    coalesce-keyed comparison), not a nested loop."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("k")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        "n_name", F.nullif(F.col("n_nationkey"), F.lit(3)).alias("nk")
+    )
+    return (
+        c.join(F.broadcast(n), c.k.eqNullSafe(n.nk))
+        .select(
+            "c_custkey",
+            "n_name",
+            F.coalesce(F.col("k").cast("string"), F.lit("NULL")).alias(
+                "join_key"
+            ),
+        )
+    )
