@@ -593,3 +593,60 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             epoch_ms(ts) AS t0,
+             LEAD(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS t1
+      FROM events
+    )
+    SELECT user_id,
+           -- decimal->double via VARCHAR: DuckDB's direct cast is not
+           -- correctly rounded past 2^53 (Spark's is)
+           CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * (t1 - t0))
+                AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+             / CAST(SUM(t1 - t0) AS DOUBLE) AS twap_value,
+           SUM(t1 - t0) AS total_ms
+    FROM seq WHERE t1 IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each reading is weighted
+    by how long it was current (until the next event), the estimator
+    telemetry/finance uses when samples arrive irregularly — a plain
+    AVG over-counts burst periods.
+
+    The reading is cast to DECIMAL before the multiply, so the
+    weight value*dt and its accumulation are exact integer-decimal
+    arithmetic — identical under any partitioning (casting the
+    double PRODUCT instead hits engine-dependent rounding-boundary
+    cases); one user shuffle serves both the lead
+    window and the rollup (same key — Catalyst reuses the exchange)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fixtures are TIMESTAMP_NTZ; session tz is UTC, so the LTZ cast
+    # reads the same instant DuckDB's epoch_ms sees
+    t0 = F.unix_millis(F.col("ts").cast("timestamp_ltz"))
+    seq = e.select(
+        "user_id",
+        "value",
+        t0.alias("t0"),
+        F.lead(t0).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    dt = F.col("t1") - F.col("t0")
+    return seq.groupBy("user_id").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)") * dt)
+            .cast("decimal(38,2)")
+            .cast("double")
+            / F.sum(dt).cast("double")
+        ).alias("twap_value"),
+        F.sum(dt).alias("total_ms"),
+    )
