@@ -650,3 +650,42 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twap_value"),
         F.sum(dt).alias("total_ms"),
     )
+
+
+@query(
+    "q_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, new_users,
+           SUM(new_users) OVER (
+             ORDER BY d ROWS UNBOUNDED PRECEDING
+           ) AS cum_users
+    FROM per_day
+    """,
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time — the audience-growth
+    curve. The scale trick: 'distinct users up to day X' NEVER runs a
+    windowed COUNT DISTINCT (quadratic state); each user collapses to
+    their first-seen day (one user shuffle), days roll up to
+    new-user counts (one tiny shuffle), and the running total windows
+    over the days-sized table — whitelisted single-partition, bounded
+    by calendar length, not data volume."""
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    per_day = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("d").cast("timestamp").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

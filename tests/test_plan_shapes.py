@@ -329,6 +329,8 @@ _EXPECTED_FLAGS = {
     "q19_or_predicates": {"single-partition"},
     "q_union_all_counts": {"single-partition"},
     "q_profile_table": {"single-partition"},
+    # running total over the days-sized rollup (calendar-bounded)
+    "q_cumulative_distinct_users": {"single-partition"},
     # 1-row min/max bounds feeding the month spine
     "q_gapfill_monthly": {"single-partition"},
 }
