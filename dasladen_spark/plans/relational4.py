@@ -689,3 +689,39 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+@query(
+    "q_copurchase_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_baskets
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_baskets DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top part pairs appearing in the
+    same order. The self-join key is the ORDER (fanout bounded by
+    basket size, ~7 lines — per-order pair expansion is a constant,
+    so total work is linear in orders, unlike a part-keyed hub join);
+    one equi-join shuffle, one pair-count shuffle, TakeOrdered
+    top-k."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = l.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, on=[a.ok == b.ok, F.col("part_a") < F.col("part_b")])
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .orderBy(F.col("n_baskets").desc(), "part_a", "part_b")
+        .limit(20)
+    )
