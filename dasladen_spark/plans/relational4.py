@@ -725,3 +725,53 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_baskets").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING
+             ) AS cumw,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_returnflag
+             ) AS total
+      FROM lineitem
+    )
+    SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median
+    FROM w WHERE 2 * cumw >= total
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    order statistic (each line counts by its quantity, so a bulk line
+    moves the median more than a single unit). Definitionally exact:
+    the smallest price whose running weight reaches half the total,
+    with the comparison as 2*cumw >= total in integer-decimal
+    arithmetic — no division, no float quantile interpolation to
+    disagree across engines. One shuffle on the flag serves both the
+    running and total windows."""
+    l = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    wrun = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    w = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qty).over(wrun).alias("cumw"),
+        F.sum(qty).over(wall).alias("total"),
+    )
+    return (
+        w.filter(F.lit(2) * F.col("cumw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median"))
+    )
