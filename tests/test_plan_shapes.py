@@ -331,6 +331,8 @@ _EXPECTED_FLAGS = {
     "q_profile_table": {"single-partition"},
     # running total over the days-sized rollup (calendar-bounded)
     "q_cumulative_distinct_users": {"single-partition"},
+    # share normalizer over the 9-row digit table
+    "q_benford_digits": {"single-partition"},
     # 1-row min/max bounds feeding the month spine
     "q_gapfill_monthly": {"single-partition"},
 }
