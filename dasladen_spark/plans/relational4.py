@@ -813,3 +813,56 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(Window.partitionBy()).cast("double")
         ).alias("share"),
     )
+
+
+@query(
+    "q_not_in_null_trap",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer
+        WHERE c_nationkey NOT IN
+          (SELECT n_nationkey FROM nation WHERE n_nationkey < 5))
+        AS excl_clean,
+      (SELECT COUNT(*) FROM customer
+        WHERE c_nationkey NOT IN
+          (SELECT NULLIF(n_nationkey, 3) FROM nation
+            WHERE n_nationkey < 5))
+        AS excl_with_null,
+      (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS
+          (SELECT 1 FROM nation n
+            WHERE NULLIF(n.n_nationkey, 3) = c.c_nationkey
+              AND n.n_nationkey < 5))
+        AS not_exists_with_null
+    """,
+)
+def q_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, demonstrated side by side: with a clean
+    exclusion list NOT IN behaves like an anti join; one NULL in the
+    list makes every NOT IN test UNKNOWN (zero rows survive), while
+    NOT EXISTS keeps anti-join semantics — three-valued logic every
+    SQL engine must honor and most pipelines trip over once.
+
+    Spark plans the NOT IN branch as a null-aware anti join
+    (BroadcastHashJoin ... NAAJ); whitelisted 1-row scalar
+    aggregates."""
+    for t in ("customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"__nit_{t}")
+    return spark.sql("""
+        SELECT
+          (SELECT COUNT(*) FROM __nit_customer
+            WHERE c_nationkey NOT IN
+              (SELECT n_nationkey FROM __nit_nation WHERE n_nationkey < 5))
+            AS excl_clean,
+          (SELECT COUNT(*) FROM __nit_customer
+            WHERE c_nationkey NOT IN
+              (SELECT NULLIF(n_nationkey, 3) FROM __nit_nation
+                WHERE n_nationkey < 5))
+            AS excl_with_null,
+          (SELECT COUNT(*) FROM __nit_customer c
+            WHERE NOT EXISTS
+              (SELECT 1 FROM __nit_nation n
+                WHERE NULLIF(n.n_nationkey, 3) = c.c_nationkey
+                  AND n.n_nationkey < 5))
+            AS not_exists_with_null
+    """)

@@ -333,6 +333,9 @@ _EXPECTED_FLAGS = {
     "q_cumulative_distinct_users": {"single-partition"},
     # share normalizer over the 9-row digit table
     "q_benford_digits": {"single-partition"},
+    # three 1-row scalar-subquery counts; NOT IN needs the null-aware
+    # broadcast anti join (NAAJ)
+    "q_not_in_null_trap": {"single-partition", "bnlj"},
     # 1-row min/max bounds feeding the month spine
     "q_gapfill_monthly": {"single-partition"},
 }
