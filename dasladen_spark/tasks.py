@@ -279,6 +279,51 @@ def run_nop(ctx: TaskContext, task: dict) -> None:
     ctx.log(f"task {task.get('name')}: nop")
 
 
+def run_profile(ctx: TaskContext, task: dict) -> None:
+    """Profile task (beyond the reference): read ANY supported source
+    (``source.kind`` picks the reader), compute a per-column profile —
+    null count, distinct count, min/max (stringified for a uniform
+    report schema) — in ONE aggregation pass over the data, and write
+    the per-column report through any supported sink
+    (``target.kind``, default csv).
+
+    The reshape from the 1-row wide aggregate to one-report-row-per-
+    column happens driver-side on that single row, so the data itself
+    is scanned exactly once however many columns are profiled."""
+    from pyspark.sql import functions as F
+
+    src = task["source"]
+    df = _read_source(ctx, {**task, "type": src.get("kind", "parquet") + "-x"})
+    df = _transformed(ctx, task, df)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    report = ctx.spark.createDataFrame(
+        [
+            (
+                c,
+                int(row["__n"]),
+                int(row[f"{c}__nulls"]),
+                int(row[f"{c}__distinct"]),
+                row[f"{c}__min"],
+                row[f"{c}__max"],
+            )
+            for c in df.columns
+        ],
+        "column STRING, n_rows BIGINT, n_nulls BIGINT, n_distinct BIGINT, "
+        "min_value STRING, max_value STRING",
+    )
+    tgt = task["target"]
+    _write_sink(ctx, {**task, "type": "x-" + tgt.get("kind", "csv")}, report)
+    ctx.log(f"task {task.get('name')}: profiled {len(df.columns)} columns")
+
+
 #: type → runner (TaskFactory parity, task.py:577-599)
 TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "csv-db": run_etl,
@@ -296,6 +341,7 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "py-exec": run_py_exec,
     "custom": run_custom,
     "nop": run_nop,
+    "profile": run_profile,
 }
 
 # Beyond the reference's seven ETL shapes: the full source×sink matrix

@@ -412,3 +412,49 @@ def test_json_parquet_csv_matrix(spark, workdir):
     out = (workdir / "output" / "out.csv").read_text().strip().splitlines()
     assert out[0] == "id;name;qty"
     assert set(out[1:]) == {"2;BETA;20", "3;GAMMA;30"}
+
+
+def test_profile_task_reports_per_column_stats(spark, workdir):
+    """'profile' task: any source in, one aggregation pass, a
+    per-column report (nulls / distincts / min / max) out through any
+    sink — the discovery step wired into the task JSON surface."""
+    with open(workdir / "input" / "p.json", "w", encoding="utf-8") as f:
+        rows = [
+            {"id": 1, "name": "Alpha", "qty": 10},
+            {"id": 2, "name": None, "qty": 10},
+            {"id": 3, "name": "Gamma", "qty": None},
+            {"id": 4, "name": "Alpha", "qty": 30},
+        ]
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "prof",
+                    "type": "profile",
+                    "source": {
+                        "kind": "json",
+                        "file": "p.json",
+                        "schema": "id BIGINT, name STRING, qty BIGINT",
+                    },
+                    "target": {"kind": "csv", "file": "prof.csv", "truncate": True},
+                }
+            ]
+        },
+    )
+    out = {}
+    with open(workdir / "output" / "prof.csv", encoding="utf-8") as f:
+        header = f.readline().strip().split(";")
+        for line in f:
+            rec = dict(zip(header, line.strip().split(";")))
+            out[rec["column"]] = rec
+    assert set(out) == {"id", "name", "qty"}
+    assert out["id"]["n_rows"] == "4"
+    assert out["id"]["n_nulls"] == "0" and out["id"]["n_distinct"] == "4"
+    assert out["name"]["n_nulls"] == "1" and out["name"]["n_distinct"] == "2"
+    assert out["qty"]["n_nulls"] == "1" and out["qty"]["n_distinct"] == "2"
+    assert out["qty"]["min_value"] == "10" and out["qty"]["max_value"] == "30"
+    assert out["name"]["min_value"] == "Alpha" and out["name"]["max_value"] == "Gamma"
