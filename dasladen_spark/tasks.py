@@ -325,6 +325,47 @@ def run_profile(ctx: TaskContext, task: dict) -> None:
 
 
 #: type → runner (TaskFactory parity, task.py:577-599)
+def run_validate(ctx: TaskContext, task: dict) -> None:
+    """Validate task (beyond the reference): read any supported source
+    (``source.kind``), evaluate the contract in ``rules`` (name → SQL
+    predicate, one aggregate pass via operators/quality.py), optionally
+    check ``unique`` key columns, and route rows: clean rows continue
+    to ``target``; violating rows (tagged with the names of every rule
+    they failed) go to ``quarantine`` if configured. ``fail_on_violation``
+    turns any violation into a task error AFTER the report is written —
+    a 100 TB ingest quarantines and reports, it doesn't stack-trace
+    first."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.quality import (
+        check_rules,
+        check_unique,
+        split_valid,
+    )
+
+    src = task["source"]
+    df = _read_source(ctx, {**task, "type": src.get("kind", "parquet") + "-x"})
+    df = _transformed(ctx, task, df)
+    rules = task.get("rules", {})
+    counts = check_rules(df, rules) if rules else {}
+    dup_count = 0
+    if task.get("unique"):
+        dup_count = check_unique(df, task["unique"]).count()
+        counts["unique"] = dup_count
+    ctx.log(f"task {task.get('name')}: violations {counts}")
+    clean, bad = split_valid(df, rules) if rules else (df, None)
+    if task.get("quarantine") and bad is not None:
+        qt = task["quarantine"]
+        bad = bad.withColumn("violated", F.concat_ws(",", "violated"))
+        _write_sink(ctx, {**task, "type": "x-" + qt.get("kind", "csv"),
+                          "target": qt}, bad)
+    if task.get("target"):
+        tgt = task["target"]
+        _write_sink(ctx, {**task, "type": "x-" + tgt.get("kind", "csv")}, clean)
+    if task.get("fail_on_violation") and (any(counts.values()) or dup_count):
+        raise ValueError(f"contract violations: {counts}")
+
+
 TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "csv-db": run_etl,
     "db-csv": run_etl,
@@ -342,6 +383,7 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "custom": run_custom,
     "nop": run_nop,
     "profile": run_profile,
+    "validate": run_validate,
 }
 
 # Beyond the reference's seven ETL shapes: the full source×sink matrix

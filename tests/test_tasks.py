@@ -458,3 +458,57 @@ def test_profile_task_reports_per_column_stats(spark, workdir):
     assert out["qty"]["n_nulls"] == "1" and out["qty"]["n_distinct"] == "2"
     assert out["qty"]["min_value"] == "10" and out["qty"]["max_value"] == "30"
     assert out["name"]["min_value"] == "Alpha" and out["name"]["max_value"] == "Gamma"
+
+
+def test_validate_task_routes_clean_and_quarantine(spark, workdir):
+    """'validate' task: contract rules evaluated in one pass; clean
+    rows flow to the target, violators (tagged with every failed
+    rule) to the quarantine sink; fail_on_violation raises AFTER the
+    report is written."""
+    import pytest as _pytest
+
+    with open(workdir / "input" / "v.json", "w", encoding="utf-8") as f:
+        rows = [
+            {"id": 1, "qty": 10},
+            {"id": 2, "qty": -5},
+            {"id": 3, "qty": None},
+            {"id": 3, "qty": 7},
+        ]
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    task = {
+        "name": "val",
+        "type": "validate",
+        "source": {
+            "kind": "json",
+            "file": "v.json",
+            "schema": "id BIGINT, qty BIGINT",
+        },
+        "rules": {
+            "qty_positive": "qty > 0",
+            "qty_present": "qty IS NOT NULL",
+        },
+        "unique": ["id"],
+        "target": {"kind": "csv", "file": "clean.csv", "truncate": True},
+        "quarantine": {"kind": "csv", "file": "bad.csv", "truncate": True},
+    }
+    run_tasks(spark, workdir, {"tasks": [task]})
+
+    def read_semis(path):
+        with open(path, encoding="utf-8") as f:
+            header = f.readline().strip().split(";")
+            return [dict(zip(header, l.strip().split(";"))) for l in f]
+
+    clean = read_semis(workdir / "output" / "clean.csv")
+    bad = read_semis(workdir / "output" / "bad.csv")
+    assert sorted(r["id"] for r in clean) == ["1", "3"]
+    # SQL three-valued logic: NULL qty does NOT violate "qty > 0"
+    # (unknown, not false) — only the explicit IS NOT NULL rule fires
+    assert {r["id"]: r["violated"] for r in bad} == {
+        "2": "qty_positive",
+        "3": "qty_present",
+    }
+
+    task_fail = {**task, "fail_on_violation": True}
+    with _pytest.raises(Exception):
+        run_tasks(spark, workdir, {"tasks": [task_fail]})
