@@ -866,3 +866,71 @@ def q_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AND n.n_nationkey < 5))
             AS not_exists_with_null
     """)
+
+
+@query(
+    "q_merge_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_ms(ts) AS s,
+             epoch_ms(ts) + CAST(floor(value * 1000) AS BIGINT) AS e
+      FROM events WHERE value IS NOT NULL
+    ), ord AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv
+    ), grp AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS g
+      FROM ord
+    ), merged AS (
+      SELECT user_id, g, MIN(s) AS ms, MAX(e) AS me
+      FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id, COUNT(*) AS n_intervals, SUM(me - ms) AS covered_ms
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user: each event opens a [ts, ts+value·1s)
+    activity window; overlapping windows merge, yielding interval
+    count and total covered time — the coverage/utilization
+    computation behind billing and uptime.
+
+    The merge is the stack-free SQL formulation: an interval starts a
+    new group iff its start exceeds the running MAX(end) of
+    everything before it (cumulative-max window), group ids come from
+    a running sum of those flags — one user-key shuffle serves every
+    window and the rollups; all arithmetic is integer epoch-ms, so
+    the result is bit-exact on any engine."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ms = F.unix_millis(F.col("ts").cast("timestamp_ltz"))
+    iv = e.select(
+        "user_id",
+        ms.alias("s"),
+        (ms + F.floor(F.col("value") * 1000).cast("bigint")).alias("e"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    grp = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+        )
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("g"),
+    )
+    merged = grp.groupBy("user_id", "g").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("me") - F.col("ms")).alias("covered_ms"),
+    )
