@@ -934,3 +934,41 @@ def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum(F.col("me") - F.col("ms")).alias("covered_ms"),
     )
+
+
+@query(
+    "q_max_drawdown",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, value,
+             MAX(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS peak
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, MAX(peak - value) AS max_drawdown
+    FROM w GROUP BY user_id
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user — the path statistic (largest drop
+    from a running peak) risk dashboards compute over any metric
+    series. Running MAX is selection (no accumulation error), the
+    drop is one exact-rounded double subtraction, so the result is
+    engine-exact; one user-key shuffle serves the window and the
+    rollup."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            (F.max("value").over(w) - F.col("value")).alias("dd"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("dd").alias("max_drawdown"))
+    )
