@@ -972,3 +972,41 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("dd").alias("max_drawdown"))
     )
+
+
+@query(
+    "q_longest_streak",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), r AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+      FROM d
+    ), runs AS (
+      SELECT user_id, island, COUNT(*) AS len
+      FROM r GROUP BY user_id, island
+    )
+    SELECT user_id, MAX(len) AS longest_streak_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — the
+    gaps-and-islands identity: consecutive dates minus their
+    row_number collapse to one constant 'island' date, so streaks
+    fall out of a GROUP BY with zero self-joins. Distinct +
+    row_number + two rollups, all on the user key — one shuffle
+    serves the chain; integer date arithmetic, engine-exact."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("island"),
+    )
+    runs = r.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak_days")
+    )
