@@ -1010,3 +1010,100 @@ def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.groupBy("user_id").agg(
         F.max("len").alias("longest_streak_days")
     )
+
+
+@query(
+    "q_yoy_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DECIMAL(38,4)) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(mon AS TIMESTAMP) AS month, rev,
+           -- DOUBLE, not DECIMAL: NULL decimals round-trip as
+           -- Decimal('NaN') through some client layers
+           CAST(CAST(LAG(rev, 12) OVER (ORDER BY mon) AS VARCHAR)
+                AS DOUBLE) AS rev_prev_year,
+           CASE WHEN LAG(rev, 12) OVER (ORDER BY mon) IS NOT NULL THEN
+             CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(LAG(rev, 12) OVER (ORDER BY mon) AS VARCHAR)
+                      AS DOUBLE) - 1.0
+           END AS yoy_growth
+    FROM m
+    """,
+)
+def q_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: month rollup with exact
+    decimal sums, then LAG(12) on the month spine — the BI staple.
+    The heavy aggregation shuffles on month across the cluster; only
+    the months-sized spine (calendar-bounded) passes through the
+    whitelisted ordering window. Growth is one exact division on
+    correctly-rounded doubles."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("rev")
+    )
+    w = Window.orderBy("mon")
+    prev = F.lag("rev", 12).over(w)
+    return m.select(
+        F.col("mon").cast("timestamp").alias("month"),
+        "rev",
+        prev.cast("double").alias("rev_prev_year"),
+        F.when(
+            prev.isNotNull(),
+            F.col("rev").cast("double") / prev.cast("double") - 1.0,
+        ).alias("yoy_growth"),
+    )
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT CAST(a.day AS TIMESTAMP) AS day,
+           SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+             AS new_users,
+           SUM(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END)
+             AS returning_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY a.day
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the acquisition/retention
+    overview chart. Every stage keys on user_id (first-seen agg,
+    active-day distinct, the join), so one shuffle co-locates the
+    whole chain before the final small day rollup."""
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    a = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).alias("new_users"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            ).alias("returning_users"),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "new_users",
+            "returning_users",
+        )
+    )

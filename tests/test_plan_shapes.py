@@ -336,6 +336,8 @@ _EXPECTED_FLAGS = {
     # three 1-row scalar-subquery counts; NOT IN needs the null-aware
     # broadcast anti join (NAAJ)
     "q_not_in_null_trap": {"single-partition", "bnlj"},
+    # LAG(12) over the months-sized spine (calendar-bounded)
+    "q_yoy_revenue": {"single-partition"},
     # 1-row min/max bounds feeding the month spine
     "q_gapfill_monthly": {"single-partition"},
 }
