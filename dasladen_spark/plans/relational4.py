@@ -1107,3 +1107,49 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returning_users",
         )
     )
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+    WITH u AS (
+      SELECT 'customer' AS src, c_custkey AS id, c_name AS name
+      FROM customer
+      UNION ALL BY NAME
+      SELECT 'supplier' AS src, s_suppkey AS id, s_name AS name,
+             s_acctbal AS balance
+      FROM supplier
+    )
+    SELECT src, COUNT(*) AS n,
+           SUM(CASE WHEN balance IS NULL THEN 1 ELSE 0 END)
+             AS missing_balance,
+           COUNT(DISTINCT id) AS distinct_ids
+    FROM u GROUP BY src
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: two sources with different column sets
+    merge BY NAME (missing columns become NULL) — how a pipeline
+    absorbs heterogeneous feeds without hand-aligning positions.
+    unionByName(allowMissingColumns=True) is the Spark form of
+    UNION ALL BY NAME; a positional UNION would silently misalign.
+    Narrow union (no shuffle), one rollup on the source tag."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"),
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("balance"),
+    )
+    u = c.unionByName(s, allowMissingColumns=True)
+    return u.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("balance").isNull(), 1).otherwise(0)).alias(
+            "missing_balance"
+        ),
+        F.countDistinct("id").alias("distinct_ids"),
+    )
