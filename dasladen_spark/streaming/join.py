@@ -64,3 +64,23 @@ def interval_join(
         F.col(f"r.{c}").alias(c) for c in right.columns if c != key
     ]
     return joined.select([F.col(f"l.{c}") for c in left.columns] + right_cols)
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a (possibly streaming) fact
+    flow to a static dimension table — the lookup every live
+    pipeline does before writing (user → account, sku → catalog).
+
+    The dimension is explicitly broadcast: Structured Streaming
+    re-evaluates the static side per micro-batch, and a broadcast
+    keeps each batch a map-side join — the stream NEVER shuffles for
+    the lookup, which is the only stream-join shape that holds at
+    full ingest rate. Stream-static joins need no watermark (the
+    static side can't grow state). Works identically on batch
+    DataFrames, so backfill shares the code path."""
+    return stream.join(F.broadcast(dim), on=key, how=how)

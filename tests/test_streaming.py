@@ -309,3 +309,41 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == want
     assert ("1", "2024-01-01 00:00:00", "2024-01-01 00:31:00", 7.0) not in got
     assert len(got) == 2
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """enrich_with_dim: a streamed fact file broadcast-joined to a
+    static dimension produces exactly the batch join's rows; unmatched
+    keys survive with NULLs (left join semantics)."""
+    from dasladen_spark.streaming.join import enrich_with_dim
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    (src / "f.csv").write_text(
+        "user_id;amount\n1;10\n2;20\n999;5\n"
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], ["user_id", "tier"]
+    )
+    schema = "user_id BIGINT, amount BIGINT"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("sep", ";")
+        .option("header", True)
+        .csv(str(src))
+    )
+    got = _drain_to_memory(
+        spark, enrich_with_dim(stream, dim, "user_id"), "enrich_t"
+    )
+    srows = {(r["user_id"], r["amount"], r["tier"]) for r in got.collect()}
+    batch = (
+        spark.read.schema(schema)
+        .option("sep", ";")
+        .option("header", True)
+        .csv(str(src))
+    )
+    brows = {
+        (r["user_id"], r["amount"], r["tier"])
+        for r in enrich_with_dim(batch, dim, "user_id").collect()
+    }
+    assert srows == brows == {(1, 10, "gold"), (2, 20, "silver"), (999, 5, None)}
