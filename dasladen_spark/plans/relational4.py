@@ -1153,3 +1153,49 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("id").alias("distinct_ids"),
     )
+
+
+@query(
+    "q_skew_diagnostics",
+    oracle="""
+    WITH k AS (
+      SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys FROM k
+    )
+    SELECT k.key, k.n,
+           CAST(k.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+           CAST(k.n AS DOUBLE) * CAST(t.n_keys AS DOUBLE)
+             / CAST(t.total AS DOUBLE) AS skew_factor
+    FROM k, t
+    ORDER BY k.n DESC, k.key LIMIT 20
+    """,
+)
+def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report: the 20 heaviest keys with their share of
+    all rows and a skew factor (observed count ÷ uniform expectation)
+    — the diagnostic that decides salting, AQE skew-join thresholds,
+    and broadcast choices BEFORE a hot key melts a shuffle. One key
+    rollup + TakeOrdered; the two totals are driver-side scalars
+    folded in as literals."""
+    l = _t(spark, sf_dir, "lineitem")
+    k = l.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total, n_keys = k.agg(
+        F.sum("n").cast("bigint"), F.count(F.lit(1))
+    ).collect()[0]
+    return (
+        k.select(
+            "key",
+            "n",
+            (F.col("n").cast("double") / F.lit(float(total))).alias("share"),
+            (
+                F.col("n").cast("double")
+                * F.lit(float(n_keys))
+                / F.lit(float(total))
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(20)
+    )
