@@ -1199,3 +1199,103 @@ def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "key")
         .limit(20)
     )
+
+
+@query(
+    "q_purchase_intervals",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'
+    ), d AS (
+      SELECT user_id,
+             epoch_ms(ts) - epoch_ms(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS delta_ms
+      FROM p
+    )
+    SELECT COUNT(*) AS n_intervals,
+           MIN(delta_ms) AS min_ms,
+           quantile_cont(delta_ms, 0.5) AS median_ms,
+           quantile_cont(delta_ms, 0.9) AS p90_ms,
+           MAX(delta_ms) AS max_ms
+    FROM d WHERE delta_ms IS NOT NULL
+    """,
+)
+def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase time distribution: per-user gaps between
+    consecutive purchases (lag window), summarized to exact
+    percentiles — the repeat-behavior metric behind churn models.
+    Integer epoch-ms deltas, exact sort-based percentile (Spark
+    `percentile` ≡ quantile_cont); one user shuffle for the lag, one
+    whitelisted scalar rollup."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ms = F.unix_millis(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select((ms - F.lag(ms).over(w)).alias("delta_ms")).filter(
+        F.col("delta_ms").isNotNull()
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.min("delta_ms").alias("min_ms"),
+        F.expr("percentile(delta_ms, 0.5)").alias("median_ms"),
+        F.expr("percentile(delta_ms, 0.9)").alias("p90_ms"),
+        F.max("delta_ms").alias("max_ms"),
+    )
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_d,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DECIMAL(38,4)) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CASE
+             WHEN date_diff('day', rfm.last_d, mx.max_d) <= 90
+                  AND rfm.freq >= 10 THEN 'champion'
+             WHEN date_diff('day', rfm.last_d, mx.max_d) <= 90
+                  THEN 'recent'
+             WHEN rfm.freq >= 10 THEN 'loyal_lapsing'
+             ELSE 'hibernating'
+           END AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(monetary) AS DECIMAL(38,4)) AS segment_revenue
+    FROM rfm, mx
+    GROUP BY 1
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary per customer,
+    bucketed by fixed business thresholds into the retention
+    playbook's segments with exact decimal revenue per segment.
+    Threshold buckets (not NTILE) keep the plan a plain two-level
+    rollup — no global-order window anywhere; the corpus max date is
+    a driver scalar."""
+    o = _t(spark, sf_dir, "orders")
+    max_d = o.agg(F.max("o_orderdate")).collect()[0][0]
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("monetary"),
+    )
+    recency = F.datediff(F.lit(max_d), F.col("last_d"))
+    seg = (
+        F.when((recency <= 90) & (F.col("freq") >= 10), "champion")
+        .when(recency <= 90, "recent")
+        .when(F.col("freq") >= 10, "loyal_lapsing")
+        .otherwise("hibernating")
+    )
+    return (
+        rfm.groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").cast("decimal(38,4)").alias("segment_revenue"),
+        )
+    )

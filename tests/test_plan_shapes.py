@@ -338,6 +338,8 @@ _EXPECTED_FLAGS = {
     "q_not_in_null_trap": {"single-partition", "bnlj"},
     # LAG(12) over the months-sized spine (calendar-bounded)
     "q_yoy_revenue": {"single-partition"},
+    # 1-row percentile summary of the lag deltas
+    "q_purchase_intervals": {"single-partition"},
     # 1-row min/max bounds feeding the month spine
     "q_gapfill_monthly": {"single-partition"},
 }
