@@ -1299,3 +1299,49 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary").cast("decimal(38,4)").alias("segment_revenue"),
         )
     )
+
+
+@query(
+    "q_hhi_concentration",
+    oracle="""
+    WITH r AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, COUNT(*) AS n_suppliers,
+           CAST(CAST(SUM(rev * rev) AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)) AS hhi
+    FROM r GROUP BY nation
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration per nation: the sum
+    of squared supplier revenue shares, the antitrust/risk metric for
+    'is this market one hot key'. Algebraic identity Σ(rᵢ/T)² =
+    Σrᵢ²/T² keeps EVERY accumulation in exact decimal (squares of
+    decimal revenues, no double sums anywhere); the only floating
+    step is one final division of two correctly-rounded doubles.
+    Broadcast supplier dim join, two rollups — no skew exposure."""
+    l = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    r = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("rev")
+        )
+    )
+    rev = F.col("rev").cast("decimal(18,4)")
+    return r.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        (
+            F.sum(rev * rev).cast("double")
+            / (
+                F.sum(rev).cast("double")
+                * F.sum(rev).cast("double")
+            )
+        ).alias("hhi"),
+    )
