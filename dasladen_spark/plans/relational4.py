@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dasladen_spark.functions.text import token_count
-from dasladen_spark.operators.ranking import global_prefix_sum
+from dasladen_spark.operators.ranking import global_prefix_sum, global_row_number
 from dasladen_spark.plans.registry import query
 from dasladen_spark.plans.relational import _dec, _disc_price
 from dasladen_spark.session import load_table as _t
@@ -1344,4 +1344,55 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.sum(rev).cast("double")
             )
         ).alias("hhi"),
+    )
+
+
+@query(
+    "q_gini_spend",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+               AS DECIMAL(38,4)) AS spend
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT spend, ROW_NUMBER() OVER (ORDER BY spend) AS i FROM s
+    )
+    SELECT COUNT(*) AS n,
+           2.0 * CAST(CAST(SUM(i * spend) AS VARCHAR) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE)
+                * CAST(CAST(SUM(spend) AS VARCHAR) AS DOUBLE))
+             - (CAST(COUNT(*) AS DOUBLE) + 1.0)
+               / CAST(COUNT(*) AS DOUBLE) AS gini
+    FROM r
+    """,
+)
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality metric in
+    its rank formulation G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over
+    ascending-sorted spend. The global rank comes from
+    operators/ranking.global_row_number (range partition + broadcast
+    offsets — never a single-partition window over all customers);
+    ties need no tiebreak because Σ i·x within a tie group is
+    invariant to rank assignment. Both Σ accumulate in exact decimal;
+    the finish is a fixed dag of correctly-rounded double ops."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("spend")
+    )
+    r = global_row_number(s, [F.col("spend")], out_col="i")
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i") * F.col("spend")).alias("si"),
+        F.sum("spend").alias("st"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        "n",
+        (
+            F.lit(2.0) * F.col("si").cast("double")
+            / (n * F.col("st").cast("double"))
+            - (n + F.lit(1.0)) / n
+        ).alias("gini"),
     )
