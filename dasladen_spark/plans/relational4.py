@@ -1396,3 +1396,55 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n + F.lit(1.0)) / n
         ).alias("gini"),
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             date_trunc('month', MIN(o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS mon,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+           date_diff('month', f.cohort, r.mon) AS month_offset,
+           COUNT(*) AS active_customers,
+           CAST(SUM(r.rev) AS DECIMAL(38,4)) AS revenue
+    FROM r JOIN f USING (o_custkey)
+    GROUP BY f.cohort, month_offset
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by acquisition
+    month, revenue tracked by month offset since acquisition — the
+    LTV curve every subscription/commerce dashboard draws. Both
+    inputs key on customer (first-order agg, monthly revenue agg,
+    the join), so one customer shuffle co-locates the chain before
+    the small cohort×offset rollup; revenue stays exact decimal
+    end-to-end."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    r = o.groupBy(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    return (
+        r.join(f, "o_custkey")
+        .groupBy(
+            F.col("cohort").cast("timestamp").alias("cohort"),
+            F.months_between(F.col("mon"), F.col("cohort"))
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("active_customers"),
+            F.sum("rev").cast("decimal(38,4)").alias("revenue"),
+        )
+    )
