@@ -1448,3 +1448,54 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("decimal(38,4)").alias("revenue"),
         )
     )
+
+
+@query(
+    "q_abc_classification",
+    oracle="""
+    WITH r AS (
+      SELECT l_partkey AS part,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT part, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, part
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER () AS total
+      FROM r
+    )
+    SELECT CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                WHEN 20 * cum <= 19 * total THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev) AS DECIMAL(38,4)) AS class_revenue
+    FROM c GROUP BY 1
+    """,
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head covering 80% of cumulative revenue, B to 95%, C the
+    tail. The running total comes from operators/ranking.
+    global_prefix_sum (range shuffle + broadcast offsets — the
+    distributed form of SUM OVER (ORDER BY), never a single-partition
+    window); the share thresholds compare as integer-decimal
+    cross-products (5·cum ≤ 4·total), so classification is exact —
+    no float share ever computed."""
+    l = _t(spark, sf_dir, "lineitem")
+    r = l.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("rev")
+    )
+    ranked = global_prefix_sum(
+        r, [F.col("rev").desc(), F.col("part")], "rev", out_col="cum"
+    )
+    total = r.agg(F.sum("rev")).collect()[0][0]
+    total_lit = F.expr(f"CAST('{total}' AS DECIMAL(38,4))")
+    cls = (
+        F.when(F.lit(5) * F.col("cum") <= F.lit(4) * total_lit, "A")
+        .when(F.lit(20) * F.col("cum") <= F.lit(19) * total_lit, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").cast("decimal(38,4)").alias("class_revenue"),
+    )
