@@ -761,3 +761,36 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("oov_rate"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, strlen(text) AS n FROM documents
+    ), f AS (
+      SELECT doc_id, n,
+             UNNEST(generate_series(0,
+               LEAST(8, GREATEST(n // 256, 1)) - 1)) AS frame_idx
+      FROM b
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(LEAST(256, n - frame_idx * 256) AS INTEGER) AS frame_bytes
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: one payload
+    row fans out to ≤8 frame rows inside a single mapInPandas stage
+    (operators/multimodal.sample_frames) — no driver involvement, no
+    giant collected arrays, scan-parallel at any corpus size. The
+    stub codec slices at fixed strides, so the fanout count andeach
+    frame's byte length are deterministic and SQL-checkable; a real
+    deployment swaps in ffmpeg keyframes behind the same contract."""
+    from dasladen_spark.operators.multimodal import sample_frames
+
+    d = with_payload(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(d, every_n_bytes=256, max_frames=8)
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )
