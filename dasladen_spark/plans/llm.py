@@ -794,3 +794,65 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.length("frame").alias("frame_bytes")
     )
+
+
+@query(
+    "multimodal_audio_meta",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, strlen(text) AS n,
+             CASE WHEN strlen(text) = 0 THEN 0
+                  ELSE ascii(substr(text, 1, 1)) END AS lead
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8000 * (1 + lead % 3) AS INTEGER) AS sample_rate,
+           CAST(1 + lead % 2 AS INTEGER) AS n_channels,
+           CAST(n // 2 AS BIGINT) AS duration_ms
+    FROM b
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata probe over binary payloads — one mapInPandas
+    stage, payload dropped on output (ship metadata, not bytes). The
+    stub codec derives rate/channels/duration deterministically from
+    the bytes, so the whole distributed path is oracle-checkable;
+    production swaps in ffprobe/soundfile behind the same schema."""
+    from dasladen_spark.operators.multimodal import audio_metadata
+
+    d = with_payload(_t(spark, sf_dir, "documents"))
+    return audio_metadata(d)
+
+
+@query(
+    "multimodal_audio_segments",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, strlen(text) // 2 AS duration FROM documents
+    ), segs AS (
+      SELECT doc_id, duration,
+             UNNEST(generate_series(0,
+               CASE WHEN duration <= 1000 THEN 0
+                    ELSE CAST(ceil((duration - 1000) / 800.0) AS BIGINT)
+               END)) AS i
+      FROM b
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+           CAST(i * 800 AS BIGINT) AS start_ms,
+           CAST(LEAST(i * 800 + 1000, duration) AS BIGINT) AS end_ms
+    FROM segs
+    """,
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-windowed audio segmentation (1000 ms windows, 200 ms
+    overlap): each clip fans out to overlapping segments with
+    start/end timestamps inside ONE mapInPandas stage — scan
+    parallelism, per-task memory bounded by the input partition, no
+    driver collection. The stub byte-rate slicing makes segment
+    boundaries exactly predictable, so fan-out and timestamps are
+    oracle-checked end to end."""
+    from dasladen_spark.operators.multimodal import segment_audio
+
+    d = with_payload(_t(spark, sf_dir, "documents"))
+    segs = segment_audio(d, segment_ms=1000, overlap_ms=200)
+    return segs.select("doc_id", "seg_idx", "start_ms", "end_ms")
