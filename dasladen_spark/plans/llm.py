@@ -856,3 +856,33 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_payload(_t(spark, sf_dir, "documents"))
     segs = segment_audio(d, segment_ms=1000, overlap_ms=200)
     return segs.select("doc_id", "seg_idx", "start_ms", "end_ms")
+
+
+@query(
+    "multimodal_image_features",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, strlen(text) AS n,
+             CASE WHEN strlen(text) = 0 THEN 0 ELSE
+               list_sum(list_transform(
+                 generate_series(1, LEAST(strlen(text), 64)),
+                 i -> ascii(substr(text, i, 1))))
+             END AS checksum
+      FROM documents
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           CAST(16 + checksum % 1024 AS INTEGER) AS width,
+           CAST(16 + (checksum * 7) % 1024 AS INTEGER) AS height,
+           CAST(checksum % 256 AS BIGINT) AS mean_luma
+    FROM c
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode + feature extraction over binary payloads — the
+    full mapInPandas feature path (operators/multimodal.
+    extract_image_features), not just the byte count: the stub
+    decoder derives dimensions and luma from a prefix checksum, so
+    every emitted feature is oracle-checked; production swaps
+    PIL/torchvision into decode_image behind the same schema."""
+    d = with_payload(_t(spark, sf_dir, "documents"))
+    return extract_image_features(d, id_col="doc_id", payload_col="payload")
