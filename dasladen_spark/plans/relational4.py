@@ -908,6 +908,8 @@ def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     a running sum of those flags — one user-key shuffle serves every
     window and the rollups; all arithmetic is integer epoch-ms, so
     the result is bit-exact on any engine."""
+    from dasladen_spark.operators.intervals import merge_intervals
+
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ms = F.unix_millis(F.col("ts").cast("timestamp_ltz"))
     iv = e.select(
@@ -915,24 +917,10 @@ def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ms.alias("s"),
         (ms + F.floor(F.col("value") * 1000).cast("bigint")).alias("e"),
     )
-    wo = Window.partitionBy("user_id").orderBy("s", "e")
-    prev_max = F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
-    grp = iv.select(
-        "user_id",
-        "s",
-        "e",
-        F.sum(
-            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
-        )
-        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("g"),
-    )
-    merged = grp.groupBy("user_id", "g").agg(
-        F.min("s").alias("ms"), F.max("e").alias("me")
-    )
+    merged = merge_intervals(iv, "user_id", "s", "e")
     return merged.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
-        F.sum(F.col("me") - F.col("ms")).alias("covered_ms"),
+        F.sum(F.col("e") - F.col("s")).alias("covered_ms"),
     )
 
 

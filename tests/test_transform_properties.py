@@ -192,3 +192,48 @@ def test_merge_upsert_properties(spark, base, updates):
 
     again = merge_upsert(merged, udf, "k", version_col="v")
     assert {r["k"]: (r["s"], r["v"]) for r in again.collect()} == got
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.integers(0, 1),      # key
+            st.integers(0, 40),     # start
+            st.integers(0, 15),     # duration
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_merge_intervals_matches_python_reference(spark, intervals):
+    """Randomized differential test of the cumulative-max interval
+    union against a straightforward sort-and-sweep Python merger —
+    overlaps, touching endpoints, containment, duplicates, and
+    zero-length intervals all drawn by hypothesis."""
+    from dasladen_spark.operators.intervals import merge_intervals
+
+    rows = [(k, s, s + d) for k, s, d in intervals]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    got = {
+        (r["k"], r["s"], r["e"]) for r in merge_intervals(df, "k", "s", "e").collect()
+    }
+
+    want = set()
+    by_key = {}
+    for k, s, e in sorted(rows):
+        by_key.setdefault(k, []).append((s, e))
+    for k, ivs in by_key.items():
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s > cur_e:                 # strict gap -> close group
+                want.add((k, cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        want.add((k, cur_s, cur_e))
+    assert got == want
