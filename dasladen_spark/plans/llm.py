@@ -886,3 +886,67 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     PIL/torchvision into decode_image behind the same schema."""
     d = with_payload(_t(spark, sf_dir, "documents"))
     return extract_image_features(d, id_col="doc_id", payload_col="payload")
+
+
+@query(
+    "text_source_overlap",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ), v AS (
+      SELECT DISTINCT source, tok FROM t
+    ), sz AS (
+      SELECT source, COUNT(*) AS n FROM v GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS common
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, common,
+           CAST(common AS DOUBLE)
+             / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sz sa ON pairs.src_a = sa.source
+    JOIN sz sb ON pairs.src_b = sb.source
+    """,
+)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus sources — the
+    dataset-mixing diagnostic (two near-identical feeds waste budget;
+    two disjoint ones argue for both). Inverted-index self-join on
+    token: fanout per token is bounded by the SOURCE count (≤20²
+    pairs), not document count, so the pair expansion never goes
+    quadratic in corpus size; vocab sizes broadcast to the tiny pair
+    table. One exact long→double division per pair."""
+    d = _t(spark, sf_dir, "documents")
+    v = d.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("tok"),
+    ).distinct()
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "tok")
+    b = v.select(F.col("source").alias("src_b"), "tok")
+    pairs = (
+        a.join(b, on=[a.tok == b.tok, F.col("src_a") < F.col("src_b")])
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")))
+    return (
+        pairs.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
