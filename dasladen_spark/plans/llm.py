@@ -950,3 +950,47 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle=r"""
+    WITH f AS (
+      SELECT source,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), c AS (
+      SELECT source, fp,
+             COUNT(*) OVER (PARTITION BY fp) AS n_copies
+      FROM f
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_duplicated,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM c GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate audit per source: the share of each source's
+    documents whose normalized fingerprint appears more than once
+    ANYWHERE in the corpus — the number that decides which feeds need
+    dedup spend before training. One fingerprint shuffle (the count
+    window), one source rollup; exact long→double division."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(normalize_text(F.col("text")))
+    c = d.select(
+        "source",
+        F.count(F.lit(1)).over(Window.partitionBy(fp)).alias("n_copies"),
+    )
+    dup = F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dup.alias("n_duplicated"),
+        (dup.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "dup_rate"
+        ),
+    )
