@@ -994,3 +994,23 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate"
         ),
     )
+
+
+@query("kmeans_embeddings")  # iterative algorithm — rows-only (numpy
+# differential test: tests/test_operators.py::test_kmeans_matches_numpy_reference)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding corpus (k=8, 4 Lloyd's
+    iterations, deterministic lowest-id init): per iteration one
+    broadcast-centroid assign stage (vectorized Arrow argmin) and one
+    partial-aggregated component-sum shuffle — the driver holds only
+    k×dim floats, so the identical loop runs a billion-row corpus.
+    Returns cluster sizes (the mix report clustering feeds)."""
+    from dasladen_spark.operators.clustering import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit(emb, "embedding", "vec_id", k=8, iterations=4)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster")
+    )

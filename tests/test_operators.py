@@ -774,3 +774,43 @@ def test_pagerank_matches_numpy_reference(spark, sf_dir):
     assert len(got) == n
     for v in ids:
         assert abs(got[v] - r[idx[v]]) < 1e-9, v
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    """Distributed Lloyd's iterations vs a dense numpy reference
+    running the identical algorithm (same deterministic init, same
+    tie rule): assignments must agree exactly — float sum order can
+    differ only below argmin-flipping magnitude on real-valued
+    embeddings."""
+    import numpy as np
+
+    from dasladen_spark.operators.clustering import kmeans_fit
+    from dasladen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        ((r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+         for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    x = np.stack([t[1] for t in rows])
+    k, iters = 8, 4
+
+    c = x[:k].copy()
+    for _ in range(iters):
+        d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+        a = np.argmin(d, axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+    d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+    want = dict(zip(ids.tolist(), np.argmin(d, axis=1).tolist()))
+
+    got = {
+        r["id"]: r["cluster"]
+        for r in kmeans_fit(emb, "embedding", "vec_id", k=k, iterations=iters).collect()
+    }
+    assert got == want
+    assert len(set(got.values())) > 1        # it actually clusters
