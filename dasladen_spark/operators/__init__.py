@@ -4,8 +4,12 @@
                shuffle on the key, no cross product, scales to 100 TB
 - dedup      — exact, fingerprint, MinHash-LSH, SimHash, n-gram
                Jaccard, embedding-cosine near-dup
+- clustering — distributed k-means (broadcast assign + partial
+               component sums, driver holds k×dim floats)
 - graph      — connected components (pairs → dedup clusters) and
                PageRank, one shuffle per iteration
+- intervals  — interval union (cumulative-max grouping, one key
+               shuffle)
 - interval   — interval-overlap join via grid binning
 - merge      — merge-upsert, SCD2, CDC snapshot diff
 - multimodal — opaque binary payload columns with typed metadata and
@@ -31,11 +35,13 @@ from dasladen_spark.operators.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     embedding_near_dup_pairs,
 )
+from dasladen_spark.operators.clustering import kmeans_fit  # noqa: F401
 from dasladen_spark.operators.graph import (  # noqa: F401
     connected_components,
     dedup_clusters,
     pagerank,
 )
+from dasladen_spark.operators.intervals import merge_intervals  # noqa: F401
 from dasladen_spark.operators.ranking import (  # noqa: F401
     global_ntile,
     global_prefix_sum,
