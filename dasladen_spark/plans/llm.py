@@ -1014,3 +1014,43 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("cluster")
     )
+
+
+@query("kmeans_purity")  # kmeans upstream — rows-only (assignment
+# exactness is covered by the numpy differential test)
+def kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit: k-means clusters crossed with the
+    corpus's ground-truth labels — per cluster, its size, majority
+    label, and purity (majority share). The eval step that decides
+    whether unsupervised structure tracks the labeled structure.
+    One broadcast-join of the tiny assignment→label rollup; purity is
+    an exact long→double division."""
+    from pyspark.sql import Window
+
+    from dasladen_spark.operators.clustering import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit(emb, "embedding", "vec_id", k=8, iterations=4)
+    crossed = assigned.join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
+    )
+    counts = crossed.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("n").desc(), "label")
+    top = counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    sizes = counts.groupBy("cluster").agg(F.sum("n").alias("size"))
+    return (
+        top.join(sizes, "cluster")
+        .select(
+            "cluster",
+            "size",
+            F.col("label").alias("majority_label"),
+            (F.col("n").cast("double") / F.col("size").cast("double")).alias(
+                "purity"
+            ),
+        )
+        .orderBy("cluster")
+    )
