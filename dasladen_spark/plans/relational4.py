@@ -1487,3 +1487,55 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("rev").cast("decimal(38,4)").alias("class_revenue"),
     )
+
+
+@query(
+    "q_conversion_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), p AS (
+      SELECT user_id, MIN(ts) AS first_purchase FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ), d AS (
+      SELECT epoch_ms(first_purchase) - epoch_ms(first_view) AS lat_ms
+      FROM v JOIN p USING (user_id)
+      WHERE first_purchase >= first_view
+    )
+    SELECT COUNT(*) AS n_converted,
+           MIN(lat_ms) AS min_ms,
+           quantile_cont(lat_ms, 0.5) AS median_ms,
+           quantile_cont(lat_ms, 0.9) AS p90_ms
+    FROM d
+    """,
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: first view → first purchase per user,
+    summarized to exact percentiles — the time-to-convert metric
+    behind funnel optimization. Both MIN aggregates and the join key
+    on user_id, so one shuffle co-locates the chain; integer epoch-ms
+    deltas, exact sort-based percentile, whitelisted 1-row summary."""
+    e = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp_ltz"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ms).alias("first_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(ms).alias("first_purchase"))
+    )
+    d = (
+        v.join(p, "user_id")
+        .filter(F.col("first_purchase") >= F.col("first_view"))
+        .select((F.col("first_purchase") - F.col("first_view")).alias("lat_ms"))
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lat_ms").alias("min_ms"),
+        F.expr("percentile(lat_ms, 0.5)").alias("median_ms"),
+        F.expr("percentile(lat_ms, 0.9)").alias("p90_ms"),
+    )

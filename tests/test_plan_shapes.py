@@ -342,6 +342,8 @@ _EXPECTED_FLAGS = {
     "q_purchase_intervals": {"single-partition"},
     # 1-row Gini summary after the distributed global rank
     "q_gini_spend": {"single-partition"},
+    # 1-row latency percentile summary
+    "q_conversion_latency": {"single-partition"},
     # 1-row min/max bounds feeding the month spine
     "q_gapfill_monthly": {"single-partition"},
 }
