@@ -1539,3 +1539,30 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(lat_ms, 0.5)").alias("median_ms"),
         F.expr("percentile(lat_ms, 0.9)").alias("p90_ms"),
     )
+
+
+@query(
+    "q_json_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+               THEN 1 ELSE 0 END) AS missing_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semistructured rollup: aggregate a numeric field extracted
+    from raw JSON strings, with missing-key accounting — the shape of
+    analytics over an un-modeled properties column. The extraction
+    runs inside the scan projection (codegen), so at 100 TB this is
+    one pass + one event-type shuffle; no JSON parse ever leaves the
+    executor."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("missing_k"),
+    )
