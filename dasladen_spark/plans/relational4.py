@@ -1566,3 +1566,34 @@ def q_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("k_sum"),
         F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("missing_k"),
     )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS rolling_median
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the trailing 5 readings per user — the
+    robust smoother dashboards use where a moving AVERAGE chases
+    outliers. An order statistic over a sliding ROWS frame: exact
+    sort-based percentile per frame (Spark `percentile` ≡
+    quantile_cont, linear interpolation on the same rank formula),
+    one user-key shuffle."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.expr("percentile(value, 0.5)").over(w).alias("rolling_median"),
+    )
