@@ -1054,3 +1054,29 @@ def kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "embedding_vector_stats",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(list_min(embedding) AS DOUBLE) AS mn,
+           CAST(list_max(embedding) AS DOUBLE) AS mx
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row vector hygiene stats (dimension, component min/max)
+    via higher-order array functions — the sanity scan run before
+    any embedding pipeline (NaN/degenerate-range detection). min/max
+    are order-independent selections, so float32 components compare
+    exactly (cast to double is value-preserving); narrow projection,
+    pushed-down id filter, zero shuffle."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_min("embedding").cast("double").alias("mn"),
+        F.array_max("embedding").cast("double").alias("mx"),
+    )
