@@ -2,8 +2,13 @@
 
 Runs every `queries()` entry on Spark and its `oracle_sql()` on
 DuckDB at the given sf_dir, then compares row count, schema shape,
-and order-insensitive values (columns sorted by name, rows sorted,
-exact match for non-floats, tight + exact reporting for floats).
+and an order-insensitive VALUE HASH: columns sorted by name, rows
+sorted, every cell rendered to a canonical string.  Two frames match
+only if the rendered bytes are identical — a Spark `Decimal` vs an
+oracle float64, or int64 vs float64, is a FAIL even when the values
+are numerically equal (this mirrors the driver's hash, which r01
+showed distinguishes representations; the old cross-type
+float(x)==float(y) fallback masked 18 graded failures).
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
@@ -37,18 +42,45 @@ def duck_conn(sf_dir: str):
     return con
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # normalize cell values to comparable primitives
-    def norm(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return None
-        return v
+def render_cell(v) -> str:
+    """Canonical string for one cell — representation-sensitive.
 
-    df = df.map(norm)
-    return df.sort_values(by=list(df.columns), key=lambda s: s.map(repr)).reset_index(
-        drop=True
-    )
+    None/NaN/NaT unify to '∅' (both engines may surface SQL NULL
+    differently), floats render via repr (bit-exact for float64),
+    numpy scalars unwrap via .item() so int64(3) == int(3), and
+    everything else falls back to repr of the python object — so a
+    decimal.Decimal, date-vs-datetime, or str-vs-bytes difference is
+    visible exactly as a hash would see it.
+    """
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        return "∅" if math.isnan(v) else repr(v)
+    item = getattr(v, "item", None)
+    if item is not None and not isinstance(v, (bytes, str)):
+        try:
+            v = v.item()
+        except (ValueError, TypeError):
+            pass
+        if isinstance(v, float):
+            return "∅" if math.isnan(v) else repr(v)
+    if v is pd.NaT or (isinstance(v, pd.Timestamp) and pd.isna(v)):
+        return "∅"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(render_cell(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v!r}"
+
+
+def render(df: pd.DataFrame) -> list[str]:
+    """Order-insensitive canonical lines: columns sorted by name, each
+    row rendered, rows sorted."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = [
+        "|".join(render_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return rows
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
@@ -61,29 +93,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     if problems:
         return problems
-    a, b = canon(spark_pdf), canon(duck_pdf)
-    for col in a.columns:
-        av, bv = a[col].tolist(), b[col].tolist()
-        n_exact = 0
-        first_bad = None
-        for x, y in zip(av, bv):
-            same = repr(x) == repr(y)
-            if not same and isinstance(x, float) and isinstance(y, float):
-                same = x == y  # repr differs but values equal
-            if not same and x is not None and y is not None:
-                # decimal vs float cross-type
-                try:
-                    same = float(x) == float(y)
-                except (TypeError, ValueError):
-                    same = False
-            if same:
-                n_exact += 1
-            elif first_bad is None:
-                first_bad = (x, y)
-        if n_exact != len(av):
-            problems.append(
-                f"col {col}: {len(av) - n_exact}/{len(av)} mismatched, first={first_bad!r}"
-            )
+    a, b = render(spark_pdf), render(duck_pdf)
+    n_bad = sum(1 for x, y in zip(a, b) if x != y)
+    if n_bad:
+        first = next((x, y) for x, y in zip(a, b) if x != y)
+        problems.append(
+            f"{n_bad}/{len(a)} rendered rows differ, first:\n"
+            f"    spark={first[0][:300]}\n    duck ={first[1][:300]}"
+        )
     return problems
 
 
