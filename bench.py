@@ -63,14 +63,31 @@ def main() -> None:
 
     spark.range(1000, numPartitions=32).select(F.sum(_warm("id"))).collect()
 
+    # median-of-N per query: single-run timings on UDF-heavy queries
+    # showed ±2.9× run-to-run swings (GC / Python-worker reuse), which
+    # is unusable as a regression gate.  The median of 3 in-process
+    # repetitions is stable to a few percent; the spread is reported
+    # so a noisy machine is visible in the output rather than silently
+    # blamed on the code.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+        samples = []
+        n = 0
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            samples.append(round(time.time() - t0, 3))
+        samples.sort()
+        times[name] = samples[len(samples) // 2]
+        spread[name] = [samples[0], samples[-1]]
+        print(
+            f"# {name}: {n} rows, median {times[name]}s "
+            f"(min {samples[0]}s max {samples[-1]}s, n={reps})",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 3)
     print(
@@ -80,6 +97,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
+                "reps": reps,
                 "sf": sf,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
             }

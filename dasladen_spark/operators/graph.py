@@ -15,8 +15,14 @@ with localCheckpoint so 20 iterations don't build a 20-deep plan.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """Iterative algorithm hit its iteration cap before fixpoint."""
 
 
 def connected_components(
@@ -24,10 +30,18 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """(src, dst) pairs → (id, component) with component = the
     smallest node id reachable from ``id``. Deterministic; nodes
-    include every id on either side of any edge."""
+    include every id on either side of any edge.
+
+    Label propagation needs ~diameter iterations; a high-diameter
+    graph (a chain longer than ``max_iter``) would otherwise return
+    SILENTLY SPLIT clusters. ``on_nonconverged`` controls the exit
+    when labels are still changing at the cap: "raise" (default)
+    aborts with ConvergenceError, "warn" returns the partial labels
+    with a warning — never silent."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -38,6 +52,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.a == labels.id)
@@ -63,6 +78,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise "
+            f"max_iter (graph diameter exceeds it)"
+        )
+        if on_nonconverged == "warn":
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        else:
+            raise ConvergenceError(msg)
     return labels
 
 

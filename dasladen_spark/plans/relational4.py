@@ -482,8 +482,9 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT c_custkey) AS d_custkey,
            COUNT(DISTINCT c_nationkey) AS d_nationkey,
            COUNT(DISTINCT c_mktsegment) AS d_mktsegment,
-           SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS null_name,
-           SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_name,
+           CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS null_mktsegment,
            MIN(c_acctbal) AS min_acctbal,
            MAX(c_acctbal) AS max_acctbal,
@@ -612,7 +613,7 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * (t1 - t0))
                 AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
              / CAST(SUM(t1 - t0) AS DOUBLE) AS twap_value,
-           SUM(t1 - t0) AS total_ms
+           CAST(SUM(t1 - t0) AS BIGINT) AS total_ms
     FROM seq WHERE t1 IS NOT NULL
     GROUP BY user_id
     """,
@@ -662,9 +663,9 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d
     )
     SELECT CAST(d AS TIMESTAMP) AS day, new_users,
-           SUM(new_users) OVER (
+           CAST(SUM(new_users) OVER (
              ORDER BY d ROWS UNBOUNDED PRECEDING
-           ) AS cum_users
+           ) AS BIGINT) AS cum_users
     FROM per_day
     """,
 )
@@ -892,7 +893,8 @@ def q_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, g, MIN(s) AS ms, MAX(e) AS me
       FROM grp GROUP BY user_id, g
     )
-    SELECT user_id, COUNT(*) AS n_intervals, SUM(me - ms) AS covered_ms
+    SELECT user_id, COUNT(*) AS n_intervals,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_ms
     FROM merged GROUP BY user_id
     """,
 )
@@ -1060,10 +1062,10 @@ def q_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
     )
     SELECT CAST(a.day AS TIMESTAMP) AS day,
-           SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
-             AS new_users,
-           SUM(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END)
-             AS returning_users
+           CAST(SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS returning_users
     FROM a JOIN f USING (user_id)
     GROUP BY a.day
     """,
@@ -1109,8 +1111,8 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM supplier
     )
     SELECT src, COUNT(*) AS n,
-           SUM(CASE WHEN balance IS NULL THEN 1 ELSE 0 END)
-             AS missing_balance,
+           CAST(SUM(CASE WHEN balance IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS missing_balance,
            COUNT(DISTINCT id) AS distinct_ids
     FROM u GROUP BY src
     """,
@@ -1546,9 +1548,10 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
-           SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
-               THEN 1 ELSE 0 END) AS missing_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS k_sum,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS missing_k
     FROM events GROUP BY event_type
     """,
 )

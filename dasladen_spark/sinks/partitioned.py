@@ -69,11 +69,22 @@ def compact(
         )
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    # tmp is fully materialized before the original is touched
+    # tmp is fully materialized before the original is touched; the
+    # swap is two renames with the original parked at .bak, so a crash
+    # at ANY point leaves a complete copy readable (at path or .bak) —
+    # an rmtree-then-rename window would lose the canonical path
     import shutil
 
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    bak = path.rstrip("/") + ".compact.bak"
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    os.rename(path, bak)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(bak, path)  # roll the original back into place
+        raise
+    shutil.rmtree(bak)
     written = 0
     for root, _dirs, files in os.walk(path):
         written += sum(1 for f in files if f.endswith(".parquet"))

@@ -59,32 +59,52 @@ RUNNING_STATS_SCHEMA = (
 _STATE_SCHEMA = "n bigint, total double, mx double"
 
 
-def _running_stats_fn(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold each micro-batch into (count, sum, max) state and emit
-    the updated running totals for the key."""
-    if state.hasTimedOut:
-        state.remove()
-        return
-    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
-    for pdf in pdfs:
-        vals = pdf["value"].astype("float64")
-        n += int(len(vals))
-        total += float(vals.sum())
-        if len(vals):
-            mx = max(mx, float(vals.max()))
-    state.update((n, total, mx))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "total_value": [total],
-            "max_value": [mx],
-        }
-    )
+def _make_running_stats_fn(timeout_ms: int | None):
+    """Build the per-key fold. A closure (not a module-level fn) so
+    the timeout duration travels to the executors with the function:
+    the timeout must be re-armed via ``state.setTimeoutDuration`` on
+    EVERY invocation for the key — selecting ProcessingTimeTimeout on
+    the query alone never expires anything."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle key: emit its final totals once, then drop the
+            # state row — the bounded-state guarantee
+            n, total, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx],
+                }
+            )
+            return
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            vals = pdf["value"].astype("float64")
+            n += int(len(vals))
+            total += float(vals.sum())
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+        state.update((n, total, mx))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx],
+            }
+        )
+
+    return fn
 
 
 def running_user_stats(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
@@ -92,8 +112,9 @@ def running_user_stats(events: DataFrame, timeout_ms: int | None = None) -> Data
     a custom stateful aggregate via ``applyInPandasWithState``.
 
     State is one fixed-width row per user (bounded); an optional
-    processing-time timeout expires idle keys so a 100 TB keyspace
-    can't pin state forever. Input needs (user_id, value) columns."""
+    processing-time timeout expires idle keys (final row emitted,
+    state removed) so a 100 TB keyspace can't pin state forever.
+    Input needs (user_id, value) columns."""
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if timeout_ms
@@ -103,7 +124,7 @@ def running_user_stats(events: DataFrame, timeout_ms: int | None = None) -> Data
         events.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _running_stats_fn,
+            _make_running_stats_fn(timeout_ms),
             outputStructType=RUNNING_STATS_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",

@@ -125,14 +125,32 @@ _PY2SQL = [
 ]
 
 
+#: a single- or double-quoted string literal (with backslash escapes)
+_STR_LIT_RE = re.compile(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"")
+
+
 def compile_filter_expr(expr: str) -> str:
     """Translate a petl-style filter string ("{qty} > 2 and {flag} ==
     'R'") to a Spark SQL predicate. `not` is handled by SQL's own NOT
-    (same spelling)."""
-    sql = _FIELD_RE.sub(lambda m: f"`{m.group(1)}`", expr)
+    (same spelling).
+
+    String literals are tokenized out before the operator rewrite and
+    spliced back after, so `{company} == 'Smith and Sons'` keeps its
+    literal intact — rewriting inside quotes would corrupt any value
+    containing `and`/`or`/`None`/`True`/`==` (petl evaluates the whole
+    expression in Python where quoting already protects literals;
+    this reproduces that boundary)."""
+    literals: list[str] = []
+
+    def _stash(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    masked = _STR_LIT_RE.sub(_stash, expr)
+    sql = _FIELD_RE.sub(lambda m: f"`{m.group(1)}`", masked)
     for pat, repl in _PY2SQL:
         sql = pat.sub(repl, sql)
-    return sql
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], sql)
 
 
 # ---------------------------------------------------- module transforms

@@ -460,6 +460,38 @@ def test_connected_components_known_graph(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """A path graph with diameter > max_iter must NOT silently return
+    split clusters: default mode raises, warn mode warns and returns
+    the partial labels."""
+    import warnings
+
+    import pytest
+
+    from dasladen_spark.operators.graph import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    # a 12-node chain: min-label needs ~11 hops to reach the far end
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    with pytest.raises(ConvergenceError):
+        connected_components(edges, max_iter=3)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        partial = connected_components(edges, max_iter=3, on_nonconverged="warn")
+        assert partial.count() == 13
+        assert any("did not converge" in str(x.message) for x in w)
+    # and with enough iterations the same graph converges cleanly
+    full = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, max_iter=15).collect()
+    }
+    assert set(full.values()) == {0}
+
+
 def test_asof_join_broadcast_matches_union_window(spark, sf_dir):
     """The broadcast merge_asof variant must produce the same rows as
     the general union+window as-of join (same semantics, different

@@ -187,6 +187,39 @@ def test_compact_reduces_file_count(spark, tmp_path):
     assert spark.read.parquet(out).count() == rows_before
 
 
+def test_compact_crash_between_renames_keeps_data_readable(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the swap between rename-to-backup and rename-into-place:
+    the canonical path must still hold the complete original data
+    (rolled back), never a missing/partial dataset."""
+    import os as _os
+
+    from dasladen_spark.session import load_table
+    from dasladen_spark.sinks.partitioned import compact
+
+    out = str(tmp_path / "frag2")
+    load_table(spark, SF, "orders").repartition(16).write.parquet(out)
+    rows_before = spark.read.parquet(out).count()
+
+    real_rename = _os.rename
+
+    def failing_rename(src, dst):
+        if src.endswith(".compact.tmp"):
+            raise OSError("simulated crash mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        compact(spark, out, target_mb=128)
+    monkeypatch.undo()
+
+    assert spark.read.parquet(out).count() == rows_before
+    # and a clean retry still compacts
+    assert compact(spark, out, target_mb=128) < 8
+    assert spark.read.parquet(out).count() == rows_before
+
+
 def test_write_sorted_produces_globally_ordered_files(spark, tmp_path):
     """Part files from write_sorted must tile the keyspace: each
     file internally sorted AND file ranges non-overlapping — global
@@ -279,6 +312,27 @@ def test_write_zordered_skips_files_on_any_clustered_column(spark, tmp_path):
     assert lin_frac >= 0.9          # single-col sort: no skipping on col 2
     assert zo_frac <= 0.5           # z-order: most files pruned
     assert spark.read.parquet(zo).count() == n_rows
+
+
+def test_embedding_cluster_pairs_use_lsh_not_allpairs(spark):
+    """dedup_clusters_embedding generates candidate pairs with the
+    LSH bucket equi-join; the sweep test below can't see inside the
+    label-propagation loop (checkpointed lineage), so assert the pair
+    stage directly: no cartesian/non-equi self-join anywhere."""
+    from dasladen_spark.operators.dedup import embedding_near_dup_pairs
+    from dasladen_spark.session import load_table
+
+    pairs = embedding_near_dup_pairs(
+        load_table(spark, SF, "embeddings"),
+        "embedding",
+        "vec_id",
+        threshold=0.8,
+        method="lsh",
+        num_tables=16,
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_decontaminate_broadcasts_benchmark_ngrams(spark):

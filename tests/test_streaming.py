@@ -155,6 +155,58 @@ def test_running_user_stats_accumulates_across_microbatches(spark, tmp_path):
     assert latest[2] == (1, 5.0, 5.0)
 
 
+def test_running_user_stats_timeout_drops_idle_state(spark, tmp_path):
+    """An idle key must EXPIRE: after the processing-time timeout
+    elapses, the next micro-batch fires hasTimedOut for it (final row
+    emitted, state removed), so a later event for that key restarts
+    its counts from zero instead of resuming — the proof that state
+    is bounded rather than pinned forever."""
+    import time as _time
+
+    from dasladen_spark.streaming.stateful import running_user_stats
+
+    src = tmp_path / "vals_to"
+    src.mkdir()
+    schema = "user_id BIGINT, value DOUBLE"
+    emitted: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend(
+            (r["user_id"], r["n_events"]) for r in batch_df.collect()
+        )
+
+    def drain():
+        s = (
+            spark.readStream.schema(schema)
+            .option("sep", ";")
+            .option("header", True)
+            .csv(str(src))
+        )
+        q = (
+            running_user_stats(s, timeout_ms=500)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_to"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (src / "b1.csv").write_text("user_id;value\n1;10.0\n1;20.0\n")
+    drain()
+    assert (1, 2) in emitted  # user 1 accumulated two events
+
+    _time.sleep(1.5)  # let user 1's 500 ms processing-time timeout lapse
+    (src / "b2.csv").write_text("user_id;value\n2;5.0\n")
+    drain()  # this batch fires hasTimedOut for idle user 1
+
+    (src / "b3.csv").write_text("user_id;value\n1;30.0\n")
+    drain()
+    # state was removed at timeout: user 1 restarts at 1, not 3
+    assert emitted[-1] == (1, 1) or (1, 1) in emitted[len(emitted) - 2 :]
+    assert (1, 3) not in emitted
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     from dasladen_spark.streaming.stateful import streaming_dedup
 

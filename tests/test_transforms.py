@@ -57,6 +57,49 @@ def test_filter_expr_translation():
     assert compile_filter_expr("not {done} == True") == "not `done` = true"
 
 
+def test_filter_expr_keywords_inside_string_literals_untouched():
+    """Operator rewriting must never reach inside quoted literals
+    (ref task.py:151-152 evaluates petl selects in Python, where
+    quoting protects them)."""
+    assert (
+        compile_filter_expr("{company} == 'Smith and Sons'")
+        == "`company` = 'Smith and Sons'"
+    )
+    assert (
+        compile_filter_expr("{v} == 'None' or {w} == 'True or False'")
+        == "`v` = 'None' OR `w` = 'True or False'"
+    )
+    assert (
+        compile_filter_expr('{v} == "a == b and c"') == '`v` = "a == b and c"'
+    )
+    # escaped quote inside the literal stays a literal
+    assert (
+        compile_filter_expr(r"{v} == 'it\'s None and True'")
+        == r"`v` = 'it\'s None and True'"
+    )
+
+
+def test_filter_expr_literal_roundtrip_hypothesis():
+    """Any literal body (keywords, operators, spaces) survives the
+    compile untouched, while the surrounding expression still
+    rewrites."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    body = st.text(
+        alphabet="abc AndOrNoneTrueFalse=!<>()_0123456789.",
+        min_size=0,
+        max_size=40,
+    )
+
+    @given(body)
+    def check(s):
+        got = compile_filter_expr(f"{{f}} == '{s}' and {{g}} is None")
+        assert got == f"`f` = '{s}' AND `g` IS NULL"
+
+    check()
+
+
 def test_transform_order_filter_sees_converted_prerename(spark, df):
     """The reference applies convert before filter, and filter uses
     pre-rename names (task.py:142-166)."""
