@@ -86,15 +86,22 @@ class Connection:
         return _JDBC_URLS[self.driver].format(**cfg)
 
     def jdbc_options(self) -> dict[str, str]:
+        user = str(resolve_env(self.config.get("user", "")))
         opts = {
             "url": self.jdbc_url(),
             "driver": _JDBC_DRIVERS[self.driver],
-            "user": str(resolve_env(self.config.get("user", ""))),
+            "user": user,
             "password": str(resolve_env(self.config.get("pass", ""))),
             # batched writes — the executemany/execute_batch parity
             # (taskdriver.py:175-185), but per-partition and parallel
             "batchsize": str(self.config.get("batchsize", 10000)),
         }
+        if self.driver == "MSSQL" and not user:
+            # empty user → OS authentication, the reference's
+            # Trusted_Connection=yes branch (taskdriver.py:118-123);
+            # the JDBC spelling is integratedSecurity
+            del opts["user"], opts["password"]
+            opts["integratedSecurity"] = "true"
         init = self.config.get("initializing") or []
         if init:
             opts["sessionInitStatement"] = "; ".join(init)

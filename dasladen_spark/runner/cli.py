@@ -21,6 +21,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-watch-time", dest="watch_time", type=int, default=10)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--no-init", action="store_true", help="skip folder creation")
+    ap.add_argument(
+        "--no-log",
+        dest="no_log",
+        action="store_true",
+        help="disable per-task log files (ref base.py:34)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("dasladen-spark-runner")
@@ -36,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
         input_path=os.path.join(base, "input"),
         output_path=os.path.join(base, "output"),
         module_path=os.path.join(base, "module"),
+        log_dir=os.path.join(base, "log"),
+        file_log=not args.no_log,
     )
     sys.path.append(watcher.module_path)  # user transforms (base.py:55)
 

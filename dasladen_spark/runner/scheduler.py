@@ -49,11 +49,19 @@ def next_fire(schedule: dict, now: dt.datetime) -> dt.datetime | None:
 
     at = _parse_time(schedule.get("time"))
     if freq == "daily":
+        # every-N-days (ref processor.py:76-80: "days" count, default
+        # 1): first fire at the next at-time, then N-day strides —
+        # next_fire is re-invoked with the fire instant as `now`, so
+        # the stride lands by skipping N days once today's slot passed
+        n_days = int(schedule.get("days", 1))
         candidate = dt.datetime.combine(now.date(), at)
         if candidate <= now:
-            candidate += dt.timedelta(days=1)
+            candidate += dt.timedelta(days=n_days)
         return candidate
     if freq == "weekly":
+        # every-N-weeks (ref processor.py:82-112: "weeks" count):
+        # the next wanted weekday, pushed out (N-1) extra weeks
+        n_weeks = int(schedule.get("weeks", 1))
         days = schedule.get("weekday") or _WEEKDAYS
         wanted = {_WEEKDAYS.index(d.lower()) for d in days}
         for offset in range(8):
@@ -61,7 +69,7 @@ def next_fire(schedule: dict, now: dt.datetime) -> dt.datetime | None:
             if day.weekday() in wanted:
                 candidate = dt.datetime.combine(day, at)
                 if candidate > now:
-                    return candidate
+                    return candidate + dt.timedelta(weeks=n_weeks - 1)
         return None
     raise ValueError(f"unknown frequency {freq!r}")
 

@@ -28,6 +28,8 @@ class Watcher:
         output_path: str = "output",
         module_path: str = "module",
         log=print,
+        log_dir: str = "log",
+        file_log: bool = True,
     ):
         self.spark = spark
         self.capture = capture_path
@@ -35,6 +37,8 @@ class Watcher:
         self.output_path = output_path
         self.module_path = module_path
         self.log = log
+        self.log_dir = log_dir
+        self.file_log = file_log
         for d in (capture_path, input_path, output_path, module_path):
             os.makedirs(d, exist_ok=True)
         self._snapshot = set(os.listdir(self.capture))
@@ -111,16 +115,24 @@ class Watcher:
             os.remove(path)
 
     def _run_task_file(self, path: str) -> None:
+        from dasladen_spark.runner.tasklog import TaskLog
+
+        key = os.path.splitext(os.path.basename(path))[0]
         try:
             runner = Runner(path)
-            TaskRunner(
-                self.spark,
-                runner,
-                input_path=self.input_path,
-                output_path=self.output_path,
-                module_path=self.module_path,
-                log=self.log,
-            ).run_with_schedule()
+            # per-task-file log (ref log.py:16-27, base.py:43-48):
+            # one timestamped file per task key, console mirrored
+            with TaskLog(
+                key, self.log_dir, to_file=self.file_log, console=self.log
+            ) as tlog:
+                TaskRunner(
+                    self.spark,
+                    runner,
+                    input_path=self.input_path,
+                    output_path=self.output_path,
+                    module_path=self.module_path,
+                    log=tlog,
+                ).run_with_schedule()
         finally:
             # task files are consumed (processor.py:186)
             if os.path.exists(path):

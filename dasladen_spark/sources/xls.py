@@ -33,9 +33,17 @@ def read_xls(
     path: str,
     sheet: str | int | None = None,
     all_strings: bool = True,
+    use_view: bool = True,
 ) -> DataFrame:
     """Read one sheet (name, index, or first). all_strings mirrors the
-    engine's CSV policy: values land as strings, `convert` types them."""
+    engine's CSV policy: values land as strings, `convert` types them.
+
+    ``use_view`` is the reference's xlview flag (task.py:328: petl
+    ``fromxls(..., use_view=True)`` reads FORMATTED cell values via
+    xlutils.view; False reads raw stored values). pandas' readers
+    return converted values either way, so True is the natural mode;
+    False additionally strips pandas' date coercion by reading
+    everything as object — the closest raw-cell analogue."""
     if not excel_available():
         raise RuntimeError(
             "no Excel engine installed (openpyxl/xlrd); install one to use"
@@ -43,7 +51,8 @@ def read_xls(
         )
     import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=0 if sheet is None else sheet)
+    kwargs = {} if use_view else {"dtype": object}
+    pdf = pd.read_excel(path, sheet_name=0 if sheet is None else sheet, **kwargs)
     if all_strings:
         pdf = pdf.astype("string").where(pdf.notna(), None)
     return spark.createDataFrame(pdf)

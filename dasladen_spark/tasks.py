@@ -20,6 +20,7 @@ from __future__ import annotations
 import importlib
 import os
 import sys
+import threading
 import zipfile
 from dataclasses import dataclass, field
 from typing import Callable
@@ -104,7 +105,12 @@ def _read_source(ctx: TaskContext, task: dict) -> DataFrame | None:
             mapping=src.get("mapping"),
         )
     if kind == "xls":
-        return read_xls(ctx.spark, _src_path(ctx, src), sheet=src.get("sheet"))
+        return read_xls(
+            ctx.spark,
+            _src_path(ctx, src),
+            sheet=src.get("sheet"),
+            use_view=bool(src.get("use_view", True)),
+        )
     if kind == "json":
         # JSON-lines by default (the splittable, scale-friendly form);
         # multiline=true opts into whole-file parsing for pretty JSON.
@@ -154,14 +160,68 @@ def _write_sink(ctx: TaskContext, task: dict, df: DataFrame) -> None:
         raise ValueError(f"unknown sink kind {kind!r}")
 
 
+def _progress_counted(df: DataFrame, acc) -> DataFrame:
+    """Arrow passthrough that counts rows into a Spark accumulator —
+    the distributed stand-in for petl's row-at-a-time ``.progress()``
+    meter. Batch-level adds only; the frame itself is untouched."""
+
+    schema = df.schema
+
+    def passthrough(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    return df.mapInPandas(passthrough, schema)
+
+
 def run_etl(ctx: TaskContext, task: dict) -> None:
     """All seven source×sink ETL shapes share this pipeline
-    (task.py §2.5); one lazy plan end-to-end."""
+    (task.py §2.5); one lazy plan end-to-end.
+
+    Progress meter parity (ref task.py:197-202: petl logs every
+    10,000 rows into the per-task log): executor tasks count written
+    rows into an accumulator; a driver-side poller narrates each
+    crossed 10k boundary WHILE the write runs. Accumulator updates
+    arrive on task completion, so lines appear per finished partition
+    — the distributed analogue of a row counter, costing one Arrow
+    passthrough and no extra pass. ``"progress": 0`` in the task
+    disables it (and the passthrough) entirely."""
     df = _read_source(ctx, task)
     if df.isEmpty():  # single-read short-circuit (fix of §4.8)
         ctx.log(f"task {task.get('name')}: empty source, skipping write")
         return
-    _write_sink(ctx, task, _transformed(ctx, task, df))
+    out = _transformed(ctx, task, df)
+    every = int(task.get("progress", 10000))
+    if not every:
+        _write_sink(ctx, task, out)
+        return
+    acc = ctx.spark.sparkContext.accumulator(0)
+    out = _progress_counted(out, acc)
+    stop = threading.Event()
+    name = task.get("name")
+    state = {"reported": 0}
+
+    def emit_crossings():
+        n = acc.value // every * every
+        while state["reported"] < n:
+            state["reported"] += every
+            ctx.log(f"task {name}: {state['reported']} rows")
+
+    def poll():
+        while not stop.is_set():
+            emit_crossings()
+            stop.wait(0.2)
+
+    poller = threading.Thread(target=poll, daemon=True)
+    poller.start()
+    try:
+        _write_sink(ctx, task, out)
+    finally:
+        stop.set()
+        poller.join(timeout=2)
+    emit_crossings()  # late accumulator updates land here, always
+    ctx.log(f"task {name}: wrote {acc.value} rows")
 
 
 # ------------------------------------------------------ control-plane
@@ -174,16 +234,28 @@ def run_sql_exec(ctx: TaskContext, task: dict) -> None:
     conn.execute_sql(ctx.spark, _parse_sql(ctx, src))
 
 
+def _cp437_member_name(name: str) -> str:
+    """Member names restricted to cp437 (ref task.py:461-463): legacy
+    zip consumers read names as cp437, so any character outside it
+    becomes '_' — keeping the name's byte form stable everywhere."""
+    # encode-with-replace turns non-cp437 chars into '?', then '?'→'_'
+    # (literal '?' too, exactly as the reference's translate does)
+    return (
+        name.encode("cp437", errors="replace").decode("cp437").replace("?", "_")
+    )
+
+
 def run_zip(ctx: TaskContext, task: dict) -> None:
     """Zip files from the source folder (fixes §4.7: reads members
-    from the SOURCE path, not the target)."""
+    from the SOURCE path, not the target); member names are cp437-
+    sanitized like the reference's _encode_cp437."""
     src, tgt = task["source"], task["target"]
     src_dir = src.get("path", ctx.output_path)
     out = os.path.join(tgt.get("path", ctx.output_path), tgt["file"])
     files = src["files"] if isinstance(src.get("files"), list) else [src["file"]]
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
         for fn in files:
-            zf.write(os.path.join(src_dir, fn), arcname=fn)
+            zf.write(os.path.join(src_dir, fn), arcname=_cp437_member_name(fn))
     if src.get("remove_after"):
         for fn in files:
             os.remove(os.path.join(src_dir, fn))

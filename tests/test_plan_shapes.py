@@ -314,6 +314,37 @@ def test_write_zordered_skips_files_on_any_clustered_column(spark, tmp_path):
     assert spark.read.parquet(zo).count() == n_rows
 
 
+def test_text_corpus_cleanup_two_wide_stages_only(spark):
+    """The cleanup pipeline's docstring claims exactly two shuffles
+    (fingerprint dedup window + final rollup); a refactor that adds a
+    third wide stage silently doubles the 100 TB bill."""
+    plan = plan_of(spark, "text_corpus_cleanup")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_ann_cosine_topk_broadcasts_queries(spark):
+    """Exact ANN baseline: the query set must BROADCAST against the
+    corpus scan. The only allowed wide exchanges are (a) the final
+    per-query top-k on query_id and (b) the explicit local-mode
+    spread (REPARTITION_BY_NUM — a no-op when the corpus scan already
+    yields enough splits); any ENSURE_REQUIREMENTS shuffle of the
+    corpus would be the scale-killer."""
+    plan = plan_of(spark, "ann_cosine_topk")
+    assert "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "REPARTITION_BY_NUM" not in line:
+            assert "query_id" in line, "unexpected corpus shuffle:\n" + line
+
+
+def test_dedup_minhash_lsh_single_wide_bucket_join(spark):
+    """MinHash-LSH pair generation: one banded-bucket shuffle feeds
+    the in-bucket pair expansion; the signature UDF must not force a
+    second full-corpus exchange."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_embedding_cluster_pairs_use_lsh_not_allpairs(spark):
     """dedup_clusters_embedding generates candidate pairs with the
     LSH bucket equi-join; the sweep test below can't see inside the

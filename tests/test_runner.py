@@ -100,6 +100,7 @@ def watch_env(spark, tmp_path):
         output_path=str(tmp_path / "output"),
         module_path=str(tmp_path / "module"),
         log=lambda m: None,
+        log_dir=str(tmp_path / "log"),
     )
     return w, tmp_path
 
@@ -161,6 +162,86 @@ def test_watcher_zip_package_intake(watch_env):
     w.process_file(str(pkg))
     out = (tmp / "output" / "out.csv").read_text().strip().splitlines()
     assert out == ["id;v", "7;z"]
+
+
+def test_next_fire_every_n_days_and_weeks():
+    now = dt.datetime(2026, 8, 13, 10, 0)  # a Thursday
+    # every-3-days: today's slot passed -> 3-day stride (ref
+    # processor.py:76-80)
+    sched = {"recurring": True, "frequency": "daily", "days": 3, "time": "09:00"}
+    n = next_fire(sched, now)
+    assert n == dt.datetime(2026, 8, 16, 9, 0)
+    # and the stride repeats from each fire instant
+    n2 = next_fire(sched, n)
+    assert n2 == dt.datetime(2026, 8, 19, 9, 0)
+    # every-2-weeks on friday: next friday + 1 extra week (ref
+    # processor.py:82-112 via schedule.every(2).friday)
+    n = next_fire(
+        {"recurring": True, "frequency": "weekly", "weeks": 2,
+         "weekday": ["friday"], "time": "08:00"},
+        now,
+    )
+    assert n == dt.datetime(2026, 8, 21, 8, 0)
+
+
+def test_per_task_log_file_written(watch_env):
+    w, tmp = watch_env
+    (tmp / "input" / "src.csv").write_text("id;v\n1;a\n")
+    (tmp / "capture" / "nightly.json").write_text(
+        json.dumps(
+            {
+                "tasks": [
+                    {
+                        "name": "t",
+                        "type": "csv-csv",
+                        "source": {"file": "src.csv"},
+                        "target": {"file": "out.csv", "truncate": True},
+                    }
+                ]
+            }
+        )
+    )
+    w.check()
+    log_file = tmp / "log" / "nightly.log"
+    assert log_file.exists()
+    content = log_file.read_text()
+    assert "task t (csv-csv): start" in content
+    # every line is timestamped (ref log.py:23-24 format)
+    import re
+
+    for line in content.strip().splitlines():
+        assert re.match(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} ", line), line
+
+
+def test_no_log_disables_task_log_files(spark, tmp_path):
+    w = Watcher(
+        spark,
+        capture_path=str(tmp_path / "capture"),
+        input_path=str(tmp_path / "input"),
+        output_path=str(tmp_path / "output"),
+        module_path=str(tmp_path / "module"),
+        log=lambda m: None,
+        log_dir=str(tmp_path / "log"),
+        file_log=False,  # the --no-log path (ref base.py:34)
+    )
+    (tmp_path / "input" / "src.csv").write_text("id;v\n1;a\n")
+    (tmp_path / "capture" / "job.json").write_text(
+        json.dumps(
+            {
+                "tasks": [
+                    {
+                        "name": "t",
+                        "type": "csv-csv",
+                        "source": {"file": "src.csv"},
+                        "target": {"file": "out.csv", "truncate": True},
+                    }
+                ]
+            }
+        )
+    )
+    w.check()
+    assert (tmp_path / "output" / "out.csv").exists()
+    assert not (tmp_path / "log").exists()
 
 
 def test_cli_single_task_end_to_end(tmp_path):

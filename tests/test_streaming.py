@@ -157,10 +157,15 @@ def test_running_user_stats_accumulates_across_microbatches(spark, tmp_path):
 
 def test_running_user_stats_timeout_drops_idle_state(spark, tmp_path):
     """An idle key must EXPIRE: after the processing-time timeout
-    elapses, the next micro-batch fires hasTimedOut for it (final row
+    elapses, a later micro-batch fires hasTimedOut for it (final row
     emitted, state removed), so a later event for that key restarts
     its counts from zero instead of resuming — the proof that state
-    is bounded rather than pinned forever."""
+    is bounded rather than pinned forever.
+
+    Uses one continuously-running processingTime query: restarting
+    with availableNow while timeouts are armed trips a Spark 4.1.2
+    planner NPE (PythonSQLMetrics on a session-less plan node), and
+    timeouts are a continuous-query feature anyway."""
     import time as _time
 
     from dasladen_spark.streaming.stateful import running_user_stats
@@ -175,35 +180,47 @@ def test_running_user_stats_timeout_drops_idle_state(spark, tmp_path):
             (r["user_id"], r["n_events"]) for r in batch_df.collect()
         )
 
-    def drain():
-        s = (
-            spark.readStream.schema(schema)
-            .option("sep", ";")
-            .option("header", True)
-            .csv(str(src))
-        )
-        q = (
-            running_user_stats(s, timeout_ms=500)
-            .writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .option("checkpointLocation", str(tmp_path / "ck_to"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    s = (
+        spark.readStream.schema(schema)
+        .option("sep", ";")
+        .option("header", True)
+        .csv(str(src))
+    )
+    q = (
+        running_user_stats(s, timeout_ms=500)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_to"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
 
-    (src / "b1.csv").write_text("user_id;value\n1;10.0\n1;20.0\n")
-    drain()
-    assert (1, 2) in emitted  # user 1 accumulated two events
+        def wait_for(pred, timeout=60):
+            t0 = _time.time()
+            while _time.time() - t0 < timeout:
+                if pred():
+                    return True
+                _time.sleep(0.3)
+            return False
 
-    _time.sleep(1.5)  # let user 1's 500 ms processing-time timeout lapse
-    (src / "b2.csv").write_text("user_id;value\n2;5.0\n")
-    drain()  # this batch fires hasTimedOut for idle user 1
+        (src / "b1.csv").write_text("user_id;value\n1;10.0\n1;20.0\n")
+        assert wait_for(lambda: (1, 2) in emitted), emitted
 
-    (src / "b3.csv").write_text("user_id;value\n1;30.0\n")
-    drain()
-    # state was removed at timeout: user 1 restarts at 1, not 3
-    assert emitted[-1] == (1, 1) or (1, 1) in emitted[len(emitted) - 2 :]
+        _time.sleep(2.0)  # let user 1's 500 ms timeout lapse
+        # a new batch (any key) gives the engine a trigger to fire
+        # the expired key's hasTimedOut path
+        (src / "b2.csv").write_text("user_id;value\n2;5.0\n")
+        assert wait_for(lambda: (2, 1) in emitted), emitted
+
+        (src / "b3.csv").write_text("user_id;value\n1;30.0\n")
+        assert wait_for(
+            lambda: (1, 1) in emitted or (1, 3) in emitted
+        ), emitted
+    finally:
+        q.stop()
+    # state was removed at timeout: user 1 restarted at 1, not 3
+    assert (1, 1) in emitted
     assert (1, 3) not in emitted
 
 

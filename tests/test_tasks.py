@@ -85,6 +85,99 @@ def test_csv_append_without_header(spark, workdir):
     assert lines.count("1;a;1") == 2
 
 
+def test_mssql_trusted_connection_option_mapping():
+    """Empty user → OS auth: the reference builds
+    Trusted_Connection=yes (taskdriver.py:118-123); the JDBC bundle
+    must carry integratedSecurity=true and NO user/password keys."""
+    from dasladen_spark.connections import Connection
+
+    trusted = Connection(
+        {"name": "dw", "driver": "MSSQL", "host": "h", "database": "d",
+         "user": ""}
+    ).jdbc_options()
+    assert trusted["integratedSecurity"] == "true"
+    assert "user" not in trusted and "password" not in trusted
+
+    plain = Connection(
+        {"name": "dw", "driver": "MSSQL", "host": "h", "database": "d",
+         "user": "sa", "pass": "pw"}
+    ).jdbc_options()
+    assert "integratedSecurity" not in plain
+    assert plain["user"] == "sa" and plain["password"] == "pw"
+
+
+def test_progress_meter_logs_10k_increments(spark, workdir):
+    """run_etl narrates every 10k written rows into the task log (ref
+    task.py:197-202: petl .progress(10000)); the final total always
+    lands even when accumulator updates arrive after the write."""
+    n_rows = 25_000
+    lines = "\n".join(f"{i};v{i}" for i in range(n_rows))
+    (workdir / "input" / "big.csv").write_text(f"id;v\n{lines}\n")
+    logged: list[str] = []
+    TaskRunner(
+        spark,
+        Runner(
+            {
+                "tasks": [
+                    {
+                        "name": "big",
+                        "type": "csv-csv",
+                        "source": {"file": "big.csv"},
+                        "target": {"file": "out.csv", "truncate": True},
+                    }
+                ]
+            }
+        ),
+        input_path=str(workdir / "input"),
+        output_path=str(workdir / "output"),
+        module_path=str(workdir / "module"),
+        log=logged.append,
+    ).run()
+    assert "task big: 10000 rows" in logged
+    assert "task big: 20000 rows" in logged
+    assert "task big: wrote 25000 rows" in logged
+    out = (workdir / "output" / "out.csv").read_text().strip().splitlines()
+    assert len(out) == n_rows + 1  # the passthrough loses no rows
+
+
+def test_progress_meter_disabled_by_zero(spark, workdir):
+    write_csv_file(workdir / "input" / "src.csv", [(1, "a", 1)])
+    logged: list[str] = []
+    TaskRunner(
+        spark,
+        Runner(
+            {
+                "tasks": [
+                    {
+                        "name": "t",
+                        "type": "csv-csv",
+                        "progress": 0,
+                        "source": {"file": "src.csv"},
+                        "target": {"file": "out.csv", "truncate": True},
+                    }
+                ]
+            }
+        ),
+        input_path=str(workdir / "input"),
+        output_path=str(workdir / "output"),
+        module_path=str(workdir / "module"),
+        log=logged.append,
+    ).run()
+    assert (workdir / "output" / "out.csv").exists()
+    assert not any("rows" in m and "wrote" in m for m in logged)
+
+
+def test_zip_member_names_cp437_sanitized(spark, workdir):
+    """Non-cp437 member names become '_' in the archive (ref
+    task.py:461-463) so legacy consumers read stable names."""
+    from dasladen_spark.tasks import _cp437_member_name
+
+    assert _cp437_member_name("plain.csv") == "plain.csv"
+    assert _cp437_member_name("café.csv") == "café.csv"  # cp437 has é
+    assert _cp437_member_name("数据.csv") == "__.csv"
+    assert _cp437_member_name("wh?t.csv") == "wh_t.csv"
+
+
 def test_empty_source_short_circuit(spark, workdir):
     write_csv_file(workdir / "input" / "src.csv", [])
     run_tasks(
