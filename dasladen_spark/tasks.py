@@ -122,6 +122,8 @@ def _read_source(ctx: TaskContext, task: dict) -> DataFrame | None:
         return rd.json(_src_path(ctx, src))
     if kind == "parquet":
         return ctx.spark.read.parquet(_src_path(ctx, src))
+    if kind == "orc":
+        return ctx.spark.read.orc(_src_path(ctx, src))
     raise ValueError(f"unknown source kind {kind!r}")
 
 
@@ -156,6 +158,11 @@ def _write_sink(ctx: TaskContext, task: dict, df: DataFrame) -> None:
         if tgt.get("partition_by"):
             w = w.partitionBy(*tgt["partition_by"])
         w.parquet(_tgt_path(ctx, tgt))
+    elif kind == "orc":
+        w = df.write.mode("overwrite" if tgt.get("truncate") else "append")
+        if tgt.get("partition_by"):
+            w = w.partitionBy(*tgt["partition_by"])
+        w.orc(_tgt_path(ctx, tgt))
     else:
         raise ValueError(f"unknown sink kind {kind!r}")
 
@@ -459,9 +466,9 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
 }
 
 # Beyond the reference's seven ETL shapes: the full source×sink matrix
-# over the Spark-native formats (JSON-lines and parquet are what a
-# lakehouse pipeline actually moves; both splittable and columnar/
+# over the Spark-native formats (JSON-lines, parquet, and ORC are what
+# a lakehouse pipeline actually moves; all splittable and columnar/
 # row-streamed at any scale).
-for _s in ("csv", "db", "xml", "xls", "json", "parquet"):
-    for _t in ("csv", "db", "json", "parquet"):
+for _s in ("csv", "db", "xml", "xls", "json", "parquet", "orc"):
+    for _t in ("csv", "db", "json", "parquet", "orc"):
         TASK_TYPES.setdefault(f"{_s}-{_t}", run_etl)

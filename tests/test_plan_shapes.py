@@ -431,6 +431,10 @@ _EXPECTED_FLAGS = {
     "q_conversion_latency": {"single-partition"},
     # 1-row min/max bounds feeding the month spine
     "q_gapfill_monthly": {"single-partition"},
+    # OLS over the K-bounded (500-row) vocabulary frame
+    "text_zipf_slope": {"single-partition"},
+    # 1-row moment stats broadcast back over the norms projection
+    "embedding_norm_outliers": {"single-partition", "bnlj"},
 }
 
 

@@ -507,6 +507,37 @@ def test_json_parquet_csv_matrix(spark, workdir):
     assert set(out[1:]) == {"2;BETA;20", "3;GAMMA;30"}
 
 
+def test_orc_roundtrip_in_etl_matrix(spark, workdir):
+    """ORC joins the lakehouse matrix: csv→orc then orc→csv must
+    round-trip values through Spark's native (splittable, columnar)
+    ORC reader/writer."""
+    write_csv_file(workdir / "input" / "src.csv", [(1, "a", 10), (2, "b", 3)])
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "to_orc",
+                    "type": "csv-orc",
+                    "source": {"file": "src.csv"},
+                    "target": {"file": "data.orc", "truncate": True},
+                },
+                {
+                    "name": "back",
+                    "type": "orc-csv",
+                    "source": {"folder": str(workdir / "output"),
+                               "file": "data.orc"},
+                    "target": {"file": "back.csv", "truncate": True},
+                },
+            ]
+        },
+    )
+    out = (workdir / "output" / "back.csv").read_text().strip().splitlines()
+    assert out[0] == "id;name;qty"
+    assert set(out[1:]) == {"1;a;10", "2;b;3"}
+
+
 def test_profile_task_reports_per_column_stats(spark, workdir):
     """'profile' task: any source in, one aggregation pass, a
     per-column report (nulls / distincts / min / max) out through any
