@@ -224,6 +224,37 @@ def dedup_best_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sequence_gaps",
+    oracle="""
+    WITH ids AS (
+      SELECT DISTINCT o_orderkey AS id FROM orders
+      WHERE o_orderstatus = 'F'
+    ), d AS (
+      SELECT id, LEAD(id) OVER (ORDER BY id) AS nxt FROM ids
+    )
+    SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+           nxt - id - 1 AS gap_len
+    FROM d WHERE nxt - id > 1
+    """,
+)
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger completeness audit: every maximal run of order keys
+    missing from the 'F' (finished) ledger — the gap report an
+    append-only id space gets checked against after every load.
+
+    The oracle is the classic LEAD-over-global-order form; the Spark
+    plan is operators/sequence.sequence_gaps — range-partitioned
+    local leads + a partition-count-sized seam fold, NO single-task
+    global window (the thing the naive form would plan)."""
+    from dasladen_spark.operators.sequence import sequence_gaps
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return sequence_gaps(o, "o_orderkey")
+
+
+@query(
     "embedding_norm_outliers",
     oracle="""
     WITH norms AS (

@@ -492,6 +492,33 @@ def test_connected_components_nonconvergence_raises(spark):
     assert set(full.values()) == {0}
 
 
+def test_sequence_gaps_matches_naive_with_seams(spark):
+    """Gap detection must agree with the naive single-partition lead
+    on irregular id sets — including gaps that straddle range-
+    partition boundaries (forced small partitions)."""
+    import random
+
+    from dasladen_spark.operators.sequence import sequence_gaps
+
+    rng = random.Random(7)
+    ids = sorted(rng.sample(range(0, 3000), 700))
+    expected = [
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(ids, ids[1:])
+        if b - a > 1
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], ["k"])
+    got = sorted(
+        map(tuple, sequence_gaps(df, "k", num_partitions=7).collect())
+    )
+    assert got == expected
+    # duplicates collapse, single-row input yields no gaps
+    dup = spark.createDataFrame([(5,), (5,), (9,)], ["k"])
+    assert sorted(map(tuple, sequence_gaps(dup, "k").collect())) == [
+        (6, 8, 3)
+    ]
+
+
 def test_asof_join_broadcast_matches_union_window(spark, sf_dir):
     """The broadcast merge_asof variant must produce the same rows as
     the general union+window as-of join (same semantics, different

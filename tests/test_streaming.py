@@ -291,6 +291,50 @@ def test_incremental_matview_equals_batch_recompute(spark, tmp_path):
     assert got == want == {"a": (3, 7), "b": (1, 10), "c": (1, 100)}
 
 
+def test_streaming_upsert_last_write_wins_and_replay_safe(spark, tmp_path):
+    """CDC-apply sink: the snapshot holds exactly one row per key with
+    the highest version; an intra-batch double-update collapses; a
+    REPLAYED batch (marker rolled back, checkpoint cleared) must not
+    change the snapshot — the exactly-once guarantee."""
+    from dasladen_spark.streaming.matview import run_streaming_upsert
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    schema = "k STRING, v STRING, ver BIGINT"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("sep", ";")
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(src))
+        )
+
+    snap = str(tmp_path / "snap")
+    ck = str(tmp_path / "ck_up")
+    (src / "b1.csv").write_text("k;v;ver\na;a1;1\na;a2;2\nb;b1;1\n")
+    run_streaming_upsert(stream(), snap, ck, "k", "ver")
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(snap).collect()}
+    assert got == {"a": ("a2", 2), "b": ("b1", 1)}
+
+    # batch 2: newer a, stale b (must NOT regress b), new c
+    (src / "b2.csv").write_text("k;v;ver\na;a3;3\nb;b0;0\nc;c1;1\n")
+    run_streaming_upsert(stream(), snap, ck, "k", "ver")
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(snap).collect()}
+    assert got == {"a": ("a3", 3), "b": ("b1", 1), "c": ("c1", 1)}
+
+    # simulate a crash-replay: clear the checkpoint so the engine
+    # re-delivers both files as batch 0 (an id the marker has already
+    # applied) — the sink must skip it and the snapshot stay intact
+    import shutil
+
+    shutil.rmtree(ck)
+    run_streaming_upsert(stream(), snap, ck, "k", "ver")
+    got2 = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(snap).collect()}
+    assert got2 == got
+
+
 def test_incremental_topk_equals_batch_recompute(spark, tmp_path, sf_dir):
     """Corpus vectors arriving in two micro-batches must yield the
     same per-query top-k as one batch recompute over everything."""
