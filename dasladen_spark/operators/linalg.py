@@ -1,0 +1,77 @@
+"""Distributed linear algebra over embedding columns.
+
+The scale pattern: anything O(n·d) or O(n·d²) reduces on the
+executors; the driver only ever holds O(d²) — for d=64 that is a
+4 KB mean and a 32 KB Gram matrix, the same whether the corpus has
+five hundred vectors or fifty billion. Eigen-decomposition of the
+d×d covariance then runs driver-side in microseconds.
+
+The reference has no vector math at all; this is north-star
+LLM-pipeline provision (embedding-space diagnostics before
+clustering / ANN indexing / whitening).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def gram_moments(
+    df: DataFrame, vec_col: str, dim: int
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """One distributed pass → (n, Σx, XᵀX): each partition folds its
+    vectors into a (count, sum-vector, partial Gram) row via Arrow
+    batches (numpy matmul — BLAS, not per-element Python), and only
+    those partition-count rows reach the driver."""
+    schema = "n long, s array<double>, g array<double>"
+
+    def partial(batches):
+        n = 0
+        s = np.zeros(dim, dtype=np.float64)
+        g = np.zeros((dim, dim), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    rows = df.select(vec_col).mapInPandas(partial, schema).collect()
+    if not rows:
+        return 0, np.zeros(dim), np.zeros((dim, dim))
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    return n, s, g
+
+
+def pca_explained_variance(
+    df: DataFrame, vec_col: str, dim: int, k: int = 8
+) -> list[tuple[int, float, float]]:
+    """Top-k PCA eigenvalues of the corpus covariance and their
+    explained-variance ratios, from one distributed moments pass.
+
+    Covariance is the population form C = XᵀX/n − μμᵀ; symmetric
+    eigensolve on the driver (d×d). Returns
+    [(component, eigenvalue, explained_ratio), ...] largest first."""
+    n, s, g = gram_moments(df, vec_col, dim)
+    if n == 0:
+        return []
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    evals = np.maximum(evals, 0.0)
+    total = evals.sum() or 1.0
+    return [
+        (i + 1, float(evals[i]), float(evals[i] / total))
+        for i in range(min(k, dim))
+    ]

@@ -223,6 +223,96 @@ def dedup_best_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NOV_N = 8
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS words
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(words) - {_NOV_N - 1}, 0)),
+               i -> array_to_string(words[i:i + {_NOV_N - 1}], ' '))) AS ng
+      FROM w
+    ), first AS (
+      SELECT ng, MIN(doc_id) AS first_doc FROM g GROUP BY ng
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM g JOIN first f USING (ng)
+    GROUP BY g.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct 8-grams
+    whose FIRST corpus occurrence (lowest doc_id) is this document —
+    the content-freshness signal that separates original text from
+    boilerplate chains and quote-heavy near-copies (novelty ~1 =
+    fresh, ~0 = everything seen before).
+
+    Scale shape: n-grams stay distinct-per-doc before any shuffle
+    (bounds fan-in at |distinct grams|); the first-occurrence map and
+    the gram stream co-shuffle on the gram key (one exchange each,
+    co-located join — the map is corpus-sized, so broadcasting it
+    would be the mistake); final rollup keys on doc_id. Exact
+    long→double division at the end."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    grams = F.when(
+        F.size("words") >= _NOV_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - (_NOV_N - 1)),
+            lambda i: F.array_join(F.slice(F.col("words"), i, _NOV_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = w.select("doc_id", F.explode(grams).alias("ng")).distinct()
+    first = g.groupBy("ng").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        g.join(first, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+@query("embedding_pca_variance")  # eigensolve — no SQL oracle; numpy
+# differential test: tests/test_operators.py::test_pca_matches_numpy
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal-component eigenvalues and explained-variance
+    ratios of the embedding corpus — the anisotropy report read
+    before whitening or picking an ANN index (a collapsed spectrum
+    means the embedder wastes dimensions).
+
+    ONE distributed pass folds each partition into (count, Σx, XᵀX)
+    via BLAS on Arrow batches (operators/linalg.py); the driver sums
+    partition-count rows — O(d²) memory regardless of corpus size —
+    and eigensolves the 64×64 covariance in microseconds."""
+    from dasladen_spark.operators.linalg import pca_explained_variance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comps = pca_explained_variance(emb, "embedding", dim=64, k=8)
+    return spark.createDataFrame(
+        [(c, round(ev, 9), round(r, 9)) for c, ev, r in comps],
+        "component INT, eigenvalue DOUBLE, explained_ratio DOUBLE",
+    )
+
+
 @query(
     "q_sequence_gaps",
     oracle="""

@@ -492,6 +492,35 @@ def test_connected_components_nonconvergence_raises(spark):
     assert set(full.values()) == {0}
 
 
+def test_pca_matches_numpy(spark, sf_dir):
+    """The one-pass distributed Gram fold must reproduce dense numpy
+    PCA exactly (same covariance, same spectrum) on the embedding
+    fixture."""
+    import numpy as np
+
+    from dasladen_spark.operators.linalg import pca_explained_variance
+    from dasladen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = pca_explained_variance(emb, "embedding", dim=64, k=8)
+
+    x = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("embedding").collect()
+        ]
+    )
+    mu = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mu, mu)
+    evals = np.maximum(np.linalg.eigvalsh(cov)[::-1], 0.0)
+    ratios = evals / evals.sum()
+    assert len(got) == 8
+    for (comp, ev, ratio), i in zip(got, range(8)):
+        assert comp == i + 1
+        np.testing.assert_allclose(ev, evals[i], rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(ratio, ratios[i], rtol=1e-9, atol=1e-12)
+
+
 def test_sequence_gaps_matches_naive_with_seams(spark):
     """Gap detection must agree with the naive single-partition lead
     on irregular id sets — including gaps that straddle range-
