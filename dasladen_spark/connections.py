@@ -102,7 +102,12 @@ class Connection:
             # the JDBC spelling is integratedSecurity
             del opts["user"], opts["password"]
             opts["integratedSecurity"] = "true"
-        init = self.config.get("initializing") or []
+        init = list(self.config.get("initializing") or [])
+        if self.driver == "MySQL":
+            # the reference forces ANSI_QUOTES so double-quoted
+            # identifiers work (taskdriver.py:164); same via JDBC
+            # session init, prepended so user statements can override
+            init.insert(0, "SET SQL_MODE=ANSI_QUOTES")
         if init:
             opts["sessionInitStatement"] = "; ".join(init)
         if self.driver == "PostgreSQL":

@@ -54,6 +54,51 @@ def gram_moments(
     return n, s, g
 
 
+def whiten(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    out_col: str = "whitened",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA-whiten an embedding column: rotate into the covariance
+    eigenbasis and rescale each axis to unit variance — the transform
+    that fixes anisotropic embedding spaces before cosine ANN.
+
+    Two passes total: the O(d²) moments fold, then one mapInPandas
+    applying the broadcast (d×d) whitening matrix with BLAS — the
+    rotation never shuffles the corpus, so the plan is scan-shaped at
+    any size."""
+    from pyspark.sql import functions as F
+
+    n, s, g = gram_moments(df, vec_col, dim)
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("array<double>"))
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    evals = np.maximum(evals, 0.0)
+    w_mat = evecs @ np.diag(1.0 / np.sqrt(evals + eps)) @ evecs.T  # ZCA
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{out_fields}, {out_col} array<double>"
+
+    def apply(batches):
+        for pdf in batches:
+            if len(pdf):
+                x = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                y = (x - mu) @ w_mat.T
+                pdf = pdf.assign(**{out_col: list(y)})
+            else:
+                pdf = pdf.assign(**{out_col: []})
+            yield pdf
+
+    return df.mapInPandas(apply, out_schema)
+
+
 def pca_explained_variance(
     df: DataFrame, vec_col: str, dim: int, k: int = 8
 ) -> list[tuple[int, float, float]]:

@@ -313,6 +313,28 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_whiten_check")  # driver-side eigensolve — rows-only
+# (covariance-identity proof: tests/test_operators.py::
+# test_whiten_produces_identity_covariance)
+def embedding_whiten_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA-whitening audit: whiten the corpus (broadcast d×d rotation,
+    pure map — operators/linalg.whiten), then report per-dimension
+    variance of the result, which must sit at 1.0 on every axis. The
+    check itself is one posexplode + (dim)-keyed rollup — the
+    verification a pipeline runs after fitting a whitening transform
+    on a sample and applying it to the full corpus."""
+    from dasladen_spark.operators.linalg import whiten
+
+    emb = _t(spark, sf_dir, "embeddings")
+    w = whiten(emb, "embedding", dim=64)
+    return (
+        w.select(F.posexplode("whitened").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.round(F.var_pop("v"), 4).alias("variance"))
+        .orderBy("dim")
+    )
+
+
 @query(
     "q_sequence_gaps",
     oracle="""

@@ -521,6 +521,30 @@ def test_pca_matches_numpy(spark, sf_dir):
         np.testing.assert_allclose(ratio, ratios[i], rtol=1e-9, atol=1e-12)
 
 
+def test_whiten_produces_identity_covariance(spark, sf_dir):
+    """ZCA whitening must leave the corpus with (near-)identity
+    covariance, and the transform must be pure map (no shuffle)."""
+    import numpy as np
+
+    from dasladen_spark.operators.linalg import whiten
+    from dasladen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = whiten(emb, "embedding", dim=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    y = np.stack(
+        [
+            np.asarray(r["whitened"], dtype=np.float64)
+            for r in out.select("whitened").collect()
+        ]
+    )
+    mu = y.mean(axis=0)
+    cov = (y.T @ y) / len(y) - np.outer(mu, mu)
+    np.testing.assert_allclose(cov, np.eye(64), atol=1e-6)
+
+
 def test_sequence_gaps_matches_naive_with_seams(spark):
     """Gap detection must agree with the naive single-partition lead
     on irregular id sets — including gaps that straddle range-

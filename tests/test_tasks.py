@@ -106,6 +106,21 @@ def test_mssql_trusted_connection_option_mapping():
     assert plain["user"] == "sa" and plain["password"] == "pw"
 
 
+def test_mysql_ansi_quotes_session_init():
+    """MySQL connections force ANSI_QUOTES (ref taskdriver.py:164) so
+    double-quoted identifiers work; user initializing statements
+    follow it."""
+    from dasladen_spark.connections import Connection
+
+    opts = Connection(
+        {"name": "m", "driver": "MySQL", "host": "h", "database": "d",
+         "user": "u", "pass": "p", "initializing": ["SET NAMES utf8mb4"]}
+    ).jdbc_options()
+    assert opts["sessionInitStatement"] == (
+        "SET SQL_MODE=ANSI_QUOTES; SET NAMES utf8mb4"
+    )
+
+
 def test_progress_meter_logs_10k_increments(spark, workdir):
     """run_etl narrates every 10k written rows into the task log (ref
     task.py:197-202: petl .progress(10000)); the final total always
