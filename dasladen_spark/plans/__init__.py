@@ -16,4 +16,5 @@ from dasladen_spark.plans import relational4  # noqa: F401,E402
 from dasladen_spark.plans import llm  # noqa: F401,E402
 from dasladen_spark.plans import llm2  # noqa: F401,E402
 from dasladen_spark.plans import llm3  # noqa: F401,E402
+from dasladen_spark.plans import llm4  # noqa: F401,E402
 from dasladen_spark.plans import transforms_parity  # noqa: F401,E402

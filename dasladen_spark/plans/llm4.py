@@ -1,0 +1,264 @@
+"""Training-data pipeline queries, part 4: information-theoretic
+quality scoring and exact substring-level duplication metrics.
+
+North-star extensions absent from the reference (its query power is
+delegated SQL, /root/reference/dasladen/task.py:94-107). Same
+determinism discipline as llm3: per-row doubles are rounded to 12
+decimals, accumulated in DECIMAL (order-independent under any
+partitioning), one final double division + ROUND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dasladen_spark.operators.intervals import merge_intervals
+from dasladen_spark.plans.registry import query
+from dasladen_spark.session import load_table as _t
+
+_TOK_RE = "[a-z0-9]+"
+
+
+def tokens_col(text_col: str = "text"):
+    """Lower-cased word tokens as an array column (JVM regex, no UDF)."""
+    return F.regexp_extract_all(F.lower(text_col), F.lit(_TOK_RE), F.lit(0))
+
+
+# ------------------------------------------------- unigram surprisal
+
+
+@query(
+    "text_unigram_surprisal",
+    oracle=rf"""
+    WITH st AS (
+      SELECT source, tok, COUNT(*) AS c FROM (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '{_TOK_RE}')) AS tok
+        FROM documents
+      ) GROUP BY source, tok
+    ), vocab AS (
+      SELECT tok, SUM(c) AS n FROM st GROUP BY tok
+    ), tot AS (
+      SELECT SUM(n) AS total FROM vocab
+    ), scored AS (
+      SELECT st.source, st.c,
+             round(-log2(CAST(vocab.n AS DOUBLE)
+                         / (SELECT total FROM tot)), 12) AS s
+      FROM st JOIN vocab USING (tok)
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(
+             CAST(CAST(SUM(CAST(c * s AS DECIMAL(38,18))) AS VARCHAR)
+                  AS DOUBLE) / SUM(c), 6) AS mean_surprisal_bits
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean token surprisal under the corpus unigram LM —
+    the cheapest perplexity proxy used as a quality / mixture
+    diagnostic: boilerplate-heavy or repetitive sources score low,
+    diverse natural text scores near the corpus entropy.
+
+    Scale shape: one (source, token) shuffle with map-side combine
+    builds the per-source counts; the global vocabulary is a re-agg
+    of that (token-keyed, already tiny relative to the corpus); the
+    surprisal join runs on DISTINCT (source, token) pairs — the
+    corpus token stream itself is never joined or re-shuffled. The
+    corpus-total token count is a single-row fold. Determinism:
+    surprisal rounds to 12 decimals before the DECIMAL-accumulated
+    weighted sum; one final double division, ROUND 6."""
+    d = _t(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(tokens_col()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = st.groupBy("tok").agg(F.sum("c").alias("n"))
+    total = vocab.agg(F.sum("n")).collect()[0][0]
+    scored = st.join(vocab, "tok").select(
+        "source",
+        "c",
+        F.round(-F.log2(F.col("n").cast("double") / F.lit(total)), 12).alias(
+            "s"
+        ),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    (F.col("c") * F.col("s")).cast("decimal(38,18)")
+                ).cast("double")
+                / F.sum("c"),
+                6,
+            ).alias("mean_surprisal_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------- exact duplicated-span coverage
+
+_SPAN_N = 8  # tokens per shingle
+
+
+def duplicated_span_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = _SPAN_N,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document fraction of token positions covered by a token
+    ``span``-gram occurring ≥ ``min_count`` times corpus-wide — the
+    exact substring-duplication metric behind span-level dedup
+    (near-dup detectors miss partial template reuse; this measures
+    it position-exactly).
+
+    Scale shape: shingles are built inside the row with
+    ``transform(sequence(...))`` over the token array (no shuffle,
+    no UDF) and reduced to (doc, pos, hash) before anything wide
+    runs; one hash-keyed shuffle counts global occurrences, one
+    equi-join keeps only duplicated shingles, and the interval union
+    (operators/intervals.merge_intervals) is a single doc-keyed
+    exchange. Returns (id, n_tokens, covered_tokens, dup_coverage)
+    for every input doc (0.0 where nothing repeats)."""
+    base = docs.select(
+        F.col(id_col).alias("__id"), tokens_col(text_col).alias("__a")
+    ).withColumn("__n", F.size("__a"))
+    sh = (
+        base.filter(F.col("__n") >= span)
+        .select(
+            "__id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__a) - {span - 1}),"
+                    f" i -> struct(i AS pos,"
+                    f" md5(concat_ws(' ', slice(__a, i, {span}))) AS h))"
+                )
+            ).alias("sg"),
+        )
+        .select("__id", F.col("sg.pos").alias("pos"), F.col("sg.h").alias("h"))
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    ints = sh.join(dup, "h").select(
+        "__id",
+        F.col("pos").alias("start"),
+        (F.col("pos") + span).alias("end"),
+    )
+    cov = (
+        merge_intervals(ints, "__id", "start", "end")
+        .groupBy("__id")
+        .agg(F.sum(F.col("end") - F.col("start")).alias("covered"))
+    )
+    return (
+        base.join(cov, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            F.coalesce("covered", F.lit(0)).cast("bigint").alias(
+                "covered_tokens"
+            ),
+            F.round(
+                F.coalesce("covered", F.lit(0))
+                / F.greatest(F.col("__n"), F.lit(1)),
+                12,
+            ).alias("dup_coverage"),
+        )
+    )
+
+
+@query(
+    "dedup_span_coverage",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '{_TOK_RE}') AS a
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, (u).pos AS pos, md5((u).s) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a) - {_SPAN_N - 2}),
+                 i -> {{'pos': i,
+                        's': array_to_string(a[i:i+{_SPAN_N - 1}], ' ')}}))
+                 AS u
+        FROM base WHERE len(a) >= {_SPAN_N}
+      )
+    ), dup AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2
+    ), ints AS (
+      SELECT doc_id, pos AS s_start, pos + {_SPAN_N} AS s_end
+      FROM sh JOIN dup USING (h)
+    ), marked AS (
+      SELECT doc_id, s_start, s_end,
+             MAX(s_end) OVER (PARTITION BY doc_id ORDER BY s_start, s_end
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM ints
+    ), isl AS (
+      SELECT doc_id, s_start, s_end,
+             SUM(CASE WHEN pm IS NULL OR s_start > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s_start, s_end
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM marked
+    ), per_isl AS (
+      SELECT doc_id, gid, MAX(s_end) - MIN(s_start) AS covered
+      FROM isl GROUP BY doc_id, gid
+    ), cov AS (
+      SELECT doc_id, SUM(covered) AS covered FROM per_isl GROUP BY doc_id
+    ), per_doc AS (
+      SELECT b.doc_id, b.source, len(b.a) AS n_tok,
+             COALESCE(cov.covered, 0) AS covered,
+             round(COALESCE(cov.covered, 0)
+                   / greatest(len(b.a), 1), 12) AS coverage
+      FROM base b LEFT JOIN cov USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN coverage > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_dups,
+           CAST(SUM(covered) AS BIGINT) AS covered_tokens,
+           ROUND(
+             CAST(CAST(SUM(CAST(coverage AS DECIMAL(38,12))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*), 6) AS avg_dup_coverage
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-span audit: share of each document's
+    token stream covered by an exact {span}-gram that recurs anywhere
+    in the corpus (position-exact interval union, touching spans
+    coalesced), rolled up to the per-source report a dedup budget is
+    planned from. See duplicated_span_coverage for the scale shape;
+    the rollup adds one tiny source-keyed exchange."""
+    d = _t(spark, sf_dir, "documents")
+    per_doc = duplicated_span_coverage(d, "doc_id", "text", span=_SPAN_N)
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("dup_coverage") > 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("docs_with_dups"),
+            F.sum("covered_tokens").cast("bigint").alias("covered_tokens"),
+            F.round(
+                F.sum(F.col("dup_coverage").cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_dup_coverage"),
+        )
+        .orderBy("source")
+    )

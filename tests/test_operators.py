@@ -926,3 +926,26 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     }
     assert got == want
     assert len(set(got.values())) > 1        # it actually clusters
+
+
+def test_duplicated_span_coverage_planted(spark):
+    """Position-exact duplicated-span coverage on a planted pair: two
+    20-token docs sharing one contiguous 10-token run must each report
+    exactly 10 covered tokens (the 8-gram intervals union back to the
+    run), and an unrelated doc reports zero."""
+    from dasladen_spark.plans.llm4 import duplicated_span_coverage
+
+    shared = " ".join(f"w{i}" for i in range(5, 15))
+    doc_a = " ".join(f"w{i}" for i in range(1, 21))
+    doc_b = "x1 x2 " + shared + " " + " ".join(f"y{i}" for i in range(1, 9))
+    doc_c = " ".join(f"z{i}" for i in range(1, 21))
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["dup_coverage"])
+        for r in duplicated_span_coverage(df).collect()
+    }
+    assert got[1] == (20, 10, 0.5)
+    assert got[2] == (20, 10, 0.5)
+    assert got[3] == (20, 0, 0.0)
