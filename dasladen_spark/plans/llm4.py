@@ -262,3 +262,137 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------- robust outlier audit
+
+
+@query(
+    "q_event_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, round(quantile_cont(value, 0.5), 9) AS med
+      FROM events GROUP BY user_id
+    ), dev AS (
+      SELECT e.event_id, e.user_id, e.value, m.med,
+             round(abs(e.value - m.med), 9) AS ad
+      FROM events e JOIN med m USING (user_id)
+    ), mad AS (
+      SELECT user_id, round(quantile_cont(ad, 0.5), 9) AS mad
+      FROM dev GROUP BY user_id
+    )
+    SELECT d.event_id, d.user_id, d.value, d.med, m.mad,
+           round(0.6745 * d.ad / greatest(m.mad, 1e-9), 9) AS robust_z
+    FROM dev d JOIN mad m USING (user_id)
+    WHERE round(0.6745 * d.ad / greatest(m.mad, 1e-9), 9) > 3.5
+    """,
+)
+def q_event_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection: events whose value sits more
+    than 3.5 robust z-scores (0.6745·|x−median|/MAD) from that user's
+    median — the outlier gate that, unlike mean/stddev, is not dragged
+    by the outliers it hunts.
+
+    Scale shape: both medians are exact sort-based percentiles keyed
+    on user_id, so the whole query is user-keyed — the two aggregates
+    and two joins share one hash partitioning (AQE reuses the
+    exchange); no global sort, no window over the full stream.
+    Determinism: medians round to 9 before deviations are taken, so
+    the interpolated midpoint's last-ulp never propagates."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("user_id").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 9).alias("med")
+    )
+    dev = e.join(med, "user_id").select(
+        "event_id",
+        "user_id",
+        "value",
+        "med",
+        F.round(F.abs(F.col("value") - F.col("med")), 9).alias("ad"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.round(F.percentile("ad", F.lit(0.5)), 9).alias("mad")
+    )
+    z = F.round(
+        0.6745 * F.col("ad") / F.greatest(F.col("mad"), F.lit(1e-9)), 9
+    )
+    return (
+        dev.join(mad, "user_id")
+        .withColumn("robust_z", z)
+        .filter(F.col("robust_z") > 3.5)
+        .select("event_id", "user_id", "value", "med", "mad", "robust_z")
+    )
+
+
+# ------------------------------------------- int8 quantization audit
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH ex AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), sc AS (
+      SELECT dim, MAX(ABS(v)) AS scale FROM ex GROUP BY dim
+    ), er AS (
+      SELECT e.dim, s.scale,
+             round(v - least(greatest(round(v * 127.0 / s.scale), -127),
+                             127) * s.scale / 127.0, 12) AS err
+      FROM ex e JOIN sc s USING (dim)
+    )
+    SELECT dim,
+           ROUND(MAX(scale), 9) AS scale,
+           COUNT(*) AS n,
+           ROUND(MAX(ABS(err)), 9) AS max_abs_err,
+           ROUND(
+             CAST(CAST(SUM(CAST(err * err AS DECIMAL(38,18))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*), 12) AS mse
+    FROM er GROUP BY dim ORDER BY dim
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization audit: the absmax
+    scale each dimension would ship with, plus the reconstruction
+    error it costs (max |err| and MSE) — the go/no-go table for
+    shrinking an ANN index 4x.
+
+    Scale shape: the exploded (dim, value) stream is map-side-combined
+    into 64 absmax rows; those broadcast back onto the stream (no
+    re-shuffle of the corpus), and the error rollup is one more
+    64-group map-side-combined exchange. Everything is JVM expression
+    code — quantize/clip/error never leave codegen. Determinism:
+    identical IEEE expression on both engines, per-row error rounded
+    to 12 before the DECIMAL-accumulated MSE."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode("embedding").alias("dim0", "vf")
+    ).select(
+        (F.col("dim0") + 1).alias("dim"), F.col("vf").cast("double").alias("v")
+    )
+    sc = ex.groupBy("dim").agg(F.max(F.abs("v")).alias("scale"))
+    q = F.least(
+        F.greatest(F.round(F.col("v") * 127.0 / F.col("scale"), 0), F.lit(-127.0)),
+        F.lit(127.0),
+    )
+    er = ex.join(F.broadcast(sc), "dim").select(
+        "dim",
+        "scale",
+        F.round(F.col("v") - q * F.col("scale") / 127.0, 12).alias("err"),
+    )
+    return (
+        er.groupBy("dim")
+        .agg(
+            F.round(F.max("scale"), 9).alias("scale"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max(F.abs("err")), 9).alias("max_abs_err"),
+            F.round(
+                F.sum((F.col("err") * F.col("err")).cast("decimal(38,18)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                12,
+            ).alias("mse"),
+        )
+        .orderBy("dim")
+    )
