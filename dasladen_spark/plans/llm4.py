@@ -10,7 +10,7 @@ partitioning), one final double division + ROUND.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dasladen_spark.operators.intervals import merge_intervals
@@ -395,4 +395,143 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mse"),
         )
         .orderBy("dim")
+    )
+
+
+# ------------------------------------------- corpus mixture rebalance
+
+#: mixture target: equal token share per source, spending half the
+#: corpus token budget (the "rebalance to uniform" pass a mixture
+#: pipeline runs before temperature sampling)
+_MIX_BUDGET_FRAC = 0.5
+
+
+def _mix_rates(docs: DataFrame) -> DataFrame:
+    """Per-source deterministic sampling rates hitting an equal-share
+    token budget: rate_s = min(1, budget/S / tokens_s). One tiny
+    source-keyed aggregate; the result is S rows."""
+    per_src = (
+        docs.select(
+            "source", F.size(tokens_col()).alias("__nt")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.sum("n_tokens").over(w) * _MIX_BUDGET_FRAC)
+                / F.count(F.lit(1)).over(w)
+                / F.col("n_tokens"),
+            ),
+            9,
+        ).alias("sample_rate"),
+    )
+
+
+_MIX_RATE_SQL = f"""
+    rates AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(lower(text), '{_TOK_RE}')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), rated AS (
+      SELECT source, n_docs, n_tokens,
+             round(least(1.0,
+               (SUM(n_tokens) OVER () * {_MIX_BUDGET_FRAC})
+               / COUNT(*) OVER () / n_tokens), 9) AS sample_rate
+      FROM rates
+    )
+"""
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH {_MIX_RATE_SQL}
+    SELECT source, n_docs, n_tokens, sample_rate,
+           CAST(floor(sample_rate * n_tokens) AS BIGINT) AS expected_tokens
+    FROM rated ORDER BY source
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing plan: per-source sampling rates that spend
+    half the corpus token budget in equal shares across sources — the
+    table a data-mixing pipeline materializes before drawing a
+    training mix (over-represented sources are downsampled, small
+    sources kept whole).
+
+    Scale shape: one map-side-combined source rollup; the
+    whole-relation window runs over S rows (source count), not the
+    corpus. Determinism: integer token counts, one rounded double
+    rate."""
+    d = _t(spark, sf_dir, "documents")
+    return _mix_rates(d).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "sample_rate",
+        F.floor(F.col("sample_rate") * F.col("n_tokens"))
+        .cast("bigint")
+        .alias("expected_tokens"),
+    ).orderBy("source")
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH {_MIX_RATE_SQL}
+    SELECT d.source,
+           COUNT(*) AS kept_docs,
+           CAST(SUM(len(regexp_extract_all(lower(d.text), '{_TOK_RE}')))
+                AS BIGINT) AS kept_tokens
+    FROM documents d JOIN rated r ON d.source = r.source
+    WHERE substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < printf('%08x', CAST(floor(r.sample_rate * 4294967296) AS BIGINT))
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mixture plan: keep a document iff the first 8 hex
+    digits of md5('mix' || doc_id) fall below its source's rate
+    threshold — the engine-portable, repartition-proof membership
+    test (operators/sampling.portable_sample_filter), so the drawn
+    mix is a pure function of the data and reproduces row-for-row on
+    any cluster shape or engine.
+
+    Scale shape: the S-row rate table broadcasts onto the scan; the
+    filter runs scan-side (one corpus pass, no shuffle before the
+    tiny per-source rollup)."""
+    d = _t(spark, sf_dir, "documents")
+    rates = _mix_rates(d).select("source", "sample_rate")
+    thr = F.format_string(
+        "%08x",
+        F.floor(F.col("sample_rate") * F.lit(4294967296.0)).cast("bigint"),
+    )
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(
+            F.substring(
+                F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            )
+            < thr
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(F.size(tokens_col())).cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("source")
     )

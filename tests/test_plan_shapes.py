@@ -418,6 +418,9 @@ _EXPECTED_FLAGS = {
     "q_cumulative_distinct_users": {"single-partition"},
     # share normalizer over the 9-row digit table
     "q_benford_digits": {"single-partition"},
+    # budget window over the S-row source rollup (source-count bounded)
+    "corpus_mixture_plan": {"single-partition"},
+    "corpus_mixture_sample": {"single-partition"},
     # three 1-row scalar-subquery counts; NOT IN needs the null-aware
     # broadcast anti join (NAAJ)
     "q_not_in_null_trap": {"single-partition", "bnlj"},
@@ -458,3 +461,28 @@ def test_no_query_has_unexpected_scale_red_flags(spark):
         if extra:
             bad[name] = sorted(extra)
     assert not bad, f"unexpected scale red flags: {bad}"
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    """The S-row rate table must broadcast onto the corpus scan — a
+    sort-merge join here would shuffle the whole corpus to apply a
+    20-row filter."""
+    plan = plan_of(spark, "corpus_mixture_sample")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_int8_quantize_broadcasts_scales(spark):
+    """Per-dim scales (64 rows) broadcast back onto the exploded
+    stream; the corpus must not re-shuffle for the error join."""
+    plan = plan_of(spark, "embedding_int8_quantize")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_coverage_no_cartesian(spark):
+    """Span-coverage joins are hash equi-joins on shingle hash and
+    doc id — never a nested loop."""
+    plan = plan_of(spark, "dedup_span_coverage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
