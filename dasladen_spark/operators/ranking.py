@@ -139,3 +139,46 @@ def global_prefix_sum(
         .withColumn(out_col, local + F.col("__psum_off"))
         .drop(_PID, "__psum_off")
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    salt_col: Column | None = None,
+    salt_parts: int = 64,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Exact top-k rows per group under the total order ``order_by``,
+    without ever sorting a whole group in one task.
+
+    ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY ...) <= k`` sorts
+    each group in a single task — fine when groups are numerous and
+    small, a straggler (or OOM) when one stratum holds a large share
+    of a 100 TB corpus. Two-phase form: salt each row into one of
+    ``salt_parts`` subgroups (deterministic hash of ``salt_col``),
+    take the local top-k per (group, salt) — every window partition
+    is ~1/salt_parts of the stratum — then re-rank the surviving
+    ``salt_parts * k`` candidates per group, a bounded set. Any row
+    in the true global top-k is necessarily in its subgroup's top-k,
+    so the result is exact, and ``order_by`` being total makes it
+    deterministic.
+
+    ``salt_col`` defaults to the first order column (adequate when
+    it is near-unique; pass the row id otherwise)."""
+    salt_src = salt_col if salt_col is not None else order_by[0]
+    salted = df.withColumn(
+        "__tk_salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_parts))
+    )
+    w1 = Window.partitionBy(*group_cols, "__tk_salt").orderBy(*order_by)
+    cand = (
+        salted.withColumn("__tk_rn", F.row_number().over(w1))
+        .filter(F.col("__tk_rn") <= k)
+        .drop("__tk_salt", "__tk_rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        cand.withColumn(out_col, F.row_number().over(w2))
+        .filter(F.col(out_col) <= k)
+    )

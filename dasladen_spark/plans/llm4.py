@@ -535,3 +535,36 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------- exact top-k per stratum
+
+
+@query(
+    "sample_topk_per_stratum",
+    oracle="""
+    SELECT source, doc_id, n_chars, rank FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents
+    ) WHERE rank <= 5 ORDER BY source, rank
+    """,
+)
+def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 longest documents per source via the two-phase salted
+    top-k (operators/ranking.topk_per_group): local top-k inside
+    hash-salted subgroups, then a re-rank of the bounded candidate
+    set — no task ever sorts a whole stratum, so one dominant source
+    in a 100 TB corpus cannot straggle or OOM the selection. Exact
+    and deterministic (total order: length desc, doc_id)."""
+    from dasladen_spark.operators.ranking import topk_per_group
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return topk_per_group(
+        d,
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        k=5,
+        salt_col=F.col("doc_id"),
+    ).orderBy("source", "rank")

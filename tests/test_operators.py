@@ -949,3 +949,37 @@ def test_duplicated_span_coverage_planted(spark):
     assert got[1] == (20, 10, 0.5)
     assert got[2] == (20, 10, 0.5)
     assert got[3] == (20, 0, 0.0)
+
+
+def test_topk_per_group_matches_single_window(spark, sf_dir):
+    """Two-phase salted top-k must equal the naive one-window form on
+    real data, including under a planted giant stratum with ties."""
+    from pyspark.sql import Window
+
+    from dasladen_spark.operators.ranking import topk_per_group
+    from dasladen_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    # plant a giant skewed stratum with heavy ties
+    skew = d.withColumn("source", F.lit("giant")).withColumn(
+        "n_chars", F.col("n_chars") % 7
+    )
+    full = d.unionByName(skew)
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    w = Window.partitionBy("source").orderBy(*order)
+    want = (
+        full.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    got = topk_per_group(
+        full, ["source"], order, k=5, salt_col=F.col("doc_id"), salt_parts=8
+    ).collect()
+    key = lambda r: (r["source"], r["rank"])
+    assert sorted(
+        (r["source"], r["rank"], r["doc_id"], r["n_chars"]) for r in got
+    ) == sorted(
+        (r["source"], r["rank"], r["doc_id"], r["n_chars"]) for r in want
+    )
