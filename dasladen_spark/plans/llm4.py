@@ -568,3 +568,158 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         salt_col=F.col("doc_id"),
     ).orderBy("source", "rank")
+
+
+# ------------------------------------ source-vs-corpus KL divergence
+
+
+@query(
+    "text_source_kl",
+    oracle=rf"""
+    WITH st AS (
+      SELECT source, tok, COUNT(*) AS c FROM (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '{_TOK_RE}')) AS tok
+        FROM documents
+      ) GROUP BY source, tok
+    ), ts AS (
+      SELECT source, SUM(c) AS t FROM st GROUP BY source
+    ), vocab AS (
+      SELECT tok, SUM(c) AS n FROM st GROUP BY tok
+    ), tot AS (
+      SELECT SUM(n) AS total FROM vocab
+    ), terms AS (
+      SELECT st.source,
+             round((CAST(st.c AS DOUBLE) / ts.t)
+                   * log2((CAST(st.c AS DOUBLE) * (SELECT total FROM tot))
+                          / (CAST(ts.t AS DOUBLE) * vocab.n)), 12) AS kl
+      FROM st JOIN ts USING (source) JOIN vocab USING (tok)
+    )
+    SELECT source,
+           ROUND(
+             CAST(CAST(SUM(CAST(kl AS DECIMAL(38,18))) AS VARCHAR)
+                  AS DOUBLE), 6) AS kl_bits
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence (bits) of each source's unigram distribution from
+    the corpus distribution — the mixture-health number: a source
+    whose language drifts from the blend shows a high KL, boilerplate
+    clones of the blend sit near zero. Only tokens the source actually
+    emits contribute (p_s > 0 implies p_corpus > 0), so no smoothing
+    is needed.
+
+    Scale shape: identical to text_unigram_surprisal — everything
+    reduces to DISTINCT (source, token) pairs before any join; the
+    source-totals table is source-count rows and broadcasts.
+    Determinism: one identically-ordered IEEE expression per pair,
+    rounded 12, DECIMAL-accumulated."""
+    d = _t(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(tokens_col()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ts = st.groupBy("source").agg(F.sum("c").alias("t"))
+    vocab = st.groupBy("tok").agg(F.sum("c").alias("n"))
+    total = vocab.agg(F.sum("n")).collect()[0][0]
+    terms = (
+        st.join(F.broadcast(ts), "source")
+        .join(vocab, "tok")
+        .select(
+            "source",
+            F.round(
+                (F.col("c").cast("double") / F.col("t"))
+                * F.log2(
+                    (F.col("c").cast("double") * F.lit(float(total)))
+                    / (F.col("t").cast("double") * F.col("n"))
+                ),
+                12,
+            ).alias("kl"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.round(
+                F.sum(F.col("kl").cast("decimal(38,18)")).cast("double"), 6
+            ).alias("kl_bits")
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------- semantic near-pair audit
+
+_FP_SQL = (
+    r"md5(trim(regexp_replace(regexp_replace(lower({t}),"
+    r" '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+)
+
+#: audit threshold — tuned to the fixture's cosine range (max pair
+#: ~0.5); a production corpus with planted paraphrases would sit at
+#: the conventional 0.8
+_SEM_T = 0.35
+
+from dasladen_spark.plans.llm import _cosine_sql  # noqa: E402  (proven cross-engine cosine spelling)
+
+
+@query(
+    "dedup_semantic_pairs_audit",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {_FP_SQL.format(t='text')} AS f FROM documents
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cosine_sql('a.embedding', 'b.embedding')} AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT p.id_a, p.id_b, ROUND(p.c, 6) AS cosine,
+           (fa.f = fb.f) AS same_text
+    FROM pairs p
+    JOIN fp fa ON fa.doc_id = p.id_a
+    JOIN fp fb ON fb.doc_id = p.id_b
+    WHERE p.c >= {_SEM_T}
+    ORDER BY p.id_a, p.id_b
+    """,
+)
+def dedup_semantic_pairs_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-pair audit: document pairs above an embedding
+    cosine threshold, each flagged with whether their normalized TEXT
+    fingerprints also match — splitting textual duplicates (caught by
+    cheap exact dedup) from paraphrase-like pairs (only semantic
+    dedup catches them). The same_text=false share is what sizes a
+    semantic-dedup budget.
+
+    Scale shape: pair generation reuses embedding_near_dup_pairs
+    (brute here for oracle exactness; method='lsh' is the 100 TB
+    path — hyperplane buckets, equi-join, no O(n^2)); fingerprints
+    join by doc id onto the tiny surviving pair set, never the cross
+    product."""
+    from dasladen_spark.functions.text import normalize_text
+    from dasladen_spark.operators.dedup import embedding_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("f")
+    )
+    pairs = embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        threshold=_SEM_T,
+        method="brute",
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    fa = d.select(F.col("doc_id").alias("id_a"), F.col("f").alias("fa"))
+    fb = d.select(F.col("doc_id").alias("id_b"), F.col("f").alias("fb"))
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cosine",
+            (F.col("fa") == F.col("fb")).alias("same_text"),
+        )
+        .orderBy("id_a", "id_b")
+    )
