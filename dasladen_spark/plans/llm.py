@@ -201,18 +201,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.8
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.8), brute-force exact at
-    oracle scale; the `lsh` method of the same operator is the
-    at-scale path."""
+    """Embedding near-dup pairs, brute-force exact at oracle scale;
+    the `lsh` method of the same operator is the at-scale path. The
+    0.4 threshold sits inside the fixture's cosine range (max pair
+    ~0.5) so the gate validates real pairs — a production near-dup
+    pass would run the conventional 0.8."""
     pairs = embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"),
         "embedding",
         "vec_id",
-        threshold=0.8,
+        threshold=0.4,
         method="brute",
     )
     return pairs.withColumn("cosine", F.round("cosine", 6))

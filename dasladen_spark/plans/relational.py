@@ -435,13 +435,20 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers that never ordered."""
+    """Left-anti join (NOT EXISTS): customers with no urgent order.
+    (The predicate keeps the gate non-vacuous: every customer in the
+    fixture has *some* order, so an unfiltered NOT EXISTS proves
+    nothing.)"""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
