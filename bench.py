@@ -39,6 +39,9 @@ HEADLINE = [
     "train_shuffle_shards",
     "doc_chunks",
     "decontaminate_ngrams",
+    "dedup_span_coverage",
+    "text_unigram_surprisal",
+    "sample_topk_per_stratum",
 ]
 
 

@@ -402,6 +402,8 @@ _EXPECTED_FLAGS = {
     # brute-force ANN: tiny query set broadcast against the corpus
     "ann_cosine_topk": {"bnlj"},
     "dedup_embedding_cosine": {"bnlj"},
+    "dedup_semantic_pairs_audit": {"bnlj"},  # brute pairs for oracle exactness
+
     # scalar-subquery thresholds: 1-row aggregate broadcast-compared
     "q11_important_stock": {"bnlj", "single-partition"},
     "q22_idle_customers": {"bnlj", "single-partition"},
