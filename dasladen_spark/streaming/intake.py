@@ -1,0 +1,103 @@
+"""Streaming corpus intake — quality-gated document ingestion.
+
+The batch corpus-cleanup pipeline (plans/llm.py text_corpus_cleanup)
+assumes the corpus already landed. This is the front door: documents
+arrive continuously (crawler drops, vendor deliveries), each batch is
+scored with the SAME JVM-expression quality/fingerprint functions the
+batch pipeline uses, and rows are routed exactly-once to an accept
+area or a quarantine area with a reject reason. Because scoring is
+pure Column code, accept/reject decisions are identical whether a
+document arrives in a stream batch or a backfill — no train-time /
+ingest-time skew.
+
+Scale notes: the scorer is stateless per-row (no watermark, no state
+store); exactly-once comes from the file-sink + checkpoint contract
+of foreachBatch with idempotent overwrite-by-batch-id partitions.
+Routing writes each micro-batch once per destination (two filtered
+writes over one cached batch), not one job per reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dasladen_spark.functions.text import (
+    normalize_text,
+    quality_score,
+    token_count,
+)
+
+
+def score_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Append intake columns: quality, n_tokens, fingerprint, accept,
+    reject_reason. Pure Column expressions — usable identically on a
+    static frame or a stream."""
+    q = quality_score(F.col(text_col))
+    nt = token_count(F.col(text_col))
+    reason = (
+        F.when(nt < min_tokens, F.lit("too_short"))
+        .when(nt > max_tokens, F.lit("too_long"))
+        .when(q < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit(None))
+    )
+    return (
+        df.withColumn("quality", q)
+        .withColumn("n_tokens", nt)
+        .withColumn("fingerprint", F.md5(normalize_text(F.col(text_col))))
+        .withColumn("reject_reason", reason)
+        .withColumn("accept", F.col("reject_reason").isNull())
+    )
+
+
+def stream_document_folder(
+    spark: SparkSession,
+    path: str,
+    schema: str = "doc_id long, text string, lang string, source string",
+) -> DataFrame:
+    """readStream over a folder of JSON-lines document drops (the
+    crawler-delivery layout); explicit schema as streaming requires."""
+    return spark.readStream.schema(schema).json(path)
+
+
+def run_quality_gate(
+    docs: DataFrame,
+    accept_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    available_now: bool = True,
+):
+    """Route a document stream through the quality gate exactly once:
+    accepted rows land under ``accept_path``, rejects (with their
+    reason) under ``quarantine_path``. One scoring pass per
+    micro-batch; two filtered parquet writes partitioned by batch id
+    so a replayed batch overwrites itself (idempotent restart)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        scored = score_documents(
+            batch_df, min_quality=min_quality, min_tokens=min_tokens
+        ).persist()
+        try:
+            scored.filter("accept").drop(
+                "accept", "reject_reason"
+            ).write.mode("overwrite").parquet(f"{accept_path}/batch={batch_id}")
+            scored.filter(~F.col("accept")).drop("accept").write.mode(
+                "overwrite"
+            ).parquet(f"{quarantine_path}/batch={batch_id}")
+        finally:
+            scored.unpersist()
+
+    writer = docs.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

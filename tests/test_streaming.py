@@ -460,3 +460,65 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
         for r in enrich_with_dim(batch, dim, "user_id").collect()
     }
     assert srows == brows == {(1, 10, "gold"), (2, 20, "silver"), (999, 5, None)}
+
+
+def test_quality_gate_routes_and_matches_batch(spark, tmp_path):
+    """Streaming intake gate: accept/quarantine routing must equal the
+    batch scorer applied to a static read (no ingest-time skew), rejects
+    must carry reasons, and a re-drain with the same checkpoint must add
+    nothing (exactly-once)."""
+    import json
+
+    from dasladen_spark.streaming.intake import (
+        run_quality_gate,
+        score_documents,
+        stream_document_folder,
+    )
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    docs = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over a lazy dog today",
+         "lang": "en", "source": "s1"},
+        {"doc_id": 2, "text": "ok", "lang": "en", "source": "s1"},
+        {"doc_id": 3, "text": "!!!! ???? ;;;; >>>> #### $$$$ %%%% @@@@",
+         "lang": "en", "source": "s2"},
+        {"doc_id": 4, "text": "data pipelines shuffle partition join merge sort scan",
+         "lang": "en", "source": "s2"},
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(d) for d in docs[:2]))
+    (src / "b.jsonl").write_text("\n".join(json.dumps(d) for d in docs[2:]))
+
+    acc, quar, ckpt = (
+        str(tmp_path / "accept"), str(tmp_path / "quar"), str(tmp_path / "ck")
+    )
+    q = run_quality_gate(
+        stream_document_folder(spark, str(src)), acc, quar, ckpt
+    )
+    q.awaitTermination(120)
+
+    got_acc = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    quar_rows = spark.read.parquet(quar).collect()
+    got_rej = {r["doc_id"]: r["reject_reason"] for r in quar_rows}
+
+    static = score_documents(
+        spark.createDataFrame(
+            [(d["doc_id"], d["text"], d["lang"], d["source"]) for d in docs],
+            "doc_id long, text string, lang string, source string",
+        )
+    )
+    want_acc = {r["doc_id"] for r in static.filter("accept").collect()}
+    want_rej = {
+        r["doc_id"]: r["reject_reason"]
+        for r in static.filter("NOT accept").collect()
+    }
+    assert got_acc == want_acc and len(got_acc) >= 1
+    assert got_rej == want_rej and "too_short" in set(got_rej.values())
+
+    # exactly-once on re-drain
+    n_acc = spark.read.parquet(acc).count()
+    q2 = run_quality_gate(
+        stream_document_folder(spark, str(src)), acc, quar, ckpt
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(acc).count() == n_acc
