@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "text_quality",
     "text_corpus_cleanup",
     "pack_sequences",

@@ -983,3 +983,37 @@ def test_topk_per_group_matches_single_window(spark, sf_dir):
     ) == sorted(
         (r["source"], r["rank"], r["doc_id"], r["n_chars"]) for r in want
     )
+
+
+def test_embedding_lsh_clusters_planted(spark):
+    """The LSH cluster path (the plan registered for
+    dedup_clusters_embedding, whose fixture-scale oracle is empty)
+    must recover planted near-duplicate groups: two tight bundles of
+    nearly-parallel vectors -> two clusters with min-id survivors,
+    and no cross-bundle merge."""
+    import numpy as np
+
+    from dasladen_spark.operators.dedup import embedding_near_dup_pairs
+    from dasladen_spark.operators.graph import dedup_clusters
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=16)
+    b = rng.normal(size=16)
+    b -= (a @ b) / (a @ a) * a  # orthogonal to a
+    rows = []
+    for i in range(3):  # bundle A: ids 0-2
+        rows.append((i, (a + rng.normal(scale=0.005, size=16)).tolist()))
+    for i in range(3, 5):  # bundle B: ids 3-4
+        rows.append((i, (b + rng.normal(scale=0.005, size=16)).tolist()))
+    rows.append((5, (a - 2.0 * b + rng.normal(scale=0.005, size=16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = embedding_near_dup_pairs(
+        df, "embedding", "vec_id", threshold=0.95, method="lsh",
+        dim=16, num_tables=16,
+    ).select("id_a", "id_b")
+    got = {
+        (r["member"], r["survivor"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3)}
