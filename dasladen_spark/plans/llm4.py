@@ -723,3 +723,123 @@ def dedup_semantic_pairs_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ----------------------------------------- batching / padding audit
+
+
+@query(
+    "pack_padding_waste",
+    oracle=rf"""
+    WITH per_doc AS (
+      SELECT CAST(floor(log2(greatest(
+               len(regexp_extract_all(lower(text), '{_TOK_RE}')), 1)))
+             AS INTEGER) AS bucket,
+             len(regexp_extract_all(lower(text), '{_TOK_RE}')) AS nt
+      FROM documents
+    )
+    SELECT bucket,
+           CAST(power(2, bucket + 1) AS BIGINT) AS padded_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(power(2, bucket + 1) AS BIGINT) - nt) AS BIGINT)
+             AS pad_tokens,
+           ROUND(CAST(SUM(CAST(power(2, bucket + 1) AS BIGINT) - nt)
+                      AS DOUBLE)
+                 / (COUNT(*) * CAST(power(2, bucket + 1) AS BIGINT)), 6)
+             AS pad_frac
+    FROM per_doc GROUP BY bucket ORDER BY bucket
+    """,
+)
+def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batching-efficiency audit: if documents batch inside power-of-2
+    length buckets (each padded to the bucket ceiling), how many pad
+    tokens does each bucket burn? The table that justifies (or kills)
+    bucketed batching vs sequence packing — read next to
+    pack_sequences, which wastes ~zero by construction.
+
+    Scale shape: pure per-row expressions into one small-keyed rollup
+    (bucket count keys); no joins, no windows. The bucket uses the
+    same floor(log2(len)) spelling token_length_histogram already
+    proves deterministic cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    nt = F.size(tokens_col())
+    bucket = F.floor(F.log2(F.greatest(nt, F.lit(1)))).cast("int")
+    padded = F.pow(F.lit(2.0), (bucket + 1).cast("double")).cast("bigint")
+    per = d.select(
+        bucket.alias("bucket"), nt.alias("nt"), padded.alias("padded_len")
+    )
+    return (
+        per.groupBy("bucket", "padded_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("padded_len") - F.col("nt"))
+            .cast("bigint")
+            .alias("pad_tokens"),
+            F.round(
+                F.sum(F.col("padded_len") - F.col("nt")).cast("double")
+                / (F.count(F.lit(1)) * F.first("padded_len")),
+                6,
+            ).alias("pad_frac"),
+        )
+        .select(
+            "bucket", "padded_len", "n_docs", "total_tokens", "pad_tokens",
+            "pad_frac",
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------- event rate spike flags
+
+
+@query(
+    "q_event_rate_spikes",
+    oracle="""
+    WITH per_min AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ), per_user AS (
+      SELECT user_id,
+             round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 9) AS user_avg
+      FROM per_min GROUP BY user_id
+    )
+    SELECT m.user_id, m.hour, m.n, u.user_avg,
+           round(m.n / u.user_avg, 9) AS ratio
+    FROM per_min m JOIN per_user u USING (user_id)
+    WHERE m.n > 1.5 * u.user_avg
+    ORDER BY m.user_id, m.hour
+    """,
+)
+def q_event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: (user, hour) cells whose event count exceeds
+    1.5x that user's average active-hour rate — the abuse/bot screen a
+    pipeline runs before events feed any model.
+
+    Scale shape: both aggregates and the join stay keyed on user_id
+    (the hour rollup keys on (user, hour), a superset), so one
+    hash partitioning serves the whole query; no global window.
+    Determinism: integer counts, one rounded division per side."""
+    e = _t(spark, sf_dir, "events")
+    per_min = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_user = per_min.groupBy("user_id").agg(
+        F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 9).alias(
+            "user_avg"
+        )
+    )
+    return (
+        per_min.join(per_user, "user_id")
+        .filter(F.col("n") > 1.5 * F.col("user_avg"))
+        .select(
+            "user_id",
+            "hour",
+            "n",
+            "user_avg",
+            F.round(F.col("n") / F.col("user_avg"), 9).alias("ratio"),
+        )
+        .orderBy("user_id", "hour")
+    )
