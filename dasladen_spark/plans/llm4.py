@@ -843,3 +843,56 @@ def q_event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+# --------------------------------------------- label centroid audit
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             round(CAST(unnest(embedding) AS DOUBLE), 12) AS v
+      FROM embeddings
+    )
+    SELECT label, dim,
+           COUNT(*) AS n,
+           ROUND(
+             CAST(CAST(SUM(CAST(v AS DECIMAL(38,18))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*), 9) AS centroid
+    FROM ex GROUP BY label, dim ORDER BY label, dim
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the class prototypes): the mean
+    vector each label's members sit around — the starting point for
+    centroid-seeded clustering, label-noise screening (points far
+    from their own centroid), and drift monitoring between corpus
+    versions.
+
+    Scale shape: one exploded (label, dim)-keyed rollup with map-side
+    combine — (labels x dim) output rows regardless of corpus size;
+    no joins, no windows, no Python. Determinism: per-component
+    doubles round to 12 then accumulate in DECIMAL (order-free under
+    any partitioning), one final division, ROUND 9."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "vf")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("vf").cast("double"), 12).alias("v"),
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
