@@ -896,3 +896,155 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# ------------------------------------------------ dedup/clean funnel
+
+#: DuckDB spelling of functions/text.quality_score (same pair proven
+#: by the text_quality query; kept in lockstep with llm3._QUALITY_SQL)
+_QUALITY_SQL = r"""
+    ROUND(
+      0.5 * (len(regexp_extract_all({t}, '[A-Za-z]'))
+             / greatest(length({t}), 1))
+    + 0.25 * greatest(0.0,
+        1.0 - (len(regexp_extract_all({t}, '[A-Za-z]'))
+                 / greatest(len(regexp_extract_all({t}, '\S+')), 1) - 5.0)
+             * (len(regexp_extract_all({t}, '[A-Za-z]'))
+                 / greatest(len(regexp_extract_all({t}, '\S+')), 1) - 5.0)
+             / 25.0)
+    + 0.25 * (len(list_distinct(regexp_extract_all({t}, '\S+')))
+              / greatest(len(regexp_extract_all({t}, '\S+')), 1)),
+    4)
+"""
+
+_FUNNEL_MIN_TOK = 25
+_FUNNEL_MAX_COV = 0.5
+_FUNNEL_MIN_Q = 0.74
+
+
+@query(
+    "corpus_clean_funnel",
+    oracle=rf"""
+    WITH d0 AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '{_TOK_RE}') AS a,
+             len(regexp_extract_all(lower(text), '{_TOK_RE}')) AS nt,
+             {_FP_SQL.format(t='text')} AS fp,
+             {_QUALITY_SQL.format(t='text')} AS q
+      FROM documents
+    ), s2 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) rn
+        FROM d0) WHERE rn = 1
+    ), s3 AS (
+      SELECT * FROM s2 WHERE nt >= {_FUNNEL_MIN_TOK}
+    ), sh AS (
+      SELECT doc_id, (u).pos AS pos, md5((u).s) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a) - {_SPAN_N - 2}),
+                 i -> {{'pos': i,
+                        's': array_to_string(a[i:i+{_SPAN_N - 1}], ' ')}}))
+                 AS u
+        FROM s3 WHERE len(a) >= {_SPAN_N}
+      )
+    ), dup AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2
+    ), ints AS (
+      SELECT doc_id, pos AS s_start, pos + {_SPAN_N} AS s_end
+      FROM sh JOIN dup USING (h)
+    ), marked AS (
+      SELECT doc_id, s_start, s_end,
+             MAX(s_end) OVER (PARTITION BY doc_id ORDER BY s_start, s_end
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM ints
+    ), isl AS (
+      SELECT doc_id, s_start, s_end,
+             SUM(CASE WHEN pm IS NULL OR s_start > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s_start, s_end
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM marked
+    ), per_isl AS (
+      SELECT doc_id, gid, MAX(s_end) - MIN(s_start) AS covered
+      FROM isl GROUP BY doc_id, gid
+    ), cov AS (
+      SELECT doc_id, SUM(covered) AS covered FROM per_isl GROUP BY doc_id
+    ), s4 AS (
+      SELECT s3.* FROM s3 LEFT JOIN cov USING (doc_id)
+      WHERE COALESCE(cov.covered, 0) / greatest(s3.nt, 1)
+            <= {_FUNNEL_MAX_COV}
+    ), s5 AS (
+      SELECT * FROM s4 WHERE q >= {_FUNNEL_MIN_Q}
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens FROM d0
+      UNION ALL
+      SELECT 2, 'fingerprint_dedup', COUNT(*), CAST(SUM(nt) AS BIGINT)
+      FROM s2
+      UNION ALL
+      SELECT 3, 'min_length', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s3
+      UNION ALL
+      SELECT 4, 'span_dedup', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s4
+      UNION ALL
+      SELECT 5, 'quality_gate', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s5
+    ) ORDER BY stage
+    """,
+)
+def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleanup funnel a corpus actually runs, as ONE auditable
+    report: docs and tokens surviving each successive gate —
+    fingerprint dedup (min-id survivor), minimum length, duplicated-
+    span share ≤ 50%, quality score — the table that tells you which
+    stage is spending your data budget.
+
+    Scale shape: each stage is the already-audited distributed form
+    (fingerprint window keys on the fingerprint hash; span coverage
+    reuses duplicated_span_coverage's shingle-hash + interval-union
+    exchanges, computed only over the docs still alive at that
+    stage); the five stage summaries are scalar rollups (partial
+    aggregation, one row each). Nothing driver-side ever holds a
+    data-scale row set."""
+    from pyspark.sql import Window as W
+
+    from dasladen_spark.functions.text import normalize_text, quality_score
+
+    d0 = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.size(tokens_col()).alias("nt"),
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    s2 = (
+        d0.withColumn(
+            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    s3 = s2.filter(F.col("nt") >= _FUNNEL_MIN_TOK)
+    cov = duplicated_span_coverage(
+        s3.select("doc_id", "text"), "doc_id", "text", span=_SPAN_N
+    ).select("doc_id", "dup_coverage")
+    s4 = s3.join(cov, "doc_id", "left").filter(
+        F.coalesce("dup_coverage", F.lit(0.0)) <= _FUNNEL_MAX_COV
+    )
+    s5 = s4.filter(F.col("q") >= _FUNNEL_MIN_Q)
+
+    def _stage(df: DataFrame, stage: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+
+    return (
+        _stage(d0, 1, "raw")
+        .unionByName(_stage(s2, 2, "fingerprint_dedup"))
+        .unionByName(_stage(s3, 3, "min_length"))
+        .unionByName(_stage(s4, 4, "span_dedup"))
+        .unionByName(_stage(s5, 5, "quality_gate"))
+        .orderBy("stage")
+    )

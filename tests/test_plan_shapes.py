@@ -420,6 +420,8 @@ _EXPECTED_FLAGS = {
     "q_cumulative_distinct_users": {"single-partition"},
     # share normalizer over the 9-row digit table
     "q_benford_digits": {"single-partition"},
+    # five 1-row stage summaries (scalar rollups by construction)
+    "corpus_clean_funnel": {"single-partition"},
     # budget window over the S-row source rollup (source-count bounded)
     "corpus_mixture_plan": {"single-partition"},
     "corpus_mixture_sample": {"single-partition"},
