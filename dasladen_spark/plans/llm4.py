@@ -1048,3 +1048,55 @@ def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_stage(s5, 5, "quality_gate"))
         .orderBy("stage")
     )
+
+
+# ----------------------------------------------- ANN recall report
+
+
+@query("ann_recall_report")  # compares approximate methods — rows-only
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of each approximate ANN path (LSH buckets, IVF cells)
+    against the exact brute-force top-5 on the same 10 query vectors —
+    the accept/reject evidence for shipping an approximate index.
+    Numbers use the same parameters the registered ann_lsh_topk /
+    ann_ivf_topk queries run with, so this report audits exactly what
+    the engine exposes.
+
+    Scale shape: the exact baseline is |Q| x |corpus| with broadcast
+    queries (fine for an audit's small probe set); the approximate
+    sides are their own bucket/cell equi-joins. Intersections join on
+    (query_id, neighbor_id) — top-k-sized sets — and each method
+    reduces to one summary row."""
+    from dasladen_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    approx = {
+        "lsh": lsh_cosine_topk(q, emb, k=5, dim=64),
+        "ivf": ivf_cosine_topk(q, emb, k=5, n_centroids=16, n_probe=4),
+    }
+    reports = []
+    for name, res in approx.items():
+        hits = res.select("query_id", "neighbor_id").join(
+            exact, ["query_id", "neighbor_id"]
+        )
+        reports.append(
+            hits.agg(
+                F.lit(name).alias("method"),
+                F.lit(n_exact).cast("bigint").alias("n_exact"),
+                F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+                F.round(F.count(F.lit(1)) / F.lit(float(n_exact)), 4).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")

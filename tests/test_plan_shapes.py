@@ -403,6 +403,8 @@ _EXPECTED_FLAGS = {
     "ann_cosine_topk": {"bnlj"},
     "dedup_embedding_cosine": {"bnlj"},
     "dedup_semantic_pairs_audit": {"bnlj"},  # brute pairs for oracle exactness
+    # exact baseline is the broadcast brute scan; per-method 1-row summaries
+    "ann_recall_report": {"bnlj", "single-partition"},
 
     # scalar-subquery thresholds: 1-row aggregate broadcast-compared
     "q11_important_stock": {"bnlj", "single-partition"},
