@@ -70,7 +70,7 @@ def lsh_cosine_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     dim: int = 64,
-    num_tables: int = 8,
+    num_tables: int = 16,
     bits_per_table: int = 4,
     exclude_self: bool = True,
 ) -> DataFrame:
@@ -78,6 +78,12 @@ def lsh_cosine_topk(
     bucket with the query in at least one table. The corpus is
     exploded once per table (cheap, narrow) and the join is an equi
     join on (table, bucket) — a key shuffle instead of a cross join.
+
+    Default 16 tables x 4 bits: ann_recall_report measures 0.90
+    recall@5 on the (weakly-similar) fixture corpus vs 0.60 at 8
+    tables; production near-dup cosine levels sit far higher. Tune
+    with the report: more tables -> recall, more bits -> smaller
+    buckets (fewer candidates per probe).
     """
     bucket_udf = hyperplane_bucket_udf(num_tables, bits_per_table, dim)
 
