@@ -35,7 +35,14 @@ def portable_sample_filter(
     and selects the SAME rows, which makes hash sampling
     differential-testable against any SQL oracle. xxhash64
     (:func:`_hash_frac`) stays the fast path when portability isn't
-    needed: it's one JVM op vs md5's digest + hex encode."""
+    needed: it's one JVM op vs md5's digest + hex encode.
+
+    fraction >= 1.0 short-circuits to keep-all: the naive threshold
+    would format as 9 hex digits ('100000000') and the 8-char prefix
+    would lexicographically beat it only when starting with '0' —
+    silently dropping ~15/16 of a keep-whole source."""
+    if fraction >= 1.0:
+        return F.lit(True)
     thr = format(int(fraction * 16**hex_digits), f"0{hex_digits}x")
     digest = F.md5(F.concat(F.lit(salt), id_col.cast("string")))
     return F.substring(digest, 1, hex_digits) < F.lit(thr)

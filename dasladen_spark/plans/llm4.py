@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dasladen_spark.operators.intervals import merge_intervals
+from dasladen_spark.plans.llm3 import _FP_SQL
 from dasladen_spark.plans.registry import query
 from dasladen_spark.session import load_table as _t
 
@@ -494,7 +495,8 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(len(regexp_extract_all(lower(d.text), '{_TOK_RE}')))
                 AS BIGINT) AS kept_tokens
     FROM documents d JOIN rated r ON d.source = r.source
-    WHERE substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+    WHERE r.sample_rate >= 1.0
+       OR substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8)
           < printf('%08x', CAST(floor(r.sample_rate * 4294967296) AS BIGINT))
     GROUP BY d.source ORDER BY d.source
     """,
@@ -519,12 +521,20 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         d.join(F.broadcast(rates), "source")
         .filter(
-            F.substring(
-                F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))),
-                1,
-                8,
+            # rate >= 1.0 short-circuits to keep-whole: its threshold
+            # would format as 9 hex digits and the lexicographic
+            # compare against an 8-char prefix silently drops ~15/16
+            (F.col("sample_rate") >= F.lit(1.0))
+            | (
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("mix"), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                )
+                < thr
             )
-            < thr
         )
     )
     return (
@@ -652,10 +662,10 @@ def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------- semantic near-pair audit
 
-_FP_SQL = (
-    r"md5(trim(regexp_replace(regexp_replace(lower({t}),"
-    r" '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
-)
+# fingerprint SQL is imported from llm3 (top of file) so the two
+# modules' oracle regexes can't drift — an earlier redefinition here
+# doubled the backslashes, turning '\s' into literal backslash-s and
+# making the oracle's whitespace collapse a no-op
 
 #: audit threshold — tuned to the fixture's cosine range (max pair
 #: ~0.5); a production corpus with planted paraphrases would sit at

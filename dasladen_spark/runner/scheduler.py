@@ -59,19 +59,32 @@ def next_fire(schedule: dict, now: dt.datetime) -> dt.datetime | None:
             candidate += dt.timedelta(days=n_days)
         return candidate
     if freq == "weekly":
-        # every-N-weeks (ref processor.py:82-112: "weeks" count):
-        # the next wanted weekday, pushed out (N-1) extra weeks
-        n_weeks = int(schedule.get("weeks", 1))
-        days = schedule.get("weekday") or _WEEKDAYS
-        wanted = {_WEEKDAYS.index(d.lower()) for d in days}
-        for offset in range(8):
-            day = now.date() + dt.timedelta(days=offset)
-            if day.weekday() in wanted:
-                candidate = dt.datetime.combine(day, at)
-                if candidate > now:
-                    return candidate + dt.timedelta(weeks=n_weeks - 1)
-        return None
+        fires = _initial_weekly(schedule, now)
+        return min(fires.values()) if fires else None
     raise ValueError(f"unknown frequency {freq!r}")
+
+
+def _initial_weekly(schedule: dict, now: dt.datetime) -> dict[int, dt.datetime]:
+    """Per-weekday first-fire map for a weekly schedule (ref
+    processor.py:82-112: each listed weekday is an INDEPENDENT
+    schedule.every(weeks).<day> job). Each weekday's first fire is its
+    next occurrence pushed out (N-1) extra weeks; afterwards it
+    strides N weeks from its OWN last fire — so Monday firing never
+    pushes Friday of the same on-week onto an off-week."""
+    at = _parse_time(schedule.get("time"))
+    n_weeks = int(schedule.get("weeks", 1))
+    days = schedule.get("weekday") or _WEEKDAYS
+    fires: dict[int, dt.datetime] = {}
+    for name in days:
+        wd = _WEEKDAYS.index(name.lower())
+        offset = (wd - now.date().weekday()) % 7
+        candidate = dt.datetime.combine(
+            now.date() + dt.timedelta(days=offset), at
+        )
+        if candidate <= now:
+            candidate += dt.timedelta(weeks=1)
+        fires[wd] = candidate + dt.timedelta(weeks=n_weeks - 1)
+    return fires
 
 
 class ScheduledJob:
@@ -83,7 +96,17 @@ class ScheduledJob:
         self.action = action
         self.one_shot = bool(schedule.get("one_shot"))
         self.cancelled = False
-        self._next = next_fire(schedule, now or dt.datetime.now())
+        now = now or dt.datetime.now()
+        if schedule.get("recurring") and schedule.get("frequency") == "weekly":
+            # weekly keeps per-weekday state: each weekday strides N
+            # weeks from its own last fire (see _initial_weekly)
+            self._weekly: dict[int, dt.datetime] | None = _initial_weekly(
+                schedule, now
+            )
+            self._next = min(self._weekly.values()) if self._weekly else None
+        else:
+            self._weekly = None
+            self._next = next_fire(schedule, now)
 
     @property
     def next_run(self) -> dt.datetime | None:
@@ -97,6 +120,13 @@ class ScheduledJob:
         self.action()
         if self.one_shot:
             self.cancelled = True
+        elif self._weekly is not None:
+            n_weeks = int(self.schedule.get("weeks", 1))
+            for wd, when in self._weekly.items():
+                while when <= now:
+                    when += dt.timedelta(weeks=n_weeks)
+                self._weekly[wd] = when
+            self._next = min(self._weekly.values())
         else:
             self._next = next_fire(self.schedule, now)
         return True

@@ -19,10 +19,70 @@ upsert, keeping everything else.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _last_applied(marker: str) -> int:
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    return -1
+
+
+def _recover_snapshot(snapshot_path: str) -> None:
+    """Roll back a crash mid-swap. A lingering ``.bak.<b>`` dir means
+    the commit for batch b either finished everything but its cleanup
+    (marker >= b: drop the bak) or died before the marker advanced
+    (marker < b: the live snapshot may be missing or an unmarked new
+    version — restore the bak so the replay merges against the exact
+    pre-batch state). A lingering ``.tmp`` is always pre-commit junk.
+
+    Renames are atomic on a posix filesystem; on an object store the
+    same invariant comes from a transactional table format (see module
+    docstring) — the dataflow is unchanged."""
+    marker_val = _last_applied(snapshot_path + ".last_batch")
+    for bak in glob.glob(glob.escape(snapshot_path) + ".bak.*"):
+        b = int(bak.rsplit(".", 1)[1])
+        if marker_val >= b:
+            shutil.rmtree(bak)
+        else:
+            if os.path.exists(snapshot_path):
+                shutil.rmtree(snapshot_path)
+            os.rename(bak, snapshot_path)
+    tmp = snapshot_path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
+def _commit_snapshot(snapshot_path: str, marker: str, batch_id: int) -> None:
+    """Atomically promote ``snapshot_path + ".tmp"``: park the live
+    snapshot at ``.bak.<batch>``, rename tmp into place, advance the
+    marker, then drop the bak. A crash at ANY point leaves a complete
+    copy readable and `_recover_snapshot` can tell (via the bak's batch
+    id vs the marker) whether to roll forward or back — an
+    overwrite-in-place window would lose keys on replay."""
+    tmp = snapshot_path + ".tmp"
+    bak = f"{snapshot_path}.bak.{batch_id}"
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    had_prev = os.path.exists(snapshot_path)
+    if had_prev:
+        os.rename(snapshot_path, bak)
+    try:
+        os.rename(tmp, snapshot_path)
+    except BaseException:
+        if had_prev:
+            os.rename(bak, snapshot_path)  # roll the original back
+        raise
+    with open(marker, "w") as fh:
+        fh.write(str(batch_id))
+    if had_prev:
+        shutil.rmtree(bak)
 
 
 def run_incremental_matview(
@@ -44,10 +104,9 @@ def run_incremental_matview(
     marker = snapshot_path + ".last_batch"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return  # replay of an already-applied batch
+        _recover_snapshot(snapshot_path)
+        if batch_id <= _last_applied(marker):
+            return  # replay of an already-applied batch
         batch_agg = batch_df.groupBy(*keys).agg(
             *[F.expr(e).alias(c) for c, e in agg_exprs.items()]
         )
@@ -60,13 +119,10 @@ def run_incremental_matview(
             )
         else:
             combined = batch_agg
-        # write-aside then swap: can't overwrite a path being read
+        # write-aside (tmp is fully materialized while the live
+        # snapshot is still being read) then two atomic renames
         combined.write.mode("overwrite").parquet(snapshot_path + ".tmp")
-        spark.read.parquet(snapshot_path + ".tmp").write.mode(
-            "overwrite"
-        ).parquet(snapshot_path)
-        with open(marker, "w") as fh:
-            fh.write(str(batch_id))
+        _commit_snapshot(snapshot_path, marker, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(sink)
@@ -101,10 +157,9 @@ def run_streaming_upsert(
     from pyspark.sql import Window
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return
+        _recover_snapshot(snapshot_path)
+        if batch_id <= _last_applied(marker):
+            return
         # collapse the batch itself first (a key may change twice in
         # one batch); __src=1 marks incoming rows so they beat equal
         # versions already in the snapshot
@@ -125,11 +180,7 @@ def run_streaming_upsert(
             .drop("__rn", "__src")
         )
         latest.write.mode("overwrite").parquet(snapshot_path + ".tmp")
-        spark.read.parquet(snapshot_path + ".tmp").write.mode(
-            "overwrite"
-        ).parquet(snapshot_path)
-        with open(marker, "w") as fh:
-            fh.write(str(batch_id))
+        _commit_snapshot(snapshot_path, marker, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -228,7 +228,10 @@ def run_etl(ctx: TaskContext, task: dict) -> None:
         stop.set()
         poller.join(timeout=2)
     emit_crossings()  # late accumulator updates land here, always
-    ctx.log(f"task {name}: wrote {acc.value} rows")
+    # '~': accumulator adds from transformations are re-applied on
+    # task retries / speculative attempts, so after any executor
+    # failure the counter can exceed the rows actually committed
+    ctx.log(f"task {name}: wrote ~{acc.value} rows")
 
 
 # ------------------------------------------------------ control-plane

@@ -363,6 +363,23 @@ def test_portable_sample_filter_matches_numeric_threshold(spark, sf_dir):
     assert 0.15 * n < len(got) < 0.35 * n
 
 
+def test_portable_sample_filter_keeps_all_at_rate_one(spark, sf_dir):
+    """fraction >= 1.0 must keep EVERY row (the 'small sources kept
+    whole' clamp). The naive threshold formats as 9 hex digits and the
+    lexicographic compare against an 8-char prefix would silently keep
+    only prefixes starting with '0' (~1/16 of rows)."""
+    from dasladen_spark.operators.sampling import portable_sample_filter
+    from dasladen_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    for frac in (1.0, 1.5):
+        kept = d.filter(
+            portable_sample_filter(F.col("doc_id"), frac, salt="s:")
+        ).count()
+        assert kept == n, f"rate {frac} dropped {n - kept} of {n} rows"
+
+
 def test_stratified_sample_rates(spark, sf_dir):
     from dasladen_spark.operators.sampling import stratified_sample
     from dasladen_spark.session import load_table

@@ -48,3 +48,71 @@ def test_rows_only_queries_run(spark, sf_dir):
     for name in set(QUERIES) - set(ORACLES):
         n = QUERIES[name](spark, sf_dir).count()
         assert n >= 0
+
+
+def test_fingerprint_oracle_matches_spark_on_punctuated_text(spark):
+    """llm4's oracle fingerprint must agree with
+    functions.text.fingerprint on punctuated / multi-space text — a
+    doubled-backslash spelling once made the oracle's whitespace
+    collapse a no-op, vacuously green on bare lowercase fixtures."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.functions.text import fingerprint
+    from dasladen_spark.plans.llm4 import _FP_SQL
+
+    texts = [
+        "Hello,  world",
+        "Tabs\tand\nnewlines  +  punct!!!",
+        "MiXeD CaSe -- dashes & amps",
+        "trailing spaces   ",
+        "unicode é accents…",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)]
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, {_FP_SQL.format(t='text')} FROM docs"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_mixture_sample_keeps_whole_source_at_rate_one(spark, tmp_path):
+    """A source whose equal-share budget exceeds its token count gets
+    sample_rate 1.0 and must be kept WHOLE — the lexicographic
+    threshold compare alone would silently drop ~15/16 of it. Spark
+    and the DuckDB oracle must also still agree on this skewed mix."""
+    rows = [(i, "web", "alpha beta gamma delta " * 50) for i in range(40)]
+    rows += [(i, "books", "tiny doc words here") for i in range(40, 45)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING, text STRING")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["source"]: (r["kept_docs"], r["kept_tokens"])
+        for r in QUERIES["corpus_mixture_sample"](spark, str(tmp_path)).collect()
+    }
+    assert got["books"] == (5, 20)  # rate clamps to 1.0 → all kept
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(ORACLES["corpus_mixture_sample"]).fetchall()
+    }
+    assert got == want

@@ -184,6 +184,37 @@ def test_next_fire_every_n_days_and_weeks():
     assert n == dt.datetime(2026, 8, 21, 8, 0)
 
 
+def test_weekly_multi_weekday_strides_per_day():
+    """Every-2-weeks on monday+friday: each weekday advances 2 weeks
+    from its OWN last fire (independent jobs in the reference), so a
+    Monday fire must not push the Friday onto an off-week."""
+    fired = []
+    now = dt.datetime(2026, 8, 13, 10, 0)  # Thursday
+    job = ScheduledJob(
+        {
+            "recurring": True,
+            "frequency": "weekly",
+            "weeks": 2,
+            "weekday": ["monday", "friday"],
+            "time": "08:00",
+        },
+        lambda: fired.append(1),
+        now=now,
+    )
+    seq = []
+    for _ in range(4):
+        t = job.next_run
+        assert job.tick(t)
+        seq.append(t)
+    assert seq == [
+        dt.datetime(2026, 8, 21, 8),  # friday (next fri + 1 extra wk)
+        dt.datetime(2026, 8, 24, 8),  # monday of its own cadence
+        dt.datetime(2026, 9, 4, 8),   # friday again: exactly 14 days on
+        dt.datetime(2026, 9, 7, 8),   # monday: exactly 14 days on
+    ]
+    assert len(fired) == 4
+
+
 def test_per_task_log_file_written(watch_env):
     w, tmp = watch_env
     (tmp / "input" / "src.csv").write_text("id;v\n1;a\n")

@@ -335,6 +335,62 @@ def test_streaming_upsert_last_write_wins_and_replay_safe(spark, tmp_path):
     assert got2 == got
 
 
+def test_matview_snapshot_swap_recovers_from_crash(tmp_path):
+    """The snapshot swap must be crash-safe at every point: (a) died
+    after parking the live snapshot at .bak.<b> but before tmp moved
+    in (marker < b) → recovery restores the exact pre-batch snapshot
+    so the replay merges against the right state; (b) died after the
+    marker advanced but before bak cleanup (marker >= b) → recovery
+    drops the bak and keeps the new snapshot; stale .tmp always goes."""
+    import glob
+    import os
+
+    from dasladen_spark.streaming.matview import (
+        _commit_snapshot,
+        _last_applied,
+        _recover_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    marker = snap + ".last_batch"
+
+    def write_dir(path, tag):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "part.txt"), "w") as fh:
+            fh.write(tag)
+
+    def read_tag(path):
+        with open(os.path.join(path, "part.txt")) as fh:
+            return fh.read()
+
+    # (a) crash between snapshot→bak and tmp→snapshot: live missing
+    write_dir(snap + ".bak.5", "v4")
+    write_dir(snap + ".tmp", "v5-partial")
+    with open(marker, "w") as fh:
+        fh.write("4")
+    _recover_snapshot(snap)
+    assert read_tag(snap) == "v4"  # pre-batch state restored
+    assert not os.path.exists(snap + ".bak.5")
+    assert not os.path.exists(snap + ".tmp")
+
+    # (b) crash after marker write, before bak cleanup: roll forward
+    write_dir(snap + ".bak.5", "v4")
+    write_dir(snap, "v5")
+    with open(marker, "w") as fh:
+        fh.write("5")
+    _recover_snapshot(snap)
+    assert read_tag(snap) == "v5"
+    assert not os.path.exists(snap + ".bak.5")
+
+    # a clean commit promotes tmp, advances the marker, leaves no debris
+    write_dir(snap + ".tmp", "v6")
+    _commit_snapshot(snap, marker, 6)
+    assert read_tag(snap) == "v6"
+    assert _last_applied(marker) == 6
+    assert not glob.glob(snap + ".bak.*")
+    assert not os.path.exists(snap + ".tmp")
+
+
 def test_incremental_topk_equals_batch_recompute(spark, tmp_path, sf_dir):
     """Corpus vectors arriving in two micro-batches must yield the
     same per-query top-k as one batch recompute over everything."""

@@ -150,7 +150,7 @@ def test_progress_meter_logs_10k_increments(spark, workdir):
     ).run()
     assert "task big: 10000 rows" in logged
     assert "task big: 20000 rows" in logged
-    assert "task big: wrote 25000 rows" in logged
+    assert "task big: wrote ~25000 rows" in logged
     out = (workdir / "output" / "out.csv").read_text().strip().splitlines()
     assert len(out) == n_rows + 1  # the passthrough loses no rows
 
