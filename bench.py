@@ -34,6 +34,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    # first rep pays the one-time index build; later reps reuse the
+    # materialized postings (ensure_ann_index tag hit), so the median
+    # reports the amortized probe cost — the number that matters at
+    # scale
+    "ann_indexed_topk",
     "text_quality",
     "text_corpus_cleanup",
     "pack_sequences",

@@ -120,6 +120,82 @@ def lsh_cosine_topk(
     )
 
 
+def centroid_assign_udf(cent_mat: np.ndarray):
+    """Pandas UDF mapping a vector column to its nearest (by cosine)
+    centroid's cell id. The centroid matrix (n_centroids × dim) is
+    closure-broadcast; each Arrow batch is one numpy matmul."""
+    norm = cent_mat / np.maximum(
+        np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x @ norm.T).argmax(axis=1).astype("int32"))
+
+    return assign
+
+
+def probe_cells_udf(cent_mat: np.ndarray, n_probe: int):
+    """Pandas UDF mapping a query vector to its ``n_probe`` nearest
+    cells (array<int>), for the IVF probe explode."""
+    probe_norm = cent_mat / np.maximum(
+        np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ probe_norm.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probe_cells
+
+
+def fit_ivf_centroids(
+    c: DataFrame, n_centroids: int, lloyd_iters: int
+) -> np.ndarray:
+    """Fit the IVF centroid matrix over a (neighbor_id, cv) frame.
+
+    Seeds are the ``n_centroids`` vectors with the smallest
+    md5('ivf-seed' || id) — a deterministic hash-ordered sample, so
+    the seed set is spread uniformly over the corpus even when ids
+    correlate with content (lowest-id seeding would start every cell
+    in the same content neighborhood). One TakeOrdered pass; then
+    ``lloyd_iters`` distributed k-means steps, each one assign UDF +
+    a (cell, dim)-keyed mean whose group count is independent of
+    corpus size. Only n_centroids × dim floats ever reach the driver."""
+    seeds = (
+        c.orderBy(
+            F.md5(F.concat(F.lit("ivf-seed"), F.col("neighbor_id").cast("string")))
+        )
+        .limit(n_centroids)
+        .select("cv")
+        .collect()
+    )
+    cent = np.array([r["cv"] for r in seeds], dtype=np.float64)
+    for _ in range(lloyd_iters):
+        assigned = c.withColumn("cell", centroid_assign_udf(cent)(F.col("cv")))
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col("cv").cast("array<double>"))
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        for r in means:
+            cent[r["cell"], r["pos"]] = r["m"]
+    return cent
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -138,13 +214,13 @@ def ivf_cosine_topk(
     only the ``n_probe`` nearest cells' members.
 
     Scale anatomy (the 100 TB path):
-    - centroids: seeded from the lowest-id corpus vectors
-      (deterministic), refined by ``lloyd_iters`` distributed k-means
-      steps — each step is one mapInPandas assign (broadcast
-      centroid matrix, numpy matmul) + one groupBy mean. Centroids
-      (n_centroids × dim floats) always fit on the driver.
-    - inverted lists: one shuffle of the corpus on cell id — done
-      once, reusable across query batches (persist/bucket by cell).
+    - centroids: hash-ordered deterministic seed sample, refined by
+      ``lloyd_iters`` distributed k-means steps (fit_ivf_centroids).
+      Centroids (n_centroids × dim floats) always fit on the driver.
+    - inverted lists: one shuffle of the corpus on cell id. For reuse
+      across query batches, materialize them once with
+      operators/ann_index.build_ann_index(method="ivf") — the
+      bucketed-table form of this exact dataflow.
     - search: queries explode to n_probe cells, equi-join on cell id
       (a key shuffle over n_probe/n_centroids of the corpus), exact
       cosine re-rank, per-query top-k window.
@@ -157,61 +233,13 @@ def ivf_cosine_topk(
     )
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"))
 
-    seeds = (
-        c.orderBy("neighbor_id").limit(n_centroids).select("cv").collect()
-    )
-    cent = np.array([r["cv"] for r in seeds], dtype=np.float64)
-
-    def assign_udf(cent_mat: np.ndarray):
-        norm = cent_mat / np.maximum(
-            np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-12
-        )
-
-        @F.pandas_udf("int")
-        def assign(vecs: pd.Series) -> pd.Series:
-            if len(vecs) == 0:
-                return pd.Series([], dtype="int32")
-            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            return pd.Series((x @ norm.T).argmax(axis=1).astype("int32"))
-
-        return assign
-
-    for _ in range(lloyd_iters):
-        assigned = c.withColumn("cell", assign_udf(cent)(F.col("cv")))
-        # per-dimension mean via posexplode: the shuffle key is
-        # (cell, dim) — n_centroids × dim groups regardless of corpus
-        # size, and only that many rows come back to the driver
-        means = (
-            assigned.select(
-                "cell", F.posexplode(F.col("cv").cast("array<double>"))
-            )
-            .groupBy("cell", "pos")
-            .agg(F.avg("col").alias("m"))
-            .collect()
-        )
-        for r in means:
-            cent[r["cell"], r["pos"]] = r["m"]
-
-    assign = assign_udf(cent)
-    lists = c.withColumn("cell", assign(F.col("cv")))
-
-    probe_norm = cent / np.maximum(
-        np.linalg.norm(cent, axis=1, keepdims=True), 1e-12
-    )
-
-    @F.pandas_udf("array<int>")
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        sims = x @ probe_norm.T
-        order = np.argsort(-sims, axis=1)[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in order])
+    cent = fit_ivf_centroids(c, n_centroids, lloyd_iters)
+    lists = c.withColumn("cell", centroid_assign_udf(cent)(F.col("cv")))
 
     probed = q.select(
-        "query_id", "qv", F.explode(probe_cells(F.col("qv"))).alias("cell")
+        "query_id",
+        "qv",
+        F.explode(probe_cells_udf(cent, n_probe)(F.col("qv"))).alias("cell"),
     )
     cand = probed.join(lists, on="cell")
     if exclude_self:

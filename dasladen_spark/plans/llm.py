@@ -195,6 +195,29 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_indexed_topk")  # approximate; differential-tested vs ann_lsh_topk
+def ann_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 via the MATERIALIZED LSH index (operators/ann_index):
+    posting lists are built once into a table bucketed by probe key;
+    the query batch broadcast-joins onto it, so the corpus side runs
+    with zero Exchange and zero Python UDF at query time. Same hash
+    family and parameters as ann_lsh_topk — row-identical results
+    (asserted in tests), amortized build cost."""
+    from dasladen_spark.operators.ann_index import (
+        ensure_ann_index,
+        search_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ensure_ann_index(emb, "ann_idx_lsh", tag=sf_dir, dim=64)
+    res = search_ann_index(
+        spark, "ann_idx_lsh", emb.filter(F.col("vec_id") < 10), k=5
+    )
+    return res.withColumn("cosine", F.round("cosine", 6)).orderBy(
+        "query_id", "rank"
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""

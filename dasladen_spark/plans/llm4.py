@@ -1072,6 +1072,15 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_topk queries run with, so this report audits exactly what
     the engine exposes.
 
+    IVF recall note: centroids are seeded from a hash-ordered sample
+    (fit_ivf_centroids). The earlier lowest-id seeding reported 0.90
+    recall here, but only because seeds (ids 0-15) contained the
+    report's own probe set (ids 0-9) — centroids sat ON the query
+    vectors, a train/test leak. On probe sets disjoint from the old
+    seed ids, hash seeding wins (0.60 vs 0.46 at sf0.01); the lower
+    number now reported is the honest one for this weakly-clustered
+    fixture.
+
     Scale shape: the exact baseline is |Q| x |corpus| with broadcast
     queries (fine for an audit's small probe set); the approximate
     sides are their own bucket/cell equi-joins. Intersections join on
@@ -1085,7 +1094,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    exact = cosine_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    # persist: the |Q|×|corpus| exact scan is consumed three times
+    # (count + one hash join per approximate method); without the
+    # cache it would re-execute for each
+    exact = (
+        cosine_topk(q, emb, k=5).select("query_id", "neighbor_id").persist()
+    )
     n_exact = exact.count()
     approx = {
         "lsh": lsh_cosine_topk(q, emb, k=5, dim=64),

@@ -1034,3 +1034,65 @@ def test_embedding_lsh_clusters_planted(spark):
         for r in dedup_clusters(pairs).collect()
     }
     assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3)}
+
+
+def test_indexed_lsh_search_matches_unindexed(spark, sf_dir):
+    """search_ann_index over the materialized LSH index must return
+    ROW-IDENTICAL results to the per-batch lsh_cosine_topk — same
+    seeded hash family, same candidate semantics, amortized build."""
+    from dasladen_spark.operators.ann_index import (
+        build_ann_index,
+        search_ann_index,
+    )
+    from dasladen_spark.operators.similarity import lsh_cosine_topk
+    from dasladen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ann_index(emb, "t_ann_idx", tag="t")
+    q = emb.filter(F.col("vec_id") < 10)
+    got = sorted(
+        map(tuple, search_ann_index(spark, "t_ann_idx", q, k=5).collect())
+    )
+    want = sorted(map(tuple, lsh_cosine_topk(q, emb, k=5, dim=64).collect()))
+    assert len(got) > 0
+    assert got == want
+
+
+def test_indexed_ivf_search_recall_floor(spark, sf_dir):
+    """IVF index probes only n_probe cells, so assert a recall floor
+    against the exact baseline rather than equality (Lloyd means are
+    float-order sensitive at the last bit)."""
+    from dasladen_spark.operators.ann_index import (
+        build_ann_index,
+        search_ann_index,
+    )
+    from dasladen_spark.operators.similarity import cosine_topk
+    from dasladen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ann_index(emb, "t_ann_idx_ivf", method="ivf", tag="t")
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = search_ann_index(spark, "t_ann_idx_ivf", q, k=5).collect()
+    exact = cosine_topk(q, emb, k=5).collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    assert {r["query_id"] for r in approx} == set(range(10))
+    assert len(a & e) / len(e) >= 0.3
+
+
+def test_ensure_ann_index_skips_rebuild_on_same_tag(spark, sf_dir, monkeypatch):
+    import dasladen_spark.operators.ann_index as ai
+    from dasladen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for t in ("t_ann_ens", "t_ann_ens_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    ai.ensure_ann_index(emb, "t_ann_ens", tag="snap1")
+    calls = []
+    monkeypatch.setattr(
+        ai, "build_ann_index", lambda *a, **k: calls.append(1)
+    )
+    ai.ensure_ann_index(emb, "t_ann_ens", tag="snap1")
+    assert not calls  # same snapshot: reuse the materialized postings
+    ai.ensure_ann_index(emb, "t_ann_ens", tag="snap2")
+    assert calls  # new snapshot: rebuild

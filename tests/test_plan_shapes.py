@@ -492,3 +492,20 @@ def test_span_coverage_no_cartesian(spark):
     plan = plan_of(spark, "dedup_span_coverage")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_indexed_ann_search_has_no_corpus_side_shuffle(spark):
+    """The point of the materialized ANN index: at query time the
+    bucketed posting scan feeds the broadcast probe join directly —
+    zero Exchange and zero Python UDF on the corpus side (signatures
+    were precomputed at build time)."""
+    plan = plan_of(spark, "ann_indexed_topk")
+    assert "BroadcastHashJoin" in plan
+    # children of the join print after it: streamed (corpus) side
+    # first, then the BroadcastExchange of the query probes
+    corpus_side = plan.split("BroadcastHashJoin", 1)[1].split(
+        "BroadcastExchange", 1
+    )[0]
+    assert "Exchange" not in corpus_side, corpus_side
+    assert "EvalPython" not in corpus_side, corpus_side
+    assert "Scan" in corpus_side
