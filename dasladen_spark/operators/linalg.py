@@ -19,12 +19,25 @@ from pyspark.sql import DataFrame
 
 
 def gram_moments(
-    df: DataFrame, vec_col: str, dim: int
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    refold_threshold: int = 64,
+    _stats: dict | None = None,
 ) -> tuple[int, np.ndarray, np.ndarray]:
-    """One distributed pass → (n, Σx, XᵀX): each partition folds its
+    """Distributed fold → (n, Σx, XᵀX): each partition reduces its
     vectors into a (count, sum-vector, partial Gram) row via Arrow
-    batches (numpy matmul — BLAS, not per-element Python), and only
-    those partition-count rows reach the driver."""
+    batches (numpy matmul — BLAS, not per-element Python).
+
+    The driver never sees O(P) rows: above ``refold_threshold``
+    partitions a second-level fold shuffles the P partial rows (tiny —
+    ~d² doubles each) into ~√P groups and reduces each group to one
+    row, so the collect is O(√P). At d=64 a 100 TB corpus on 128 MB
+    splits (~800k partitions) would otherwise land ~26 GB of partials
+    on the driver; with the refold it is ~900 rows (~30 MB).
+
+    ``_stats`` (test hook): records partitions / driver_rows /
+    two_level so the scale path is assertable."""
     schema = "n long, s array<double>, g array<double>"
 
     def partial(batches):
@@ -45,7 +58,30 @@ def gram_moments(
                 {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
-    rows = df.select(vec_col).mapInPandas(partial, schema).collect()
+    def refold(batches):
+        n = 0
+        s = np.zeros(dim, dtype=np.float64)
+        g = np.zeros(dim * dim, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n += int(pdf["n"].sum())
+            s += np.sum(np.stack(pdf["s"].to_numpy()), axis=0)
+            g += np.sum(np.stack(pdf["g"].to_numpy()), axis=0)
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.tolist()]})
+
+    partials = df.select(vec_col).mapInPandas(partial, schema)
+    n_parts = df.rdd.getNumPartitions()
+    two_level = n_parts > refold_threshold
+    if two_level:
+        groups = max(1, int(n_parts**0.5))
+        partials = partials.repartition(groups).mapInPandas(refold, schema)
+    rows = partials.collect()
+    if _stats is not None:
+        _stats.update(
+            partitions=n_parts, driver_rows=len(rows), two_level=two_level
+        )
     if not rows:
         return 0, np.zeros(dim), np.zeros((dim, dim))
     n = sum(r["n"] for r in rows)

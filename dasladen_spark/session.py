@@ -40,6 +40,17 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # streaming state off-heap: the default HDFS-backed provider keeps
+    # every key's state in executor heap, which caps stateful streaming
+    # (streaming/stateful.py, matview.py) far below 100 TB key
+    # cardinality; RocksDB spills to local disk and bounds heap use
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
 }
 
 

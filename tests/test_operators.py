@@ -538,6 +538,41 @@ def test_pca_matches_numpy(spark, sf_dir):
         np.testing.assert_allclose(ratio, ratios[i], rtol=1e-9, atol=1e-12)
 
 
+def test_gram_moments_two_level_fold_bounds_driver_rows(spark, sf_dir):
+    """On a many-partition frame the moments fold must take the
+    two-level path — the driver collects O(sqrt(P)) refolded rows, not
+    one row per partition — and still match numpy exactly. (At 100 TB
+    partition counts the single-level collect is ~26 GB on the
+    driver; the refold makes it ~30 MB.)"""
+    import numpy as np
+
+    from dasladen_spark.operators.linalg import gram_moments
+    from dasladen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(100)
+    stats: dict = {}
+    n, s, g = gram_moments(emb, "embedding", dim=64, _stats=stats)
+    assert stats["two_level"] and stats["partitions"] == 100
+    assert stats["driver_rows"] <= 10  # ~sqrt(100), not 100
+
+    x = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("embedding").collect()
+        ]
+    )
+    assert n == len(x)
+    np.testing.assert_allclose(s, x.sum(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(g, x.T @ x, rtol=1e-9)
+
+    # below the threshold the single-level path still holds
+    stats2: dict = {}
+    n2, _, _ = gram_moments(
+        emb.coalesce(4), "embedding", dim=64, _stats=stats2
+    )
+    assert n2 == n and not stats2["two_level"]
+
+
 def test_whiten_produces_identity_covariance(spark, sf_dir):
     """ZCA whitening must leave the corpus with (near-)identity
     covariance, and the transform must be pure map (no shuffle)."""

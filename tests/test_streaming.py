@@ -578,3 +578,13 @@ def test_quality_gate_routes_and_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(acc).count() == n_acc
+
+
+def test_state_store_is_rocksdb(spark):
+    """Stateful ops must run on the RocksDB provider: the default
+    HDFS-backed store keeps all state in executor heap, which caps
+    key cardinality far below the 100 TB target. (The streaming tests
+    above all execute under this provider.)"""
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
