@@ -1,0 +1,104 @@
+"""Materialized fingerprint index — incremental dedup against history.
+
+The exact-dedup operators (operators/dedup.exact_dedup, plans/llm) all
+assume the WHOLE corpus is in the frame being deduplicated. That is the
+wrong shape for a production intake pipeline: the history is ~100 TB
+and only a small daily batch arrives. Re-shuffling the full history on
+its fingerprint for every batch — which a naive
+``batch.join(history, "fp", "left_anti")`` does — is the single cost
+this module removes.
+
+``build_fingerprint_index`` pays the history shuffle ONCE: distinct
+document fingerprints are persisted as a parquet table BUCKETED and
+sorted by ``fp`` (sinks/bucketed.write_bucketed). After that, each
+batch anti-joins against the index with a sort-merge join in which the
+history side has ZERO Exchange (asserted in
+tests/test_plan_shapes.py::test_fingerprint_index_anti_join_no_history_shuffle)
+— only the batch (the small side) shuffles, into the index's bucket
+layout. ``append_to_index`` then adds the batch's novel fingerprints so
+the next batch sees them: the steady-state cost per batch is
+O(|batch|) shuffle + a bucketed append, independent of history size.
+
+Beyond-reference operator (the reference delegates all query power to
+an RDBMS, /root/reference/dasladen/task.py:94-107).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dasladen_spark.functions.text import fingerprint
+from dasladen_spark.operators.ann_index import _drop_orphan_location
+from dasladen_spark.sinks.bucketed import write_bucketed
+
+
+def build_fingerprint_index(
+    history: DataFrame,
+    table: str,
+    text_col: str = "text",
+    n_buckets: int = 16,
+    tag: str = "",
+) -> None:
+    """One-time build: fingerprint every history document, distinct,
+    and persist bucketed+sorted by ``fp``. ``n_buckets`` sizes the
+    layout so one bucket fits an executor core (at 100 TB of history
+    use thousands; the spec is append-stable so it must be chosen for
+    the final size up front). ``tag`` names the history snapshot for
+    ``ensure_fingerprint_index``."""
+    spark = history.sparkSession
+    for suffix in ("", "_meta"):
+        _drop_orphan_location(spark, table + suffix)
+    fps = history.select(
+        fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+    write_bucketed(fps, table, "fp", n_buckets, sort_cols="fp")
+    spark.createDataFrame(
+        [(tag, n_buckets)], "tag STRING, n_buckets INT"
+    ).write.mode("overwrite").saveAsTable(f"{table}_meta")
+
+
+def ensure_fingerprint_index(
+    history: DataFrame, table: str, tag: str, **kwargs
+) -> None:
+    """Idempotent entry point: build only if the index is absent or
+    was built from a different history snapshot."""
+    spark = history.sparkSession
+    if spark.catalog.tableExists(table) and spark.catalog.tableExists(
+        f"{table}_meta"
+    ):
+        prev = spark.table(f"{table}_meta").collect()
+        if prev and prev[0]["tag"] == tag:
+            return
+    build_fingerprint_index(history, table, tag=tag, **kwargs)
+
+
+def novel_against_index(
+    spark: SparkSession,
+    table: str,
+    batch: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch rows whose fingerprint is NOT in the index (plus the
+    computed ``fp`` column, so callers can append it back).
+
+    The ``merge`` hint pins the sort-merge anti join even when the
+    index is small enough to broadcast locally — broadcasting 100 TB
+    of history is exactly the plan this operator exists to avoid, and
+    the SMJ reads the bucketed index in place: no history-side
+    Exchange, the batch alone shuffles into the bucket layout."""
+    hist = spark.table(table).hint("merge")
+    b = batch.withColumn("fp", fingerprint(F.col(text_col)))
+    return b.join(hist, "fp", "left_anti")
+
+
+def append_to_index(spark: SparkSession, table: str, novel: DataFrame) -> None:
+    """Add a batch's novel fingerprints so subsequent batches dedup
+    against them too. Parquet bucketed tables append per-job bucket
+    files (the bucket spec is fixed at create time); periodic
+    compaction of many small per-batch files is the same maintenance
+    any streaming bucketed sink needs."""
+    n_buckets = spark.table(f"{table}_meta").collect()[0]["n_buckets"]
+    novel.select("fp").distinct().write.mode("append").format(
+        "parquet"
+    ).bucketBy(n_buckets, "fp").sortBy("fp").saveAsTable(table)

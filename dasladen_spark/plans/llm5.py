@@ -1,0 +1,155 @@
+"""Training-data pipeline queries, part 5: incremental-history dedup
+and mergeable distinct-count rollups.
+
+The common thread is INCREMENTALITY — the property that makes a 100 TB
+pipeline affordable: never touch the history again once a partial
+result (fingerprint index, per-day bitmap, per-day sketch) is
+materialized; each new batch/day pays only for itself.
+
+Beyond-reference operators (the reference delegates all query power to
+an RDBMS, /root/reference/dasladen/task.py:94-107). Same oracle
+discipline as llm3/llm4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dasladen_spark.plans.llm3 import _FP_SQL
+from dasladen_spark.plans.registry import query
+from dasladen_spark.session import load_table as _t
+
+# ---------------------------------------------- incremental dedup
+
+
+@query(
+    "dedup_incremental_novel",
+    oracle=f"""
+    WITH hist AS (
+      SELECT {_FP_SQL.format(t='text')} AS fp
+      FROM documents WHERE source <> 'src19'
+    ), batch AS (
+      SELECT doc_id, {_FP_SQL.format(t='text')} AS fp
+      FROM documents WHERE source = 'src19'
+      UNION ALL
+      SELECT doc_id + 1000000, {_FP_SQL.format(t='upper(text)')}
+      FROM documents WHERE source <> 'src19' AND doc_id % 37 = 0
+    )
+    SELECT b.doc_id, b.fp FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+    """,
+)
+def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intake dedup against a MATERIALIZED history index
+    (operators/fingerprint_index): the ~100 TB history's fingerprints
+    are bucketed-by-fp on disk, built once; the small arriving batch
+    anti-joins against them with zero history-side shuffle (asserted
+    in tests/test_plan_shapes.py).
+
+    The fixture has no cross-source exact dups, so the batch plants
+    its own overlap: alongside the genuinely-new src19 docs it
+    "re-crawls" every 37th history doc under a fresh id with
+    UPPER-cased text — a fingerprint-invariant mutation the index
+    must still catch. Result: the src19 docs alone survive."""
+    from dasladen_spark.operators.fingerprint_index import (
+        ensure_fingerprint_index,
+        novel_against_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("source") != "src19")
+    ensure_fingerprint_index(hist, "fp_hist_idx", tag=sf_dir)
+    resub = hist.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    batch = (
+        d.filter(F.col("source") == "src19")
+        .select("doc_id", "text")
+        .unionByName(resub)
+    )
+    novel = novel_against_index(spark, "fp_hist_idx", batch)
+    return novel.select("doc_id", "fp").orderBy("doc_id")
+
+
+# ------------------------------------- mergeable distinct rollups
+
+
+@query(
+    "q_bitmap_distinct_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           COUNT(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY 1
+    """,
+)
+def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weekly distinct users via mergeable per-day bitmaps —
+    the incremental spelling of COUNT(DISTINCT): each day is
+    aggregated once into (bucket → bitmap) partials; coarser grains
+    (week here; month/all-time identically) are bitmap_or merges of
+    the partials, never a rescan of the raw events. At 100 TB the
+    daily partials are what you persist; the weekly rollup touches
+    |days × buckets| rows. Values are exact, so the DuckDB
+    COUNT(DISTINCT) oracle matches bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            F.date_trunc("day", "ts").alias("day"),
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("week", "day", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    weekly = daily.groupBy("week", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return (
+        weekly.groupBy("week")
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_users"))
+        .select(
+            # timestamp, not date: the comparator renders DuckDB DATE
+            # as a pandas Timestamp
+            F.col("week").cast("timestamp").alias("week"),
+            "distinct_users",
+        )
+        .orderBy("week")
+    )
+
+
+@query("q_hll_mergeable_rollup")  # sketch estimates are impl-specific —
+# rows-only; tests/test_operators.py::test_hll_rollup_error_bounds
+# asserts every weekly estimate within 5% of the exact bitmap answer
+def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users via Datasketches HLL — the
+    APPROXIMATE sibling of q_bitmap_distinct_rollup for when even the
+    bitmaps are too big (user space in the billions): per-day sketches
+    (hll_sketch_agg) are a few KB each regardless of cardinality, and
+    the weekly rollup is hll_union_agg over them. Same
+    never-rescan-history shape, bounded error instead of exact."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            F.date_trunc("day", "ts").alias("day"),
+            "user_id",
+        )
+        .groupBy("week", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_distinct_users"
+            )
+        )
+        .select(
+            F.col("week").cast("timestamp").alias("week"),
+            "approx_distinct_users",
+        )
+        .orderBy("week")
+    )

@@ -1131,3 +1131,68 @@ def test_ensure_ann_index_skips_rebuild_on_same_tag(spark, sf_dir, monkeypatch):
     assert not calls  # same snapshot: reuse the materialized postings
     ai.ensure_ann_index(emb, "t_ann_ens", tag="snap2")
     assert calls  # new snapshot: rebuild
+
+
+def test_fingerprint_index_incremental_cycle(spark):
+    """Full intake lifecycle: build from history, filter a batch,
+    append the batch's novel fps, and verify the NEXT batch deduped
+    against both history and the first batch — all without ever
+    re-reading history docs."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.fingerprint_index import (
+        append_to_index,
+        build_fingerprint_index,
+        novel_against_index,
+    )
+
+    for t in ("t_fpidx", "t_fpidx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    hist = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], ["doc_id", "text"]
+    )
+    build_fingerprint_index(hist, "t_fpidx", n_buckets=4, tag="day0")
+    batch1 = spark.createDataFrame(
+        [
+            (10, "ALPHA   doc!"),  # dup of 1 modulo normalization
+            (11, "gamma doc"),     # novel
+        ],
+        ["doc_id", "text"],
+    )
+    novel1 = novel_against_index(spark, "t_fpidx", batch1)
+    assert [r["doc_id"] for r in novel1.collect()] == [11]
+    append_to_index(spark, "t_fpidx", novel1)
+    batch2 = spark.createDataFrame(
+        [
+            (20, "gamma doc"),  # dup of batch1's novel doc
+            (21, "delta doc"),  # novel
+        ],
+        ["doc_id", "text"],
+    )
+    novel2 = novel_against_index(spark, "t_fpidx", batch2)
+    assert [r["doc_id"] for r in novel2.collect()] == [21]
+    # appended fps land in the declared bucket layout, not a plain file
+    desc = spark.sql("DESCRIBE EXTENDED t_fpidx").collect()
+    desc_txt = "\n".join(str(r) for r in desc)
+    assert "4" in desc_txt and "fp" in desc_txt
+    for t in ("t_fpidx", "t_fpidx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_hll_rollup_error_bounds(spark, sf_dir):
+    """Every weekly HLL estimate must land within 5% of the exact
+    bitmap-rollup answer (default lgConfigK=12 gives ~1.6% rse; 5%
+    is a 3-sigma-ish gate that still fails on any merge bug)."""
+    from dasladen_spark.plans import QUERIES
+
+    exact = {
+        r["week"]: r["distinct_users"]
+        for r in QUERIES["q_bitmap_distinct_rollup"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["week"]: r["approx_distinct_users"]
+        for r in QUERIES["q_hll_mergeable_rollup"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for wk, n in exact.items():
+        assert abs(approx[wk] - n) / n <= 0.05, (wk, approx[wk], n)

@@ -509,3 +509,29 @@ def test_indexed_ann_search_has_no_corpus_side_shuffle(spark):
     assert "Exchange" not in corpus_side, corpus_side
     assert "EvalPython" not in corpus_side, corpus_side
     assert "Scan" in corpus_side
+
+
+def test_fingerprint_index_anti_join_no_history_shuffle(spark):
+    """The point of the materialized fingerprint index: the batch
+    anti-joins the bucketed history scan in place — every index scan
+    is bucketed and the only hash Exchanges in the plan are the batch
+    side shuffling INTO the bucket layout (at 100 TB the history
+    never moves; re-shuffling it per intake batch is the cost this
+    operator exists to remove)."""
+    plan = plan_of(spark, "dedup_incremental_novel")
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "fp_hist_idx" in ln and "FileScan" in ln
+    ]
+    assert scans, plan
+    assert all("Bucketed: true" in ln for ln in scans), scans
+    # exactly one hash Exchange per anti-join (its batch side), plus
+    # the final output range sort — nothing feeding an index scan
+    n_joins = plan.count("SortMergeJoin")
+    n_hash_ex = plan.count("Exchange hashpartitioning")
+    assert n_hash_ex == n_joins, plan
+    assert plan.count("Exchange") == n_joins + plan.count(
+        "Exchange rangepartitioning"
+    ), plan
