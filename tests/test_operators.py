@@ -1196,3 +1196,70 @@ def test_hll_rollup_error_bounds(spark, sf_dir):
     assert set(exact) == set(approx) and exact
     for wk, n in exact.items():
         assert abs(approx[wk] - n) / n <= 0.05, (wk, approx[wk], n)
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering must make parquet min/max file stats
+    selective on EVERY z-dimension, where a plain single-column sort
+    is selective on that column only. Measured directly from the
+    written footers: fraction of files a 10%-of-range predicate on
+    each dimension would have to touch."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dasladen_spark.session import load_table
+    from dasladen_spark.sinks.layout import write_zordered
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "tsorted")
+    write_zordered(e, zpath, ["user_id", "ts"], n_files=16)
+    # control: same file count, classic time-sorted layout
+    (
+        e.repartitionByRange(16, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def file_spans(path, col):
+        spans = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            spans.append((min(los), max(his)))
+        return spans
+
+    def touched(spans, frac=0.10):
+        """Files intersecting a box covering `frac` of the global
+        range, centered mid-range."""
+        glo = min(s[0] for s in spans)
+        ghi = max(s[1] for s in spans)
+        try:
+            width = (ghi - glo) * frac
+            mid = glo + (ghi - glo) * 0.5
+        except TypeError:  # timestamps
+            width = (ghi - glo) * frac
+            mid = glo + (ghi - glo) * 0.5
+        qlo, qhi = mid, mid + width
+        return sum(1 for lo, hi in spans if not (hi < qlo or lo > qhi))
+
+    z_user = touched(file_spans(zpath, "user_id"))
+    z_ts = touched(file_spans(zpath, "ts"))
+    s_user = touched(file_spans(spath, "user_id"))
+    s_ts = touched(file_spans(spath, "ts"))
+    n = len(file_spans(zpath, "user_id"))
+    assert n == 16
+    # the sorted control prunes ts hard but cannot prune user at all
+    assert s_ts <= 3
+    assert s_user == 16
+    # z-order prunes BOTH dimensions well below a full scan
+    assert z_user <= 8, (z_user, n)
+    assert z_ts <= 8, (z_ts, n)
+    # and the clustered data is byte-identical content-wise
+    assert spark.read.parquet(zpath).count() == e.count()
