@@ -49,9 +49,14 @@ def build_fingerprint_index(
     spark = history.sparkSession
     for suffix in ("", "_meta"):
         _drop_orphan_location(spark, table + suffix)
-    fps = history.select(
-        fingerprint(F.col(text_col)).alias("fp")
-    ).distinct()
+    fps = (
+        history.select(fingerprint(F.col(text_col)).alias("fp"))
+        .distinct()
+        # batch_id -1 = "history baseline"; streaming appends tag
+        # their rows so a replayed micro-batch can reconstruct the
+        # exact index state it originally saw (batch_id < its own)
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+    )
     write_bucketed(fps, table, "fp", n_buckets, sort_cols="fp")
     spark.createDataFrame(
         [(tag, n_buckets)], "tag STRING, n_buckets INT"
@@ -78,27 +83,51 @@ def novel_against_index(
     table: str,
     batch: DataFrame,
     text_col: str = "text",
+    before_batch: int | None = None,
 ) -> DataFrame:
     """Batch rows whose fingerprint is NOT in the index (plus the
-    computed ``fp`` column, so callers can append it back).
+    computed ``fp`` column, so callers can append it back). If the
+    batch already carries an ``fp`` column it is trusted as-is.
+
+    ``before_batch`` restricts the index to rows appended by earlier
+    batches (``batch_id < before_batch``) — the replay-determinism
+    hook: a re-executed micro-batch N sees exactly the index state it
+    saw the first time, even if its own append already landed.
 
     The ``merge`` hint pins the sort-merge anti join even when the
     index is small enough to broadcast locally — broadcasting 100 TB
     of history is exactly the plan this operator exists to avoid, and
     the SMJ reads the bucketed index in place: no history-side
     Exchange, the batch alone shuffles into the bucket layout."""
-    hist = spark.table(table).hint("merge")
-    b = batch.withColumn("fp", fingerprint(F.col(text_col)))
+    hist = spark.table(table)
+    if before_batch is not None:
+        hist = hist.filter(F.col("batch_id") < before_batch)
+    hist = hist.select("fp").hint("merge")
+    b = batch
+    if "fp" not in b.columns:
+        b = b.withColumn("fp", fingerprint(F.col(text_col)))
     return b.join(hist, "fp", "left_anti")
 
 
-def append_to_index(spark: SparkSession, table: str, novel: DataFrame) -> None:
+def append_to_index(
+    spark: SparkSession, table: str, novel: DataFrame, batch_id: int = 0
+) -> None:
     """Add a batch's novel fingerprints so subsequent batches dedup
-    against them too. Parquet bucketed tables append per-job bucket
-    files (the bucket spec is fixed at create time); periodic
-    compaction of many small per-batch files is the same maintenance
-    any streaming bucketed sink needs."""
+    against them too, tagged with the appending batch's id (replayed
+    appends may duplicate rows — harmless for anti-join semantics,
+    and ``before_batch`` filtering keeps replays deterministic).
+    Parquet bucketed tables append per-job bucket files (the bucket
+    spec is fixed at create time); periodic compaction of many small
+    per-batch files is the same maintenance any streaming bucketed
+    sink needs."""
     n_buckets = spark.table(f"{table}_meta").collect()[0]["n_buckets"]
-    novel.select("fp").distinct().write.mode("append").format(
-        "parquet"
-    ).bucketBy(n_buckets, "fp").sortBy("fp").saveAsTable(table)
+    (
+        novel.select("fp")
+        .distinct()
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, "fp")
+        .sortBy("fp")
+        .saveAsTable(table)
+    )

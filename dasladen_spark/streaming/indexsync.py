@@ -1,0 +1,87 @@
+"""Streaming dedup intake: a document stream filtered against — and
+feeding — the materialized fingerprint index.
+
+The batch entry point (operators/fingerprint_index) handles scheduled
+drops; this is the continuous version: every micro-batch is deduped
+within itself, anti-joined against the bucketed index with zero
+index-side shuffle, its novel docs land in the accept area, and its
+novel fingerprints are appended to the index so the NEXT micro-batch
+(and any concurrent batch pipeline sharing the table) dedups against
+them.
+
+Replay safety has two layers:
+
+- output: accepted docs write to ``accept_path/batch=N`` with
+  overwrite, and an applied-batch marker short-circuits re-delivered
+  batches (same pattern as streaming/matview).
+- index: appends are tagged with the appending batch id, and the
+  anti-join reads only ``batch_id < N`` — so even a batch that
+  crashed AFTER its index append recomputes exactly the novel set it
+  saw originally instead of finding its own fingerprints and
+  emitting nothing (the subtle loss mode a naive untagged index
+  has). Duplicate appended rows from the replay are harmless:
+  anti-join semantics ignore multiplicity.
+
+Beyond-reference operator (the reference's watcher is folder-poll
+batch, /root/reference/dasladen/processor.py; no streaming exists).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dasladen_spark.functions.text import fingerprint
+from dasladen_spark.operators.dedup import exact_dedup
+from dasladen_spark.operators.fingerprint_index import (
+    append_to_index,
+    novel_against_index,
+)
+from dasladen_spark.streaming.matview import _last_applied
+
+
+def run_streaming_dedup_intake(
+    docs: DataFrame,
+    index_table: str,
+    accept_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Start the intake query. ``index_table`` must exist (built once
+    from history via build_fingerprint_index; an empty history frame
+    works for a cold start). Accepted novel docs appear under
+    ``accept_path/batch=N`` as parquet."""
+    os.makedirs(accept_path, exist_ok=True)
+    marker = os.path.join(accept_path, "_last_batch")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_applied(marker):
+            return
+        spark = batch_df.sparkSession
+        b = batch_df.withColumn("fp", fingerprint(F.col(text_col)))
+        # a crawler batch can contain its own duplicates: keep the
+        # lowest-id representative before consulting the index
+        b = exact_dedup(b, ["fp"], id_col)
+        novel = novel_against_index(
+            spark, index_table, b, before_batch=batch_id
+        ).persist()
+        try:
+            novel.drop("fp").write.mode("overwrite").parquet(
+                f"{accept_path}/batch={batch_id}"
+            )
+            append_to_index(spark, index_table, novel, batch_id=batch_id)
+        finally:
+            novel.unpersist()
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
+
+    writer = docs.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

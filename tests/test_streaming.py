@@ -588,3 +588,78 @@ def test_state_store_is_rocksdb(spark):
     assert "RocksDBStateStoreProvider" in spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass"
     )
+
+
+def test_streaming_dedup_intake_maintains_index(spark, tmp_path):
+    """Continuous intake dedup: micro-batches dedup within themselves,
+    against the prebuilt history index, AND against earlier batches'
+    novel docs (the index grows as the stream runs); re-drains add
+    nothing; a replayed batch reconstructs its original novel set even
+    though its own fingerprints are already in the index."""
+    import json
+
+    from dasladen_spark.operators.fingerprint_index import (
+        build_fingerprint_index,
+        novel_against_index,
+    )
+    from dasladen_spark.streaming.indexsync import run_streaming_dedup_intake
+    from dasladen_spark.streaming.intake import stream_document_folder
+
+    for t in ("t_stream_fpidx", "t_stream_fpidx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    hist = spark.createDataFrame(
+        [(100, "history doc one"), (101, "history doc two")],
+        ["doc_id", "text"],
+    )
+    build_fingerprint_index(hist, "t_stream_fpidx", n_buckets=4, tag="h0")
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    batch1 = [
+        {"doc_id": 1, "text": "HISTORY doc one!", "lang": "en", "source": "s"},
+        {"doc_id": 2, "text": "fresh doc alpha", "lang": "en", "source": "s"},
+        {"doc_id": 3, "text": "Fresh   DOC alpha", "lang": "en", "source": "s"},
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(d) for d in batch1))
+    acc, ckpt = str(tmp_path / "accept"), str(tmp_path / "ck")
+
+    q = run_streaming_dedup_intake(
+        stream_document_folder(spark, str(src)), "t_stream_fpidx", acc, ckpt
+    )
+    q.awaitTermination(120)
+    # in-batch dup (3) and history dup (1) filtered; lowest id survives
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {2}
+
+    # second drop: dup of batch1's novel doc + genuinely new doc
+    batch2 = [
+        {"doc_id": 4, "text": "fresh doc alpha", "lang": "en", "source": "s"},
+        {"doc_id": 5, "text": "fresh doc beta", "lang": "en", "source": "s"},
+    ]
+    (src / "b.jsonl").write_text("\n".join(json.dumps(d) for d in batch2))
+    q2 = run_streaming_dedup_intake(
+        stream_document_folder(spark, str(src)), "t_stream_fpidx", acc, ckpt
+    )
+    q2.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {2, 5}
+
+    # re-drain with same checkpoint: nothing changes
+    q3 = run_streaming_dedup_intake(
+        stream_document_folder(spark, str(src)), "t_stream_fpidx", acc, ckpt
+    )
+    q3.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {2, 5}
+
+    # replay determinism: batch 1's fps are in the index, yet the
+    # before_batch filter reproduces its original novel set
+    b2 = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in batch2], ["doc_id", "text"]
+    )
+    replayed = novel_against_index(
+        spark, "t_stream_fpidx", b2, before_batch=1
+    )
+    assert {r["doc_id"] for r in replayed.collect()} == {5}
+    # while an un-windowed read (a NEW batch) sees everything
+    fresh = novel_against_index(spark, "t_stream_fpidx", b2)
+    assert fresh.count() == 0
+    for t in ("t_stream_fpidx", "t_stream_fpidx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
