@@ -48,6 +48,10 @@ HEADLINE = [
     "dedup_span_coverage",
     "text_unigram_surprisal",
     "sample_topk_per_stratum",
+    # same amortization note as ann_indexed_topk: rep 1 builds the
+    # history fingerprint index, later reps probe it
+    "dedup_incremental_novel",
+    "q_bitmap_distinct_rollup",
 ]
 
 
