@@ -123,10 +123,74 @@ def build_ann_index(
 
     write_bucketed(postings, table, "probe", n_buckets, sort_cols="probe")
     spark.createDataFrame(
-        [(method, dim, num_tables, bits_per_table, n_centroids, tag)],
+        [(method, dim, num_tables, bits_per_table, n_centroids, n_buckets, tag)],
         "method STRING, dim INT, num_tables INT, bits_per_table INT,"
-        " n_centroids INT, tag STRING",
+        " n_centroids INT, n_buckets INT, tag STRING",
     ).write.mode("overwrite").saveAsTable(f"{table}_meta")
+
+
+def _postings_for(
+    spark: SparkSession, table: str, vecs: DataFrame
+) -> DataFrame:
+    """(probe, neighbor_id, cv) posting rows for new vectors, hashed
+    with the SAME family the index was built with (LSH params are
+    seed-deterministic; IVF centroids are persisted) — the growth
+    path: new corpus rows join the index without a rebuild."""
+    meta = spark.table(f"{table}_meta").collect()[0]
+    if meta["method"] == "lsh":
+        bucket_udf = hyperplane_bucket_udf(
+            meta["num_tables"], meta["bits_per_table"], meta["dim"]
+        )
+        post = vecs.select(
+            "neighbor_id",
+            "cv",
+            F.posexplode(bucket_udf(F.col("cv"))).alias("t", "bkt"),
+        ).select(
+            (
+                F.col("t").cast("bigint") * (1 << meta["bits_per_table"])
+                + F.col("bkt")
+            ).alias("probe"),
+            "neighbor_id",
+            "cv",
+        )
+    else:
+        cent_rows = spark.table(f"{table}_centroids").orderBy("cell").collect()
+        cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+        post = vecs.select(
+            centroid_assign_udf(cent)(F.col("cv")).cast("bigint").alias("probe"),
+            "neighbor_id",
+            "cv",
+        )
+    # match the stored element type (e.g. float corpus, double input)
+    cv_type = spark.table(table).schema["cv"].dataType
+    return post.withColumn("cv", F.col("cv").cast(cv_type))
+
+
+def append_to_ann_index(
+    spark: SparkSession,
+    table: str,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add new corpus vectors to a materialized index — one signature
+    pass over ONLY the new rows, appended in the existing bucket
+    layout. Searches see them immediately; no rebuild, no touch of
+    the existing postings. (Replayed appends duplicate posting rows;
+    search dedups candidates by (query, neighbor), so duplicates cost
+    a little read amplification, never correctness.)"""
+    n_buckets = spark.table(f"{table}_meta").collect()[0]["n_buckets"]
+    vecs = new_vecs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    (
+        _postings_for(spark, table, vecs)
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, "probe")
+        .sortBy("probe")
+        .saveAsTable(table)
+    )
 
 
 def ensure_ann_index(corpus: DataFrame, table: str, tag: str, **kwargs) -> None:

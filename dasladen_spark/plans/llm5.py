@@ -1,5 +1,7 @@
-"""Training-data pipeline queries, part 5: incremental-history dedup
-and mergeable distinct-count rollups.
+"""Training-data pipeline queries, part 5: incrementality — dedup
+against materialized history, mergeable distinct-count rollups,
+change-data-capture extraction, and the skew audit that protects the
+key-partitioned shapes all of them rely on.
 
 The common thread is INCREMENTALITY — the property that makes a 100 TB
 pipeline affordable: never touch the history again once a partial
@@ -152,4 +154,119 @@ def q_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_distinct_users",
         )
         .orderBy("week")
+    )
+
+
+# --------------------------------------------- CDC extraction
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+    ), new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS v
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS k, o_totalprice AS v
+      FROM orders WHERE o_orderkey % 103 = 0
+    )
+    SELECT COALESCE(o.k, n.k) AS k,
+           CASE WHEN o.k IS NULL THEN 'insert'
+                WHEN n.k IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           o.v AS old_value, n.v AS new_value
+    FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    WHERE o.k IS NULL OR n.k IS NULL OR o.v <> n.v
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change extraction between two table snapshots — the producer
+    side of CDC (the apply side is streaming/matview's last-write-wins
+    upsert): keyed FULL OUTER JOIN classifying each key as
+    insert / delete / update, unchanged keys dropped. One co-keyed
+    shuffle of both snapshots; at 100 TB both sides pre-bucketed by
+    key (sinks/bucketed) make the diff shuffle-free.
+
+    The fixture has only one snapshot per table, so the "new" snapshot
+    is derived deterministically: every 97th key deleted, every 101st
+    repriced (+1000, an exact double add both engines agree on),
+    every 103rd re-inserted under a shifted key."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v"))
+    new = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1000.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("k"),
+                F.col("o_totalprice").alias("v"),
+            )
+        )
+    )
+    j = old.alias("o").join(new.alias("n"), "k", "full_outer")
+    ov, nv = F.col("o.v"), F.col("n.v")
+    return (
+        j.select(
+            "k",
+            F.when(ov.isNull(), F.lit("insert"))
+            .when(nv.isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+            ov.alias("old_value"),
+            nv.alias("new_value"),
+        )
+        .filter(ov.isNull() | nv.isNull() | (ov != nv))
+        .orderBy("k")
+    )
+
+
+# ------------------------------------------------ skew audit
+
+
+@query(
+    "q_join_key_skew_audit",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS rows_total,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_per_key,
+           quantile_cont(n, 0.99) AS p99_per_key,
+           ROUND(MAX(n) * COUNT(*) / CAST(SUM(n) AS DOUBLE), 6)
+             AS max_over_mean
+    FROM c
+    """,
+)
+def q_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution audit for a join/agg key — the check to run
+    BEFORE shuffling 100 TB on it: per-key counts (one map-side-
+    combined aggregate), then max / p99 / max-over-mean. A
+    max_over_mean in the hundreds means one reducer gets hundreds of
+    partitions' worth of rows — reach for operators/skew (salting) or
+    AQE skew-join before running the real query."""
+    c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.agg(
+        F.sum("n").cast("bigint").alias("rows_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_per_key"),
+        F.expr("percentile(n, 0.99)").alias("p99_per_key"),
+        F.round(
+            F.max("n") * F.count(F.lit(1)) / F.sum("n").cast("double"), 6
+        ).alias("max_over_mean"),
     )

@@ -57,6 +57,11 @@ def run_streaming_dedup_intake(
     ``accept_path/batch=N`` as parquet."""
     os.makedirs(accept_path, exist_ok=True)
     marker = os.path.join(accept_path, "_last_batch")
+    # foreachBatch runs in a CLONED session whose writes don't refresh
+    # the originating session's cached file listing for the table — a
+    # reader that touched the index before the stream would otherwise
+    # keep seeing the pre-append snapshot
+    orig = docs.sparkSession
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= _last_applied(marker):
@@ -76,10 +81,59 @@ def run_streaming_dedup_intake(
             append_to_index(spark, index_table, novel, batch_id=batch_id)
         finally:
             novel.unpersist()
+        orig.catalog.refreshTable(index_table)
         with open(marker, "w") as fh:
             fh.write(str(batch_id))
 
     writer = docs.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_streaming_ann_sync(
+    vecs: DataFrame,
+    index_table: str,
+    checkpoint: str,
+    marker_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Keep a materialized ANN index (operators/ann_index) current as
+    new embeddings stream in: each micro-batch's vectors are hashed
+    with the index's own family and appended into the bucket layout —
+    searches in the same session see them immediately, and the
+    100 TB corpus behind the index is never re-signed.
+
+    Idempotency: an applied-batch marker skips re-delivered batches;
+    a batch replayed across a crash may append duplicate posting rows,
+    which search dedups by (query, neighbor) — read amplification,
+    not wrong answers, and compaction reclaims it."""
+    from dasladen_spark.operators.ann_index import append_to_ann_index
+
+    os.makedirs(os.path.dirname(marker_path) or ".", exist_ok=True)
+    # see run_streaming_dedup_intake: refresh the originating
+    # session's table cache after each cloned-session append
+    orig = vecs.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_applied(marker_path):
+            return
+        append_to_ann_index(
+            batch_df.sparkSession,
+            index_table,
+            batch_df,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        orig.catalog.refreshTable(index_table)
+        with open(marker_path, "w") as fh:
+            fh.write(str(batch_id))
+
+    writer = vecs.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
     )
     if available_now:

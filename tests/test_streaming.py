@@ -663,3 +663,63 @@ def test_streaming_dedup_intake_maintains_index(spark, tmp_path):
     assert fresh.count() == 0
     for t in ("t_stream_fpidx", "t_stream_fpidx_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_ann_sync_new_vectors_searchable(spark, tmp_path, sf_dir):
+    """New embeddings streamed into a materialized ANN index become
+    searchable without a rebuild: a planted duplicate of an existing
+    corpus vector must come back as its own top neighbor after sync,
+    and a re-drain appends nothing new."""
+    import json
+
+    from dasladen_spark.operators.ann_index import (
+        build_ann_index,
+        search_ann_index,
+    )
+    from dasladen_spark.session import load_table
+    from dasladen_spark.streaming.indexsync import run_streaming_ann_sync
+
+    for t in ("t_ann_sync", "t_ann_sync_meta", "t_ann_sync_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ann_index(emb, "t_ann_sync", tag="base")
+    base_rows = spark.table("t_ann_sync").count()
+
+    # planted new vector: an exact copy of corpus vector 7
+    v7 = [float(x) for x in emb.filter("vec_id = 7").collect()[0]["embedding"]]
+    src = tmp_path / "vecs"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        json.dumps({"vec_id": 999007, "embedding": v7})
+    )
+    ckpt = str(tmp_path / "ck_ann")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).json(str(src))
+    q = run_streaming_ann_sync(
+        stream, "t_ann_sync", ckpt, str(tmp_path / "ann_marker")
+    )
+    q.awaitTermination(120)
+
+    res = search_ann_index(
+        spark, "t_ann_sync", emb.filter("vec_id = 7"), k=3
+    ).collect()
+    top = [r["neighbor_id"] for r in res if r["rank"] == 1]
+    assert top == [999007]
+    assert abs([r["cosine"] for r in res if r["rank"] == 1][0] - 1.0) < 1e-6
+
+    # re-drain: marker short-circuits, postings unchanged
+    n_after = spark.table("t_ann_sync").count()
+    assert n_after > base_rows
+    q2 = run_streaming_ann_sync(
+        spark.readStream.schema("vec_id long, embedding array<double>").json(
+            str(src)
+        ),
+        "t_ann_sync",
+        ckpt,
+        str(tmp_path / "ann_marker"),
+    )
+    q2.awaitTermination(120)
+    assert spark.table("t_ann_sync").count() == n_after
+    for t in ("t_ann_sync", "t_ann_sync_meta", "t_ann_sync_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
