@@ -281,3 +281,12 @@ def search_ann_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def compact_ann_index(spark: SparkSession, table: str) -> None:
+    """One posting file per bucket again after streaming appends (see
+    sinks/bucketed.compact_bucketed for the swap semantics)."""
+    from dasladen_spark.sinks.bucketed import compact_bucketed
+
+    n_buckets = spark.table(f"{table}_meta").collect()[0]["n_buckets"]
+    compact_bucketed(spark, table, "probe", n_buckets, sort_cols="probe")

@@ -131,3 +131,12 @@ def append_to_index(
         .sortBy("fp")
         .saveAsTable(table)
     )
+
+
+def compact_fingerprint_index(spark: SparkSession, table: str) -> None:
+    """One file per bucket again after many per-batch appends (see
+    sinks/bucketed.compact_bucketed for the swap semantics)."""
+    from dasladen_spark.sinks.bucketed import compact_bucketed
+
+    n_buckets = spark.table(f"{table}_meta").collect()[0]["n_buckets"]
+    compact_bucketed(spark, table, "fp", n_buckets, sort_cols="fp")

@@ -37,3 +37,54 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact_bucketed(
+    spark: SparkSession,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int,
+    sort_cols: list[str] | str | None = None,
+) -> None:
+    """Rewrite a bucketed table to ONE file per bucket.
+
+    Streaming/batch appends (fingerprint index, ANN postings) add a
+    file per writing task per batch; after many batches each bucket is
+    dozens of small files whose open/footer cost dominates, and the
+    per-bucket sortBy guarantee no longer holds across files. This
+    rewrites everything once — WITHOUT a shuffle: with auto-bucketed-
+    scan pinned on, the read yields exactly one partition per bucket
+    (all of that bucket's files merged), the write's required
+    distribution is already satisfied, and each task writes exactly
+    one file; then swap via catalog rename. (Auto-bucketed-scan must
+    be pinned because the planner otherwise un-buckets a joinless
+    scan into arbitrary splits while STILL dropping any explicit
+    repartition as redundant against the table's bucket metadata —
+    yielding splits × buckets small files, the opposite of
+    compaction.)
+
+    The swap is drop-then-rename: a crash in between leaves the
+    compacted twin under ``{table}__compact`` with all data — re-run
+    to finish, nothing is lost (appends arriving DURING compaction
+    are the one thing this doesn't defend; pause the stream or
+    schedule compaction between drains, as any table-maintenance job
+    does)."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    tmp = f"{table}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(auto_key)
+    spark.conf.set(auto_key, "false")
+    try:
+        w = spark.table(table).write.format("parquet").bucketBy(
+            n_buckets, *cols
+        )
+        if sort_cols:
+            s = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+            w = w.sortBy(*s)
+        w.saveAsTable(tmp)
+    finally:
+        spark.conf.set(auto_key, prev)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.catalog.refreshTable(table)

@@ -1263,3 +1263,108 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
     assert z_ts <= 8, (z_ts, n)
     # and the clustered data is byte-identical content-wise
     assert spark.read.parquet(zpath).count() == e.count()
+
+
+def test_compact_fingerprint_index_one_file_per_bucket(spark):
+    """After several appends each bucket holds a file per batch;
+    compaction rewrites to exactly one file per bucket with identical
+    content, the same bucketed spec (anti-joins still read it in
+    place), and the per-bucket sort restored."""
+    import glob
+
+    from dasladen_spark.operators.fingerprint_index import (
+        append_to_index,
+        build_fingerprint_index,
+        compact_fingerprint_index,
+        novel_against_index,
+    )
+
+    for t in ("t_cmp_fpidx", "t_cmp_fpidx_meta", "t_cmp_fpidx__compact"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    hist = spark.createDataFrame(
+        [(i, f"history doc {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    build_fingerprint_index(hist, "t_cmp_fpidx", n_buckets=4, tag="d0")
+    for b in range(1, 4):
+        batch = spark.createDataFrame(
+            [(100 * b + i, f"batch {b} doc {i}") for i in range(10)],
+            ["doc_id", "text"],
+        )
+        novel = novel_against_index(spark, "t_cmp_fpidx", batch)
+        append_to_index(spark, "t_cmp_fpidx", novel, batch_id=b)
+
+    loc = (
+        spark.sql("DESCRIBE EXTENDED t_cmp_fpidx")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).removeprefix("file:")
+    before = glob.glob(f"{loc}/part-*")
+    assert len(before) > 4  # many small per-batch files
+    rows_before = sorted(
+        tuple(r) for r in spark.table("t_cmp_fpidx").collect()
+    )
+
+    compact_fingerprint_index(spark, "t_cmp_fpidx")
+
+    loc2 = (
+        spark.sql("DESCRIBE EXTENDED t_cmp_fpidx")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).removeprefix("file:")
+    after = glob.glob(f"{loc2}/part-*")
+    assert len(after) == 4, after
+    rows_after = sorted(
+        tuple(r) for r in spark.table("t_cmp_fpidx").collect()
+    )
+    assert rows_after == rows_before
+    # still a bucketed read: dedup against it stays exchange-free
+    probe = spark.createDataFrame(
+        [(999, "history doc 3"), (998, "really new")], ["doc_id", "text"]
+    )
+    res = novel_against_index(spark, "t_cmp_fpidx", probe)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert {r["doc_id"] for r in res.collect()} == {998}
+    for t in ("t_cmp_fpidx", "t_cmp_fpidx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_ann_index_preserves_search(spark, sf_dir):
+    """ANN posting compaction: append then compact; postings content
+    and search results identical, bucket layout kept."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.ann_index import (
+        append_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        search_ann_index,
+    )
+    from dasladen_spark.session import load_table
+
+    for t in ("t_cmp_ann", "t_cmp_ann_meta", "t_cmp_ann__compact"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ann_index(emb.filter("vec_id < 400"), "t_cmp_ann", tag="b")
+    append_to_ann_index(
+        spark, "t_cmp_ann", emb.filter("vec_id >= 400 AND vec_id < 500")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    before = sorted(
+        map(tuple, search_ann_index(spark, "t_cmp_ann", q, k=3).collect())
+    )
+    compact_ann_index(spark, "t_cmp_ann")
+    loc = (
+        spark.sql("DESCRIBE EXTENDED t_cmp_ann")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).removeprefix("file:")
+    assert len(glob.glob(f"{loc}/part-*")) == 16  # one per bucket
+    after = sorted(
+        map(tuple, search_ann_index(spark, "t_cmp_ann", q, k=3).collect())
+    )
+    assert after == before
+    for t in ("t_cmp_ann", "t_cmp_ann_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
