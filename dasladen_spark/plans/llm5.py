@@ -195,6 +195,8 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     is derived deterministically: every 97th key deleted, every 101st
     repriced (+1000, an exact double add both engines agree on),
     every 103rd re-inserted under a shifted key."""
+    from dasladen_spark.operators.merge import snapshot_diff
+
     o = _t(spark, sf_dir, "orders")
     old = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v"))
     new = (
@@ -214,21 +216,13 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    j = old.alias("o").join(new.alias("n"), "k", "full_outer")
-    ov, nv = F.col("o.v"), F.col("n.v")
-    return (
-        j.select(
-            "k",
-            F.when(ov.isNull(), F.lit("insert"))
-            .when(nv.isNull(), F.lit("delete"))
-            .otherwise(F.lit("update"))
-            .alias("op"),
-            ov.alias("old_value"),
-            nv.alias("new_value"),
-        )
-        .filter(ov.isNull() | nv.isNull() | (ov != nv))
-        .orderBy("k")
-    )
+    d = snapshot_diff(old, new, "k")
+    return d.select(
+        "k",
+        F.col("change_type").alias("op"),
+        F.col("old_values")["v"].alias("old_value"),
+        F.col("new_values")["v"].alias("new_value"),
+    ).orderBy("k")
 
 
 # ------------------------------------------------ skew audit

@@ -116,3 +116,30 @@ def test_mixture_sample_keeps_whole_source_at_rate_one(spark, tmp_path):
         for r in con.execute(ORACLES["corpus_mixture_sample"]).fetchall()
     }
     assert got == want
+
+
+def test_cdc_diff_apply_roundtrip_reconstructs_new_snapshot(spark):
+    """Closure property tying the CDC producer to the consumer:
+    applying snapshot_diff's output to the old snapshot (upsert
+    inserts+updates, anti-join deletes) reconstructs the new snapshot
+    exactly — no change lost, none invented."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.merge import merge_upsert, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (4, 40.0), (5, 50.0)], ["k", "v"]
+    )  # 2 updated, 3 deleted, 5 inserted
+    diff = snapshot_diff(old, new, "k").persist()
+    upserts = diff.filter("change_type != 'delete'").select(
+        "k", F.col("new_values")["v"].alias("v")
+    )
+    deletes = diff.filter("change_type = 'delete'").select("k")
+    rebuilt = merge_upsert(old, upserts, "k").join(deletes, "k", "left_anti")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+    diff.unpersist()
