@@ -249,18 +249,90 @@ def q_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined aggregate), then max / p99 / max-over-mean. A
     max_over_mean in the hundreds means one reducer gets hundreds of
     partitions' worth of rows — reach for operators/skew (salting) or
-    AQE skew-join before running the real query."""
-    c = (
+    AQE skew-join before running the real query.
+
+    Scale shape: a naive global percentile over per-key counts would
+    funnel |keys| rows (billions at 100 TB) into one final partition —
+    the exact hazard this audit hunts. Instead the per-key counts
+    collapse to a COUNTS-OF-COUNTS histogram (two map-side-combined
+    shuffles; its size is bounded by the number of DISTINCT
+    multiplicities, ≤ max_per_key and in practice tiny), which lands
+    on the driver and yields every metric exactly — p99 by the same
+    linear interpolation quantile_cont uses, walked over the
+    cumulative histogram."""
+    hist = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("keys"))
+        .orderBy("n")
+        .collect()
     )
-    return c.agg(
-        F.sum("n").cast("bigint").alias("rows_total"),
-        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-        F.max("n").cast("bigint").alias("max_per_key"),
-        F.expr("percentile(n, 0.99)").alias("p99_per_key"),
-        F.round(
-            F.max("n") * F.count(F.lit(1)) / F.sum("n").cast("double"), 6
-        ).alias("max_over_mean"),
+    n_keys = sum(r["keys"] for r in hist)
+    rows_total = sum(r["n"] * r["keys"] for r in hist)
+    max_per_key = hist[-1]["n"]
+    # quantile_cont: value at fractional rank (K-1)*q over the sorted
+    # per-key counts, reconstructed from the cumulative histogram
+    pos = (n_keys - 1) * 0.99
+    lo_rank, frac = int(pos), pos - int(pos)
+
+    def value_at(rank: int) -> int:
+        cum = 0
+        for r in hist:
+            cum += r["keys"]
+            if rank < cum:
+                return r["n"]
+        return hist[-1]["n"]
+
+    v0, v1 = value_at(lo_rank), value_at(lo_rank + 1)
+    p99 = v0 + (v1 - v0) * frac
+    return spark.createDataFrame(
+        [
+            (
+                rows_total,
+                n_keys,
+                max_per_key,
+                float(p99),
+                round(max_per_key * n_keys / float(rows_total), 6),
+            )
+        ],
+        "rows_total BIGINT, n_keys BIGINT, max_per_key BIGINT,"
+        " p99_per_key DOUBLE, max_over_mean DOUBLE",
     )
+
+
+# ---------------------------------------------- heavy hitters
+
+
+@query(
+    "text_heavy_hitter_terms",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    )
+    SELECT tok, COUNT(*) AS freq FROM t
+    GROUP BY tok ORDER BY freq DESC, tok LIMIT 20
+    """,
+)
+def text_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms WITHOUT shuffling the vocabulary: per-
+    partition Misra-Gries candidate summaries (bounded memory, one
+    pass) → broadcast-semi-join exact recount → self-certifying
+    exactness check (operators/frequency). The naive groupBy-count
+    shuffles one row per distinct term — the full vocabulary at
+    100 TB; this plan shuffles O(partitions × k·slack) candidates,
+    and the DuckDB oracle proves the certified result IS the exact
+    answer."""
+    from dasladen_spark.operators.frequency import heavy_hitters_exact
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+            )
+        ).alias("tok")
+    )
+    return heavy_hitters_exact(toks, "tok", k=20, slack=8)

@@ -1368,3 +1368,42 @@ def test_compact_ann_index_preserves_search(spark, sf_dir):
     assert after == before
     for t in ("t_cmp_ann", "t_cmp_ann_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_heavy_hitters_certifies_or_raises(spark):
+    """The MG+recount top-k must equal the naive exact answer when
+    certifiable, and must REFUSE (not silently approximate) when the
+    distribution is too flat for its counter budget."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.frequency import (
+        UncertifiedTopK,
+        heavy_hitters_exact,
+    )
+
+    # zipf-ish: value i appears 200//i times
+    rows = [(f"v{i:03d}",) for i in range(1, 40) for _ in range(200 // i)]
+    df = spark.createDataFrame(rows, ["t"]).repartition(6)
+    got = [
+        (r["t"], r["freq"])
+        for r in heavy_hitters_exact(df, "t", k=5, slack=8).collect()
+    ]
+    want = [
+        (r["t"], r["freq"])
+        for r in df.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("t").asc())
+        .limit(5)
+        .collect()
+    ]
+    assert got == want
+
+    # perfectly flat 60-value distribution, tiny budget: kth freq can
+    # never clear N/(k*slack) -> certification must fail loudly
+    flat = spark.createDataFrame(
+        [(f"u{i:03d}",) for i in range(60) for _ in range(5)], ["t"]
+    ).repartition(4)
+    with _pytest.raises(UncertifiedTopK):
+        heavy_hitters_exact(flat, "t", k=5, slack=2)
