@@ -336,3 +336,108 @@ def text_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok")
     )
     return heavy_hitters_exact(toks, "tok", k=20, slack=8)
+
+
+# ------------------------------------------------ BM25 retrieval
+
+
+#: the benchmark probe terms every decontamination/eval-retrieval run
+#: would parameterize; literals here so Spark and oracle agree
+_BM25_TERMS = ("shuffle", "join", "partition")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT AVG(CAST(len AS DOUBLE)) AS avgdl, COUNT(*) AS n_docs FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN {_BM25_TERMS} GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+      WHERE tok IN {_BM25_TERMS} GROUP BY tok
+    ), scored AS (
+      SELECT tf.doc_id,
+             round(
+               ln(((SELECT n_docs FROM stats) - df.df + 0.5)
+                  / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.len / (SELECT avgdl FROM stats))),
+               12) AS s
+      FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+    )
+    SELECT doc_id,
+           ROUND(CAST(CAST(SUM(CAST(s AS DECIMAL(38,18))) AS VARCHAR)
+                      AS DOUBLE), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus — the ranked-retrieval primitive
+    a decontamination or eval-set-mining pass runs (TF-IDF's
+    length-normalized, saturating successor; Okapi k1/b form).
+
+    Scale shape: term stats (df) and doc lengths are one
+    map-side-combined aggregate each; only rows containing PROBE
+    terms reach the scoring join (the tf filter prunes the explode);
+    avgdl/n_docs is a two-value broadcast. Per-term scores are
+    rounded then summed in DECIMAL — bit-identical under any
+    partitioning, same discipline as llm3/llm4."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+            )
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.avg(F.col("len").cast("double")).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).collect()[0]
+    avgdl, n_docs = stats["avgdl"], stats["n_docs"]
+    probe = list(_BM25_TERMS)
+    tf = (
+        toks.filter(F.col("tok").isin(probe))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = (
+        toks.filter(F.col("tok").isin(probe))
+        .groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("len") / F.lit(float(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.round(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom, 12).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(38,18)")).cast("double"), 6
+            ).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
