@@ -52,6 +52,8 @@ HEADLINE = [
     # history fingerprint index, later reps probe it
     "dedup_incremental_novel",
     "q_bitmap_distinct_rollup",
+    "text_heavy_hitter_terms",
+    "text_bm25_topk",
 ]
 
 

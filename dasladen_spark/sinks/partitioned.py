@@ -113,8 +113,21 @@ def write_sorted(
     )
 
 
+def _numeric_view(df: DataFrame, col: str) -> "F.Column":
+    """Numeric-ordered view of any sortable column: timestamps/dates
+    (incl. TIMESTAMP_NTZ, which cannot cast to double directly) go
+    through epoch micros; numerics cast straight."""
+    dtype = dict(df.dtypes)[col]
+    v = F.col(col)
+    if "timestamp" in dtype or dtype == "date":
+        return F.unix_micros(v.cast("timestamp")).cast("double")
+    return v.cast("double")
+
+
 def zorder_key(
-    bounds: dict[str, tuple[float, float]], bits: int = 12
+    bounds: dict[str, tuple[float, float]],
+    bits: int = 12,
+    exprs: "dict[str, F.Column] | None" = None,
 ):
     """Z-value Column interleaving ``bits`` bits per clustering column
     (bit b of column i lands at position ``b*ncols + i``).
@@ -134,7 +147,8 @@ def zorder_key(
     for i, c in enumerate(cols):
         lo, hi = (float(x) for x in bounds[c])
         span = (hi - lo) or 1.0
-        frac = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+        v = exprs[c] if exprs else F.col(c).cast("double")
+        frac = (v - F.lit(lo)) / F.lit(span)
         bucket = F.least(
             F.greatest(
                 (frac * F.lit(float(top))).cast("long"), F.lit(0).cast("long")
@@ -167,9 +181,10 @@ def write_zordered(
     Cost shape at 100 TB: one column-stats agg (driver-side bounds),
     one range shuffle on the z-value, a within-partition sort — the
     same bill as a plain sorted export; no extra pass."""
+    exprs = {c: _numeric_view(df, c) for c in cluster_cols}
     stats = df.agg(
         *[
-            f(F.col(c).cast("double")).alias(f"{c}__{n}")
+            f(exprs[c]).alias(f"{c}__{n}")
             for c in cluster_cols
             for n, f in (("min", F.min), ("max", F.max))
         ]
@@ -177,7 +192,7 @@ def write_zordered(
     bounds = {
         c: (stats[f"{c}__min"], stats[f"{c}__max"]) for c in cluster_cols
     }
-    z = zorder_key(bounds, bits=bits)
+    z = zorder_key(bounds, bits=bits, exprs=exprs)
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
     (
         df.withColumn("__z", z)
