@@ -448,6 +448,72 @@ def run_validate(ctx: TaskContext, task: dict) -> None:
         raise ValueError(f"contract violations: {counts}")
 
 
+def run_dedup(ctx: TaskContext, task: dict) -> None:
+    """Dedup task (beyond the reference): read any supported source,
+    keep one row per normalized-text fingerprint (lowest ``id_field``
+    survives), and — when ``index`` names a catalog table — drop rows
+    whose fingerprint is already in that MATERIALIZED history index
+    (operators/fingerprint_index: bucketed anti-join, zero history-
+    side shuffle) before writing survivors to ``target``. With
+    ``update_index`` (default true) the survivors' fingerprints are
+    appended, so the next run of the same task file dedups against
+    everything this run admitted: scheduled task-file runs become an
+    incremental intake pipeline with per-run cost O(batch). A missing
+    index table cold-starts empty."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.functions.text import fingerprint
+    from dasladen_spark.operators.dedup import exact_dedup
+    from dasladen_spark.operators.fingerprint_index import (
+        append_to_index,
+        build_fingerprint_index,
+        novel_against_index,
+    )
+
+    src = task["source"]
+    df = _read_source(ctx, {**task, "type": src.get("kind", "parquet") + "-x"})
+    df = _transformed(ctx, task, df)
+    text_field = task.get("text_field", "text")
+    id_field = task.get("id_field", df.columns[0])
+    n_in = df.count()
+    b = df.withColumn("fp", fingerprint(F.col(text_field)))
+    b = exact_dedup(b, ["fp"], id_field)
+    index = task.get("index")
+    tgt = task["target"]
+    if index:
+        if not ctx.spark.catalog.tableExists(index):
+            empty = ctx.spark.createDataFrame([], f"{text_field} STRING")
+            build_fingerprint_index(
+                empty, index, text_col=text_field,
+                n_buckets=int(task.get("n_buckets", 16)), tag="cold-start",
+            )
+        # persist + sink BEFORE the index append: the anti-join is
+        # lazy, and appending first would put this batch's own
+        # fingerprints into the index it is still being filtered
+        # against — every row would vanish on the write's re-execution
+        novel = novel_against_index(ctx.spark, index, b).persist()
+        try:
+            out = novel.drop("fp")
+            _write_sink(
+                ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out
+            )
+            n_out = novel.count()
+            if task.get("update_index", True):
+                append_to_index(ctx.spark, index, novel)
+        finally:
+            novel.unpersist()
+    else:
+        out = b.drop("fp")
+        _write_sink(
+            ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out
+        )
+        n_out = out.count()
+    ctx.log(
+        f"task {task.get('name')}: {n_in} rows in, {n_out} novel out"
+        f" ({n_in - n_out} duplicates dropped)"
+    )
+
+
 TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "csv-db": run_etl,
     "db-csv": run_etl,
@@ -466,6 +532,7 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "nop": run_nop,
     "profile": run_profile,
     "validate": run_validate,
+    "dedup": run_dedup,
 }
 
 # Beyond the reference's seven ETL shapes: the full source×sink matrix

@@ -651,3 +651,59 @@ def test_validate_task_routes_clean_and_quarantine(spark, workdir):
     task_fail = {**task, "fail_on_violation": True}
     with _pytest.raises(Exception):
         run_tasks(spark, workdir, {"tasks": [task_fail]})
+
+
+def test_dedup_task_incremental_across_runs(spark, workdir):
+    """'dedup' task: within-batch dups collapse, and with an `index`
+    configured, a SECOND run of the same task file drops everything
+    the first run admitted — the task-file surface driving the
+    materialized incremental-dedup pipeline."""
+    for t in ("t_task_fpidx", "t_task_fpidx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    rows1 = [
+        {"doc_id": 1, "text": "alpha doc"},
+        {"doc_id": 2, "text": "ALPHA   doc!"},  # in-batch dup of 1
+        {"doc_id": 3, "text": "beta doc"},
+    ]
+    with open(workdir / "input" / "d1.json", "w", encoding="utf-8") as f:
+        for r in rows1:
+            f.write(json.dumps(r) + "\n")
+    task = {
+        "name": "dd",
+        "type": "dedup",
+        "index": "t_task_fpidx",
+        "id_field": "doc_id",
+        "source": {
+            "kind": "json",
+            "file": "d1.json",
+            "schema": "doc_id BIGINT, text STRING",
+        },
+        "target": {"kind": "parquet", "file": "novel1.parquet", "truncate": True},
+    }
+    run_tasks(spark, workdir, {"tasks": [task]})
+    got1 = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(workdir / "output" / "novel1.parquet")).collect()
+    }
+    assert got1 == {1, 3}
+
+    rows2 = [
+        {"doc_id": 10, "text": "beta doc"},   # seen in run 1
+        {"doc_id": 11, "text": "gamma doc"},  # novel
+    ]
+    with open(workdir / "input" / "d2.json", "w", encoding="utf-8") as f:
+        for r in rows2:
+            f.write(json.dumps(r) + "\n")
+    task2 = {
+        **task,
+        "source": {**task["source"], "file": "d2.json"},
+        "target": {"kind": "parquet", "file": "novel2.parquet", "truncate": True},
+    }
+    run_tasks(spark, workdir, {"tasks": [task2]})
+    got2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(workdir / "output" / "novel2.parquet")).collect()
+    }
+    assert got2 == {11}
+    for t in ("t_task_fpidx", "t_task_fpidx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
