@@ -183,13 +183,13 @@ def append_to_ann_index(
     vecs = new_vecs.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    (
-        _postings_for(spark, table, vecs)
-        .write.mode("append")
-        .format("parquet")
-        .bucketBy(n_buckets, "probe")
-        .sortBy("probe")
-        .saveAsTable(table)
+    write_bucketed(
+        _postings_for(spark, table, vecs),
+        table,
+        "probe",
+        n_buckets,
+        sort_cols="probe",
+        mode="append",
     )
 
 

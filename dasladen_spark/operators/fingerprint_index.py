@@ -121,16 +121,12 @@ def append_to_index(
     per-batch files is the same maintenance any streaming bucketed
     sink needs."""
     n_buckets = spark.table(f"{table}_meta").collect()[0]["n_buckets"]
-    (
+    rows = (
         novel.select("fp")
         .distinct()
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
-        .write.mode("append")
-        .format("parquet")
-        .bucketBy(n_buckets, "fp")
-        .sortBy("fp")
-        .saveAsTable(table)
     )
+    write_bucketed(rows, table, "fp", n_buckets, sort_cols="fp", mode="append")
 
 
 def compact_fingerprint_index(spark: SparkSession, table: str) -> None:

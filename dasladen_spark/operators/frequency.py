@@ -56,6 +56,7 @@ def heavy_hitters_exact(
     def mg_partition(batches):
         counters: dict = {}
         n_rows = 0
+        evicted = False
         for pdf in batches:
             for v in pdf["v"]:
                 if v is None:
@@ -66,6 +67,7 @@ def heavy_hitters_exact(
                 elif len(counters) < k2:
                     counters[v] = 1
                 else:
+                    evicted = True
                     dead = [key for key in counters if counters[key] == 1]
                     for key in counters:
                         counters[key] -= 1
@@ -75,14 +77,20 @@ def heavy_hitters_exact(
             {
                 "v": list(counters.keys()) + [None],
                 "n": [None] * len(counters) + [n_rows],
+                "evicted": [None] * len(counters) + [evicted],
             }
         )
 
     summary = vals.mapInPandas(
-        mg_partition, f"v {v_type}, n bigint"
+        mg_partition, f"v {v_type}, n bigint, evicted boolean"
     ).persist()
     try:
-        n_total = summary.agg(F.sum("n")).collect()[0][0] or 0
+        tallies = summary.filter(F.col("n").isNotNull()).agg(
+            F.sum("n").alias("n_total"),
+            F.max(F.col("evicted").cast("int")).alias("any_evicted"),
+        ).collect()[0]
+        n_total = tallies["n_total"] or 0
+        any_evicted = bool(tallies["any_evicted"])
         cands = summary.filter(F.col("v").isNotNull()).select("v").distinct()
         counts = (
             vals.join(F.broadcast(cands), "v", "left_semi")
@@ -96,11 +104,21 @@ def heavy_hitters_exact(
         )
     finally:
         summary.unpersist()
+    # exactness certificate, two sufficient conditions:
+    # - no partition ever evicted → the candidates ARE every distinct
+    #   value (a result shorter than k just means < k distinct values)
+    # - k full rows whose kth frequency clears the MG survival bound
+    #   → no non-candidate can outrank any of them
     threshold = n_total / k2
-    if len(topk) == k and topk[-1]["freq"] <= threshold:
+    certified = not any_evicted or (
+        len(topk) == k and topk[-1]["freq"] > threshold
+    )
+    if not certified:
+        kth = topk[-1]["freq"] if topk else 0
         msg = (
-            f"top-{k} not certifiable: kth frequency {topk[-1]['freq']} <= "
-            f"N/(k*slack) = {threshold:.1f}; raise slack (currently {slack})"
+            f"top-{k} not certifiable: {len(topk)} candidate rows, kth "
+            f"frequency {kth} <= N/(k*slack) = {threshold:.1f}; raise "
+            f"slack (currently {slack})"
         )
         if on_uncertified == "raise":
             raise UncertifiedTopK(msg)

@@ -1105,22 +1105,23 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh": lsh_cosine_topk(q, emb, k=5, dim=64),
         "ivf": ivf_cosine_topk(q, emb, k=5, n_centroids=16, n_probe=4),
     }
-    reports = []
-    for name, res in approx.items():
-        hits = res.select("query_id", "neighbor_id").join(
-            exact, ["query_id", "neighbor_id"]
-        )
-        reports.append(
-            hits.agg(
-                F.lit(name).alias("method"),
-                F.lit(n_exact).cast("bigint").alias("n_exact"),
-                F.count(F.lit(1)).cast("bigint").alias("n_hit"),
-                F.round(F.count(F.lit(1)) / F.lit(float(n_exact)), 4).alias(
-                    "recall_at_5"
-                ),
+    # the report is two tiny rows: materialize them now so the cached
+    # |Q|×|corpus| baseline can be RELEASED before returning (a lazy
+    # result would pin the cache for the rest of the session)
+    try:
+        rows = []
+        for name, res in approx.items():
+            n_hit = (
+                res.select("query_id", "neighbor_id")
+                .join(exact, ["query_id", "neighbor_id"])
+                .count()
             )
-        )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("method")
+            rows.append(
+                (name, n_exact, n_hit, round(n_hit / float(n_exact), 4))
+            )
+    finally:
+        exact.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "method STRING, n_exact BIGINT, n_hit BIGINT, recall_at_5 DOUBLE",
+    ).orderBy("method")

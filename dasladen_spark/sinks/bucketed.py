@@ -71,6 +71,16 @@ def compact_bucketed(
     does)."""
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     tmp = f"{table}__compact"
+    # crash recovery: died between DROP and RENAME → the twin holds
+    # ALL the data and the live name is gone; finish the rename so a
+    # re-run (and every reader) sees the table again before anything
+    # touches spark.table(table)
+    if not spark.catalog.tableExists(table):
+        if spark.catalog.tableExists(tmp):
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+            spark.catalog.refreshTable(table)
+            return
+        raise ValueError(f"compact_bucketed: no such table {table!r}")
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     prev = spark.conf.get(auto_key)

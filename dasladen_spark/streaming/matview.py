@@ -34,13 +34,22 @@ def _last_applied(marker: str) -> int:
     return -1
 
 
+#: bak-dir sentinel file recording "the pre-batch state was NO
+#: snapshot" — without it, a first-batch crash between the tmp rename
+#: and the marker write leaves nothing to roll back, and the replay
+#: would merge the batch into its own committed-but-unmarked output
+#: (double-counting every additive aggregate)
+_NO_PREV = "_EMPTY_BASELINE"
+
+
 def _recover_snapshot(snapshot_path: str) -> None:
     """Roll back a crash mid-swap. A lingering ``.bak.<b>`` dir means
     the commit for batch b either finished everything but its cleanup
     (marker >= b: drop the bak) or died before the marker advanced
     (marker < b: the live snapshot may be missing or an unmarked new
     version — restore the bak so the replay merges against the exact
-    pre-batch state). A lingering ``.tmp`` is always pre-commit junk.
+    pre-batch state; a ``_NO_PREV`` sentinel bak restores "no
+    snapshot"). A lingering ``.tmp`` is always pre-commit junk.
 
     Renames are atomic on a posix filesystem; on an object store the
     same invariant comes from a transactional table format (see module
@@ -53,7 +62,10 @@ def _recover_snapshot(snapshot_path: str) -> None:
         else:
             if os.path.exists(snapshot_path):
                 shutil.rmtree(snapshot_path)
-            os.rename(bak, snapshot_path)
+            if os.path.exists(os.path.join(bak, _NO_PREV)):
+                shutil.rmtree(bak)  # pre-batch state: no snapshot
+            else:
+                os.rename(bak, snapshot_path)
     tmp = snapshot_path + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -73,16 +85,24 @@ def _commit_snapshot(snapshot_path: str, marker: str, batch_id: int) -> None:
     had_prev = os.path.exists(snapshot_path)
     if had_prev:
         os.rename(snapshot_path, bak)
+    else:
+        # sentinel bak: even the FIRST batch must leave a rollback
+        # record, or a crash before the marker write replays the
+        # batch into its own output (see _NO_PREV)
+        os.makedirs(bak)
+        with open(os.path.join(bak, _NO_PREV), "w"):
+            pass
     try:
         os.rename(tmp, snapshot_path)
     except BaseException:
         if had_prev:
             os.rename(bak, snapshot_path)  # roll the original back
+        else:
+            shutil.rmtree(bak)
         raise
     with open(marker, "w") as fh:
         fh.write(str(batch_id))
-    if had_prev:
-        shutil.rmtree(bak)
+    shutil.rmtree(bak)
 
 
 def run_incremental_matview(

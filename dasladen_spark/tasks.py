@@ -475,13 +475,18 @@ def run_dedup(ctx: TaskContext, task: dict) -> None:
     df = _transformed(ctx, task, df)
     text_field = task.get("text_field", "text")
     id_field = task.get("id_field", df.columns[0])
-    n_in = df.count()
     b = df.withColumn("fp", fingerprint(F.col(text_field)))
     b = exact_dedup(b, ["fp"], id_field)
     index = task.get("index")
     tgt = task["target"]
     if index:
-        if not ctx.spark.catalog.tableExists(index):
+        # meta too: a build that crashed between the postings write
+        # and the meta write must rebuild, or append_to_index dies
+        # after the sink already ran
+        if not (
+            ctx.spark.catalog.tableExists(index)
+            and ctx.spark.catalog.tableExists(f"{index}_meta")
+        ):
             empty = ctx.spark.createDataFrame([], f"{text_field} STRING")
             build_fingerprint_index(
                 empty, index, text_col=text_field,
@@ -503,15 +508,15 @@ def run_dedup(ctx: TaskContext, task: dict) -> None:
         finally:
             novel.unpersist()
     else:
-        out = b.drop("fp")
-        _write_sink(
-            ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out
-        )
-        n_out = out.count()
-    ctx.log(
-        f"task {task.get('name')}: {n_in} rows in, {n_out} novel out"
-        f" ({n_in - n_out} duplicates dropped)"
-    )
+        out = b.drop("fp").persist()
+        try:
+            _write_sink(
+                ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out
+            )
+            n_out = out.count()
+        finally:
+            out.unpersist()
+    ctx.log(f"task {task.get('name')}: {n_out} novel rows out")
 
 
 TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {

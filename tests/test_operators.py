@@ -1396,3 +1396,22 @@ def test_heavy_hitters_certifies_or_raises(spark):
     ).repartition(4)
     with _pytest.raises(UncertifiedTopK):
         heavy_hitters_exact(flat, "t", k=5, slack=2)
+
+    # all-distinct stream wipes MG to FEWER than k survivors — a
+    # truncated result must also refuse, not return silently
+    singles = spark.createDataFrame(
+        [(f"s{i:04d}",) for i in range(300)], ["t"]
+    ).repartition(2)
+    with _pytest.raises(UncertifiedTopK):
+        heavy_hitters_exact(singles, "t", k=5, slack=2)
+
+    # fewer distinct values than k with NO evictions is exact (the
+    # candidates are the whole domain): certified short result
+    tiny = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)], ["t"]
+    ).repartition(2)
+    got_tiny = [
+        (r["t"], r["freq"])
+        for r in heavy_hitters_exact(tiny, "t", k=5, slack=2).collect()
+    ]
+    assert got_tiny == [("a", 5), ("b", 3), ("c", 1)]

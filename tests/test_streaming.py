@@ -390,6 +390,31 @@ def test_matview_snapshot_swap_recovers_from_crash(tmp_path):
     assert not glob.glob(snap + ".bak.*")
     assert not os.path.exists(snap + ".tmp")
 
+    # (c) FIRST-batch crash between the tmp rename and the marker
+    # write: there is no prior snapshot to park, so the commit must
+    # leave a sentinel bak — recovery rolls back to "no snapshot" and
+    # the replay applies batch 0 exactly once instead of merging it
+    # into its own committed-but-unmarked output
+    import shutil
+
+    shutil.rmtree(snap)
+    os.remove(marker)
+    from dasladen_spark.streaming.matview import _NO_PREV
+
+    write_dir(snap, "v0")            # batch 0 output already promoted
+    os.makedirs(snap + ".bak.0")     # the sentinel the commit left
+    with open(os.path.join(snap + ".bak.0", _NO_PREV), "w"):
+        pass                          # ...but the marker never advanced
+    _recover_snapshot(snap)
+    assert not os.path.exists(snap)  # rolled back to empty baseline
+    assert not glob.glob(snap + ".bak.*")
+
+    # and a real first-batch commit cleans up its sentinel
+    write_dir(snap + ".tmp", "v0")
+    _commit_snapshot(snap, marker, 0)
+    assert read_tag(snap) == "v0"
+    assert not glob.glob(snap + ".bak.*")
+
 
 def test_incremental_topk_equals_batch_recompute(spark, tmp_path, sf_dir):
     """Corpus vectors arriving in two micro-batches must yield the
