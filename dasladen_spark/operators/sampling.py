@@ -91,3 +91,42 @@ def weighted_sample(
         F.col(weight_col) / F.lit(mean_w) * F.lit(float(target_fraction))
     )
     return df.filter(_hash_frac(F.col(id_col), salt) < p)
+
+
+def priority_sample_without_replacement(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    seed: str = "ws",
+) -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement in one
+    distributed pass — the exponential race (Efraimidis-Spirakis):
+    each row draws priority ``-ln(u)/w`` from a hash-derived uniform
+    and the k smallest priorities win, which is distributionally
+    identical to drawing k rows successively with probability ∝
+    weight. Spark's take-ordered top-k is per-partition heaps + a
+    k-row merge — no global sort, no shuffle of non-winners.
+
+    The uniform is PORTABLE (md5 prefix → 32-bit integer via
+    hex-digit arithmetic, same on any engine) so the draw is
+    reproducible across re-shards, engines, and the DuckDB oracle —
+    the same contract as portable_sample_filter. Returns the winning
+    rows plus their ``priority``."""
+    h = F.md5(
+        F.concat(F.lit(f"{seed}-"), F.col(id_col).cast("string"))
+    )
+    hv_expr = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(__h, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (7 - i)}L"
+        for i in range(8)
+    )
+    u = (F.expr(hv_expr) + 0.5) / F.lit(float(1 << 32))
+    pri = F.round(-F.log(u) / F.col(weight_col), 12)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("priority", pri)
+        .drop("__h")
+        .orderBy("priority", id_col)
+        .limit(k)
+    )

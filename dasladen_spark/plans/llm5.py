@@ -441,3 +441,48 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ------------------------------------- weighted priority sampling
+
+
+@query(
+    "sample_weighted_priority",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderkey, o_totalprice,
+             md5('ws-' || o_orderkey) AS h
+      FROM orders
+    ), u AS (
+      SELECT o_orderkey, o_totalprice,
+             (CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) * 268435456
+            + CAST(strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS BIGINT) * 16777216
+            + CAST(strpos('0123456789abcdef', substr(h, 3, 1)) - 1 AS BIGINT) * 1048576
+            + CAST(strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS BIGINT) * 65536
+            + CAST(strpos('0123456789abcdef', substr(h, 5, 1)) - 1 AS BIGINT) * 4096
+            + CAST(strpos('0123456789abcdef', substr(h, 6, 1)) - 1 AS BIGINT) * 256
+            + CAST(strpos('0123456789abcdef', substr(h, 7, 1)) - 1 AS BIGINT) * 16
+            + CAST(strpos('0123456789abcdef', substr(h, 8, 1)) - 1 AS BIGINT)) AS hv
+      FROM x
+    )
+    SELECT o_orderkey, o_totalprice,
+           ROUND(-ln((hv + 0.5) / 4294967296.0) / o_totalprice, 12)
+             AS priority
+    FROM u ORDER BY priority, o_orderkey LIMIT 50
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50 orders drawn with probability ∝ o_totalprice,
+    WITHOUT replacement, in one pass (exponential-race priorities,
+    operators/sampling.priority_sample_without_replacement). The
+    hash-derived uniform is portable, so DuckDB replays the identical
+    draw — the oracle proves the sample is a pure function of the
+    data, not of partitioning or engine."""
+    from dasladen_spark.operators.sampling import (
+        priority_sample_without_replacement,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return priority_sample_without_replacement(
+        o, k=50, weight_col="o_totalprice", id_col="o_orderkey"
+    )

@@ -1415,3 +1415,28 @@ def test_heavy_hitters_certifies_or_raises(spark):
         for r in heavy_hitters_exact(tiny, "t", k=5, slack=2).collect()
     ]
     assert got_tiny == [("a", 5), ("b", 3), ("c", 1)]
+
+
+def test_priority_sample_weighted_without_replacement(spark):
+    """Exactly k distinct winners per draw, and across seeds the
+    race must favor heavy rows: mean selected weight well above the
+    population mean (probability ∝ weight), while a uniform draw
+    would sit at the mean."""
+    from dasladen_spark.operators.sampling import (
+        priority_sample_without_replacement,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], ["id", "w"]
+    )
+    sel_means = []
+    for seed in ("s0", "s1", "s2", "s3", "s4"):
+        got = priority_sample_without_replacement(
+            df, k=10, weight_col="w", id_col="id", seed=seed
+        ).collect()
+        ids = [r["id"] for r in got]
+        assert len(ids) == 10 and len(set(ids)) == 10
+        sel_means.append(sum(r["w"] for r in got) / 10.0)
+    # population mean 50.5; E[selected] ≈ 67 for p∝w draws of 10/100.
+    # mean of 5 seeds > 58 is ~3 sigma above uniform sampling.
+    assert sum(sel_means) / len(sel_means) > 58.0, sel_means
