@@ -203,7 +203,14 @@ def ensure_ann_index(corpus: DataFrame, table: str, tag: str, **kwargs) -> None:
         table
     ):
         row = spark.table(f"{table}_meta").collect()[0]
-        if row["tag"] == tag and row["method"] == kwargs.get("method", "lsh"):
+        if (
+            row["tag"] == tag
+            and row["method"] == kwargs.get("method", "lsh")
+            # meta written by an older build lacks n_buckets; treat it
+            # as a different index rather than letting append/compact
+            # die on the missing field later
+            and "n_buckets" in row.asDict()
+        ):
             return
     build_ann_index(corpus, table, tag=tag, **kwargs)
 
