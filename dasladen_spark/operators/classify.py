@@ -1,0 +1,138 @@
+"""Distributed multinomial Naive Bayes over token counts — the
+classifier-based quality-filter stage of a training-data pipeline
+(the role fastText plays in CCNet/GPT-style corpus curation: train on
+a labeled slice, score the whole corpus, keep what clears the bar).
+
+Spark-first shape:
+
+- **train** = two map-side-combined aggregations over the labeled
+  slice (per-(token,label) occurrence counts + per-label totals);
+  the model IS a DataFrame keyed by token, so it scales to any
+  vocabulary — nothing is collected.
+- **score** = explode corpus tokens → distinct (doc, token, n_occ) →
+  one token-keyed join against the model (broadcast when the model
+  fits, co-keyed shuffle otherwise) → per-doc log-likelihood sums.
+  The join touches distinct (doc, token) pairs, not occurrences.
+
+Determinism discipline (same as plans/llm3): each per-token
+log-likelihood is ONE double expression rounded to 12 decimals;
+per-doc sums accumulate in DECIMAL(38,18), so the scores are
+bit-identical under any partitioning — and exactly reproducible by
+the DuckDB oracle in plans/llm6.
+
+Beyond-reference operator (the reference delegates all query power
+to an RDBMS, /root/reference/dasladen/task.py:94-107).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_RE = "[a-z0-9]+"
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(_TOKEN_RE), F.lit(0)
+            )
+        ).alias("tok"),
+    )
+
+
+def nb_train(
+    labeled: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the model. Returns (token_counts, label_stats):
+
+    - token_counts: (tok, label, cnt) occurrence counts
+    - label_stats:  (label, tot_occ, n_docs) + a ``vocab`` column
+      (train-wide distinct token count, the Laplace denominator)
+
+    Both are DataFrames — the model lives where the data lives."""
+    toks = _tokens(labeled, id_col, text_col).join(
+        labeled.select(F.col(id_col).alias("doc_id"), F.col(label_col)),
+        "doc_id",
+    )
+    token_counts = toks.groupBy("tok", label_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vocab = toks.select("tok").distinct().count()
+    label_stats = (
+        toks.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("tot_occ"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .withColumn("vocab", F.lit(vocab))
+    )
+    return token_counts, label_stats
+
+
+def nb_score(
+    docs: DataFrame,
+    token_counts: DataFrame,
+    label_stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+) -> DataFrame:
+    """Score docs against every label; returns
+    (doc_id, label, log_score) with Laplace(+1) smoothing. Unseen
+    tokens contribute ln(1 / (tot_occ + vocab)) — standard NB.
+
+    Plan: distinct (doc, tok, n_occ) CROSS the (tiny) label list,
+    left-join the model on (tok, label); each term is
+    n_occ × round(ln((cnt+1)/(tot+V)), 12), summed in DECIMAL; the
+    label prior ln(n_docs/Σn_docs) rounds the same way."""
+    total = label_stats.agg(F.sum("n_docs").alias("all_docs"))
+    labels = (
+        label_stats.select(label_col, "tot_occ", "vocab", "n_docs")
+        .crossJoin(F.broadcast(total))  # one row — the grand total
+        .withColumn(
+            "prior",
+            F.round(F.log(F.col("n_docs") / F.col("all_docs")), 12),
+        )
+    )
+    occ = (
+        _tokens(docs, id_col, text_col)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    terms = (
+        occ.crossJoin(F.broadcast(labels))
+        .join(F.broadcast(token_counts), ["tok", label_col], "left")
+        .select(
+            "doc_id",
+            label_col,
+            "prior",
+            # multiply in DOUBLE (IEEE-deterministic), cast the final
+            # per-row term to DECIMAL for the order-free accumulation
+            (
+                F.col("n_occ")
+                * F.round(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                        / (F.col("tot_occ") + F.col("vocab")).cast("double")
+                    ),
+                    12,
+                )
+            )
+            .cast("decimal(38,18)")
+            .alias("term"),
+        )
+    )
+    return terms.groupBy("doc_id", label_col).agg(
+        F.round(
+            (
+                F.sum("term") + F.first("prior").cast("decimal(38,18)")
+            ).cast("double"),
+            6,
+        ).alias("log_score")
+    )

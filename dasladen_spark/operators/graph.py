@@ -159,3 +159,37 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Exact triangle census of an undirected simple graph given as
+    distinct edges with ``src < dst`` (one row per undirected edge).
+    Returns a one-row frame (n_triangles BIGINT).
+
+    The wedge join on a hub node touches deg² pairs — billions for a
+    single celebrity node at scale. DEGREE ORIENTATION bounds it:
+    direct each edge from its (degree, id)-smaller endpoint, making
+    every out-degree O(√E), and enumerate each triangle exactly once
+    via two oriented hops plus a closing equi-join. All joins are
+    node-keyed equi-joins; nothing collects to the driver."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ej = e.join(deg.select("u", F.col("d").alias("du")), "u").join(
+        deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+    )
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        ej.filter(lt)
+        .select("u", "v")
+        .unionByName(
+            ej.filter(~lt).select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = e1.join(e2, on=F.expr("e2.u = e1.v")).join(
+        e3, on=F.expr("e3.u = e1.u AND e3.v = e2.v")
+    )
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

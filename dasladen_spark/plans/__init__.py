@@ -18,4 +18,5 @@ from dasladen_spark.plans import llm2  # noqa: F401,E402
 from dasladen_spark.plans import llm3  # noqa: F401,E402
 from dasladen_spark.plans import llm4  # noqa: F401,E402
 from dasladen_spark.plans import llm5  # noqa: F401,E402
+from dasladen_spark.plans import llm6  # noqa: F401,E402
 from dasladen_spark.plans import transforms_parity  # noqa: F401,E402

@@ -1,0 +1,439 @@
+"""Training-data pipeline queries, part 6: learned-model curation and
+second-order analytics — Naive-Bayes quality classification, doc-level
+contamination containment, product-quantized ANN, BPE vocabulary
+induction, graph triangle census, and exponentially-weighted trend
+smoothing.
+
+Beyond-reference operators (the reference delegates all query power to
+an RDBMS, /root/reference/dasladen/task.py:94-107). Same determinism
+discipline as llm3-llm5: every cross-engine double is one expression
+rounded to 12 decimals, accumulated in DECIMAL, rounded once at the
+end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dasladen_spark.plans.registry import query
+from dasladen_spark.session import load_table as _t
+
+# ------------------------------------ Naive Bayes quality classifier
+
+#: pseudo-label threshold (chars) — stands in for human quality labels
+_NB_LONG = 300
+
+
+@query(
+    "text_nb_quality_score",
+    oracle=f"""
+    WITH lab AS (
+      SELECT doc_id, text,
+             CASE WHEN n_chars >= {_NB_LONG} THEN 'long' ELSE 'short' END
+               AS label,
+             doc_id % 5 = 0 AS is_test
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, label, is_test,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM lab
+    ), cnt AS (
+      SELECT tok, label, COUNT(*) AS cnt FROM toks
+      WHERE NOT is_test GROUP BY tok, label
+    ), stats AS (
+      SELECT label, COUNT(*) AS tot_occ,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM toks WHERE NOT is_test GROUP BY label
+    ), vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v FROM toks WHERE NOT is_test
+    ), tot AS (
+      SELECT SUM(n_docs) AS all_docs FROM stats
+    ), pri AS (
+      SELECT label, tot_occ,
+             ROUND(ln(CAST(n_docs AS DOUBLE) / (SELECT all_docs FROM tot)),
+                   12) AS prior
+      FROM stats
+    ), occ AS (
+      SELECT doc_id, tok, COUNT(*) AS n_occ FROM toks
+      WHERE is_test GROUP BY doc_id, tok
+    ), scored AS (
+      SELECT o.doc_id, s.label,
+             ROUND(CAST(CAST(
+               SUM(CAST(o.n_occ * ROUND(ln(
+                 (COALESCE(c.cnt, 0) + 1)
+                 / CAST(s.tot_occ + (SELECT v FROM vocab) AS DOUBLE)
+               ), 12) AS DECIMAL(38,18)))
+               + CAST(ANY_VALUE(s.prior) AS DECIMAL(38,18))
+             AS VARCHAR) AS DOUBLE), 6) AS log_score
+      FROM occ o
+      CROSS JOIN pri s
+      LEFT JOIN cnt c ON c.tok = o.tok AND c.label = s.label
+      GROUP BY o.doc_id, s.label
+    )
+    SELECT l.doc_id, l.log_score AS score_long, s.log_score AS score_short,
+           CASE WHEN l.log_score >= s.log_score THEN 'long' ELSE 'short' END
+             AS pred
+    FROM scored l JOIN scored s USING (doc_id)
+    WHERE l.label = 'long' AND s.label = 'short'
+    ORDER BY doc_id
+    """,
+)
+def text_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based corpus curation (the fastText-quality-filter
+    stage): train multinomial Naive Bayes on a labeled slice
+    (doc_id %% 5 != 0; labels are a deterministic length proxy),
+    score the held-out slice, emit per-doc class log-scores and the
+    argmax prediction.
+
+    Scale shape (operators/classify): training is two map-side-
+    combined aggregations; the model stays a token-keyed DataFrame
+    (broadcast here; co-keyed join when the vocabulary outgrows a
+    broadcast); scoring joins distinct (doc, token) pairs only.
+    DECIMAL accumulation makes every score bit-reproducible — the
+    DuckDB oracle replays the whole computation."""
+    from dasladen_spark.operators.classify import nb_score, nb_train
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "label",
+        F.when(F.col("n_chars") >= _NB_LONG, F.lit("long")).otherwise(
+            F.lit("short")
+        ),
+    )
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    token_counts, label_stats = nb_train(train)
+    scores = nb_score(test, token_counts, label_stats)
+    lng = scores.filter(F.col("label") == "long").select(
+        "doc_id", F.col("log_score").alias("score_long")
+    )
+    sht = scores.filter(F.col("label") == "short").select(
+        "doc_id", F.col("log_score").alias("score_short")
+    )
+    return (
+        lng.join(sht, "doc_id")
+        .select(
+            "doc_id",
+            "score_long",
+            "score_short",
+            F.when(
+                F.col("score_long") >= F.col("score_short"), F.lit("long")
+            )
+            .otherwise(F.lit("short"))
+            .alias("pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------- doc-level contamination containment
+
+_CNT_NGRAM = 8  # same width as decontaminate_ngrams
+
+
+@query(
+    "decontaminate_containment",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS words
+      FROM documents
+    ), g0 AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(words) - {_CNT_NGRAM - 1}, 0)),
+               i -> array_to_string(words[i:i + {_CNT_NGRAM - 1}], ' '))) AS ng
+      FROM w
+    ), g AS (
+      SELECT DISTINCT doc_id, ng FROM g0
+    ), bench AS (
+      SELECT doc_id AS b_doc, ng FROM g WHERE doc_id % 7 = 0
+    ), bsize AS (
+      SELECT b_doc, COUNT(*) AS b_grams FROM bench GROUP BY b_doc
+    ), train AS (
+      SELECT doc_id AS t_doc, ng FROM g WHERE doc_id % 7 <> 0
+    ), inter AS (
+      SELECT t.t_doc, b.b_doc, COUNT(*) AS shared
+      FROM train t JOIN bench b USING (ng)
+      GROUP BY t.t_doc, b.b_doc
+    )
+    SELECT i.t_doc, i.b_doc, i.shared, s.b_grams,
+           ROUND(i.shared / CAST(s.b_grams AS DOUBLE), 6) AS containment
+    FROM inter i JOIN bsize s USING (b_doc)
+    ORDER BY containment DESC, t_doc, b_doc LIMIT 50
+    """,
+)
+def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-LEVEL contamination audit — the asymmetric complement of
+    decontaminate_ngrams' gram-level hits: for each (train doc,
+    benchmark doc) pair sharing any 8-gram, score what FRACTION of
+    the benchmark doc's distinct 8-grams the train doc contains.
+    Containment (not Jaccard) is the right measure here: a long train
+    doc that swallowed a short benchmark doc whole has Jaccard ≈ 0
+    but containment = 1.
+
+    Scale shape: the benchmark side (doc, gram) pairs are MBs even at
+    corpus-TBs, so they broadcast; the train side never shuffles for
+    the probe — candidates then aggregate per pair, bounded by actual
+    overlaps, and sizes join broadcast again. Top-50 with full
+    tie-break keeps the report deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    grams = F.when(
+        F.size("words") >= _CNT_NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - (_CNT_NGRAM - 1)),
+            lambda i: F.array_join(F.slice(F.col("words"), i, _CNT_NGRAM), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = w.select("doc_id", F.explode(grams).alias("ng")).distinct()
+    bench = g.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("b_doc"), "ng"
+    )
+    bsize = bench.groupBy("b_doc").agg(F.count(F.lit(1)).alias("b_grams"))
+    train = g.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("t_doc"), "ng"
+    )
+    inter = (
+        train.join(F.broadcast(bench), "ng")
+        .groupBy("t_doc", "b_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        inter.join(F.broadcast(bsize), "b_doc")
+        .select(
+            "t_doc",
+            "b_doc",
+            "shared",
+            "b_grams",
+            F.round(
+                F.col("shared") / F.col("b_grams").cast("double"), 6
+            ).alias("containment"),
+        )
+        .orderBy(F.col("containment").desc(), "t_doc", "b_doc")
+        .limit(50)
+    )
+
+
+# ------------------------------------------- PQ-compressed ANN
+
+
+@query("ann_pq_topk")  # approximate method — rows-only;
+# tests/test_operators.py::test_pq_reranked_recall audits recall@5 and
+# test_pq_matches_numpy_reference proves fit/encode bit-determinism
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with exact re-rank — the memory-scale
+    path (operators/pq): the corpus scan reads 16-byte codes instead
+    of 256-byte vectors (16×), scoring is LUT lookups, and only the
+    per-query shortlist (k × rerank_mult rows) ever touches full
+    vectors again. Registered at m=16, ksub=32, rerank 8× — recall@5
+    ≥ 0.9 vs the exact baseline by test."""
+    from dasladen_spark.operators.pq import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_topk_reranked,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(emb, m=16, ksub=32, iters=2)
+    codes = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 10)
+    return pq_topk_reranked(q, emb, codes, books, k=5, rerank_mult=8).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ------------------------------------------- BPE vocabulary induction
+
+
+@query("text_bpe_learn_merges")  # iterative algorithm — rows-only;
+# tests/test_operators.py::test_bpe_matches_local_reference proves the
+# merge list equals the pure-Python Sennrich reference
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: learn the top-12 BPE merges from corpus
+    word frequencies (operators/bpe). The corpus collapses to the
+    distinct-word table first, so each merge round costs a
+    vocabulary-sized pair count — independent of corpus bytes."""
+    from dasladen_spark.operators.bpe import learn_bpe_merges, word_freq_table
+
+    words = word_freq_table(_t(spark, sf_dir, "documents"))
+    merges = learn_bpe_merges(words, n_merges=12)
+    return spark.createDataFrame(
+        [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "merge_rank INT, left STRING, right STRING, pair_freq BIGINT",
+    ).orderBy("merge_rank")
+
+
+# ------------------------------------------------ triangle census
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), und AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), deg AS (
+      SELECT u, COUNT(*) AS d FROM und GROUP BY u
+    ), oriented AS (
+      SELECT e.u, e.v FROM e
+      JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+      WHERE (du.d, e.u) < (dv.d, e.v)
+      UNION ALL
+      SELECT e.v AS u, e.u AS v FROM e
+      JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+      WHERE (dv.d, e.v) < (du.d, e.u)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM oriented e1
+    JOIN oriented e2 ON e2.u = e1.v
+    JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (parts co-occurring in
+    an order) — the clustering-coefficient primitive for corpus /
+    interaction graphs.
+
+    Scale shape: the classic wedge explosion (join on a hub node
+    touches deg² pairs) is bounded by DEGREE ORIENTATION — each
+    undirected edge is directed from its (degree, id)-smaller
+    endpoint, so every out-degree is O(√E) and the wedge join
+    enumerates each triangle exactly once. All three joins are
+    equi-joins on node keys; nothing is collected."""
+    from dasladen_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    e = (
+        op.alias("a")
+        .join(op.alias("b"), on=F.expr("a.o = b.o AND a.p < b.p"))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    return triangle_count(e)
+
+
+# ------------------------------------------- EWMA trend smoothing
+
+#: exact decimal spellings of 0.8^j — shared verbatim with the oracle
+_EWMA_W = [
+    "1",
+    "0.8",
+    "0.64",
+    "0.512",
+    "0.4096",
+    "0.32768",
+    "0.262144",
+    "0.2097152",
+    "0.16777216",
+    "0.134217728",
+    "0.1073741824",
+    "0.08589934592",
+]
+_EWMA_WIN = len(_EWMA_W)  # 12 weeks
+
+
+@query(
+    "q_ewma_weekly_revenue",
+    oracle=f"""
+    WITH wk AS (
+      SELECT n.n_name AS nation,
+             CAST(date_trunc('week', o.o_orderdate) AS TIMESTAMP) AS week,
+             CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6)))
+                  AS VARCHAR) AS DOUBLE) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ), wts AS (
+      SELECT unnest(generate_series(0, {_EWMA_WIN - 1})) AS j,
+             unnest([{", ".join("CAST('" + w + "' AS DOUBLE)" for w in _EWMA_W)}])
+               AS wt
+    ), pairs AS (
+      SELECT a.nation, a.week,
+             CAST(ROUND(b.rev * w.wt, 12) AS DECIMAL(38,18)) AS term,
+             CAST(w.wt AS DECIMAL(38,18)) AS wt
+      FROM wk a
+      JOIN wk b ON b.nation = a.nation
+       AND datediff('day', b.week, a.week) BETWEEN 0
+           AND {(_EWMA_WIN - 1) * 7}
+      JOIN wts w ON w.j = datediff('day', b.week, a.week) // 7
+    )
+    SELECT nation, week,
+           ROUND(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(wt) AS VARCHAR) AS DOUBLE), 6) AS ewma_rev
+    FROM pairs GROUP BY nation, week
+    ORDER BY nation, week
+    """,
+)
+def q_ewma_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted weekly revenue trend per nation —
+    12-week half-window EWMA (α = 0.2 → weights 0.8^j), the smoothing
+    primitive behind drift/trend monitors.
+
+    Scale shape: the raw 100 TB fact table collapses to the
+    (nation, week) series FIRST (one map-side-combined aggregate);
+    the EWMA is then a bounded self-join of that tiny series on
+    (nation, week-range ≤ 12) — never a window over raw rows. Weights
+    are exact decimal literals shared verbatim with the oracle, terms
+    round at 12 and accumulate in DECIMAL, so the smoothed series is
+    bit-deterministic. Gaps (weeks with no orders) simply drop out of
+    both numerator and normalizer — the same semantics both engines
+    derive from the join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    wk = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("week", "o_orderdate").alias("week"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    wts = F.array(*[F.lit(w).cast("double") for w in _EWMA_W])
+    a = wk.alias("a")
+    b = wk.alias("b")
+    diff_days = F.datediff(F.col("a.week"), F.col("b.week"))
+    pairs = (
+        a.join(
+            b,
+            on=(F.col("b.nation") == F.col("a.nation"))
+            & (diff_days >= 0)
+            & (diff_days <= (_EWMA_WIN - 1) * 7),
+        )
+        .select(
+            F.col("a.nation").alias("nation"),
+            F.col("a.week").alias("week"),
+            F.round(
+                F.col("b.rev")
+                * F.element_at(wts, (diff_days / 7).cast("int") + 1),
+                12,
+            )
+            .cast("decimal(38,18)")
+            .alias("term"),
+            F.element_at(wts, (diff_days / 7).cast("int") + 1)
+            .cast("decimal(38,18)")
+            .alias("wt"),
+        )
+    )
+    return (
+        pairs.groupBy("nation", "week")
+        .agg(
+            F.round(
+                F.sum("term").cast("double") / F.sum("wt").cast("double"), 6
+            ).alias("ewma_rev")
+        )
+        .orderBy("nation", "week")
+    )

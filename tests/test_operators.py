@@ -1440,3 +1440,189 @@ def test_priority_sample_weighted_without_replacement(spark):
     # population mean 50.5; E[selected] ≈ 67 for p∝w draws of 10/100.
     # mean of 5 seeds > 58 is ~3 sigma above uniform sampling.
     assert sum(sel_means) / len(sel_means) > 58.0, sel_means
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def _pq_numpy_reference(rows, m, ksub, iters):
+    """Pure-numpy replica of fit_pq_codebooks + pq_encode: same md5
+    seed ordering, same normalize→assign→decimal-mean rounds."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    ids = np.array([r[0] for r in rows])
+    x = np.stack([np.asarray(r[1], np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    dsub = dim // m
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(f"pq-seed{ids[i]}".encode()).hexdigest(),
+    )
+    seed_mat = x[order[:ksub]]
+    books = np.stack([seed_mat[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+
+    def assign(mat, bks):
+        codes = np.empty((len(mat), m), np.int64)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = (sub @ bks[j].T - 0.5 * (bks[j] ** 2).sum(1)).argmax(1)
+        return codes
+
+    q18 = Decimal("1e-18")
+    for _ in range(iters):
+        codes = assign(x, books)
+        nxt = books.copy()
+        for j in range(m):
+            for c in range(ksub):
+                mask = codes[:, j] == c
+                if mask.any():
+                    sub = x[mask, j * dsub : (j + 1) * dsub]
+                    for p in range(dsub):
+                        # Spark's double→decimal cast goes through the
+                        # shortest roundtrip string (Java BigDecimal
+                        # .decimal), not the exact binary expansion
+                        s = sum(
+                            (
+                                Decimal(repr(float(v))).quantize(
+                                    q18, ROUND_HALF_UP
+                                )
+                                for v in sub[:, p]
+                            ),
+                            Decimal(0),
+                        )
+                        nxt[j, c, p] = float(s) / mask.sum()
+        books = nxt
+    return books, ids, assign(x, books)
+
+
+def test_pq_matches_numpy_reference(spark, sf_dir):
+    """fit + encode are a pure function of the corpus: the distributed
+    pipeline reproduces a sequential numpy implementation exactly."""
+    import numpy as np
+
+    from dasladen_spark.operators.pq import fit_pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = fit_pq_codebooks(emb, m=8, ksub=8, iters=2)
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    ref_books, ref_ids, ref_codes = _pq_numpy_reference(rows, 8, 8, 2)
+    assert np.array_equal(books, ref_books)
+    got = {
+        r["neighbor_id"]: r["codes"]
+        for r in pq_encode(emb, books).collect()
+    }
+    for i, vid in enumerate(ref_ids):
+        assert got[vid] == ref_codes[i].tolist()
+
+
+def test_pq_reranked_recall(spark):
+    """ADC shortlist + exact re-rank recovers ≥0.9 recall@5 at the
+    registered parameters (m=16, ksub=32, rerank 8×)."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.pq import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_topk_reranked,
+    )
+    from dasladen_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, emb, k=5).select("query_id", "neighbor_id").collect()
+    }
+    books = fit_pq_codebooks(emb, m=16, ksub=32, iters=2)
+    codes = pq_encode(emb, books)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk_reranked(q, emb, codes, books, k=5, rerank_mult=8).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def test_bpe_matches_local_reference(spark, sf_dir):
+    """The distributed merge learner reproduces the sequential
+    Sennrich algorithm (same lexicographic tie-break) exactly."""
+    from dasladen_spark.operators.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_local,
+        word_freq_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = word_freq_table(docs)
+    got = learn_bpe_merges(words, n_merges=8)
+    ref = learn_bpe_merges_local(
+        [(r["word"], r["freq"]) for r in words.collect()], n_merges=8
+    )
+    assert got == ref
+    assert len(got) == 8
+
+
+# ---------------------------------------------------------- triangles
+
+
+def test_triangle_count_planted(spark):
+    """K4 (4 triangles) + a pendant edge + a disjoint edge → 4."""
+    from dasladen_spark.operators.graph import triangle_count
+
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(4, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "u INT, v INT")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+
+# --------------------------------------------------------- NB filter
+
+
+def test_nb_classifier_learns_planted_signal(spark):
+    """Train on docs whose vocabulary leaks the class (planted
+    signal), score a held-out set: the classifier must recover the
+    labels near-perfectly — proof the train/score plumbing learns,
+    independent of the synthetic fixture (whose registered query is
+    oracle-gated for the arithmetic instead)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.classify import nb_score, nb_train
+
+    rng = random.Random(7)
+    ham = ["meeting", "agenda", "minutes", "report", "quarter"]
+    spam = ["winner", "prize", "click", "free", "offer"]
+    common = ["the", "a", "of", "and", "to"]
+
+    def doc(i, label):
+        pool = (ham if label == "ham" else spam) + common * 2
+        return (i, " ".join(rng.choice(pool) for _ in range(30)), label)
+
+    rows = [doc(i, "ham" if i % 2 == 0 else "spam") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, label STRING")
+    train = df.filter(F.col("doc_id") < 160)
+    test = df.filter(F.col("doc_id") >= 160)
+    counts, stats = nb_train(train)
+    scores = nb_score(test, counts, stats)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("log_score").desc(), F.col("label").asc()
+    )
+    pred = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("label").alias("pred"))
+    )
+    joined = pred.join(test.select("doc_id", "label"), "doc_id")
+    acc = joined.agg(
+        F.avg((F.col("pred") == F.col("label")).cast("double")).alias("a")
+    ).collect()[0]["a"]
+    assert acc >= 0.95, acc
