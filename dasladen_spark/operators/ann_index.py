@@ -36,6 +36,7 @@ import os
 import shutil
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -76,6 +77,10 @@ def build_ann_index(
     lloyd_iters: int = 1,
     n_buckets: int = 16,
     tag: str = "",
+    compress: str = "none",
+    pq_m: int = 16,
+    pq_ksub: int = 32,
+    pq_iters: int = 2,
 ) -> None:
     """One-time index build: run the signature/assignment UDF over the
     corpus ONCE, explode to posting rows, and persist them bucketed by
@@ -85,9 +90,18 @@ def build_ann_index(
     ``tag`` identifies the corpus snapshot the index was built from
     (e.g. its path); ``ensure_ann_index`` uses it to skip rebuilds.
     ``n_buckets`` sizes the layout for the huge-query-batch SMJ path:
-    one bucket of postings should fit an executor core's memory."""
+    one bucket of postings should fit an executor core's memory.
+
+    ``compress="pq"`` stores product-quantized CODES in the posting
+    lists instead of full vectors (operators/pq; pq_m bytes per
+    posting instead of 4·dim — 16× here): the probe scan reads code
+    bytes only and scores candidates by LUT lookups; exact re-rank
+    fetches full vectors for just the per-query shortlist from the
+    source corpus at search time. This is the IVF-PQ / LSH-PQ layout
+    every billion-vector system ships, expressed as a bucketed
+    parquet table + joins."""
     spark = corpus.sparkSession
-    for suffix in ("", "_meta", "_centroids"):
+    for suffix in ("", "_meta", "_centroids", "_pqbooks"):
         _drop_orphan_location(spark, table + suffix)
     c = _spread(
         corpus.select(
@@ -121,11 +135,53 @@ def build_ann_index(
     else:
         raise ValueError(f"unknown ANN index method {method!r}")
 
+    if compress == "pq":
+        from dasladen_spark.operators.pq import fit_pq_codebooks, pq_encode_udf
+
+        books = fit_pq_codebooks(
+            c,
+            id_col="neighbor_id",
+            vec_col="cv",
+            dim=dim,
+            m=pq_m,
+            ksub=pq_ksub,
+            iters=pq_iters,
+        )
+        postings = postings.select(
+            "probe",
+            "neighbor_id",
+            pq_encode_udf(books)(F.col("cv")).alias("codes"),
+        )
+        spark.createDataFrame(
+            [
+                (j, cidx, [float(x) for x in books[j, cidx]])
+                for j in range(books.shape[0])
+                for cidx in range(books.shape[1])
+            ],
+            "sub INT, code INT, centroid ARRAY<DOUBLE>",
+        ).write.mode("overwrite").saveAsTable(f"{table}_pqbooks")
+    elif compress != "none":
+        raise ValueError(f"unknown ANN index compression {compress!r}")
+
     write_bucketed(postings, table, "probe", n_buckets, sort_cols="probe")
     spark.createDataFrame(
-        [(method, dim, num_tables, bits_per_table, n_centroids, n_buckets, tag)],
+        [
+            (
+                method,
+                dim,
+                num_tables,
+                bits_per_table,
+                n_centroids,
+                n_buckets,
+                tag,
+                compress,
+                pq_m,
+                pq_ksub,
+            )
+        ],
         "method STRING, dim INT, num_tables INT, bits_per_table INT,"
-        " n_centroids INT, n_buckets INT, tag STRING",
+        " n_centroids INT, n_buckets INT, tag STRING, compress STRING,"
+        " pq_m INT, pq_ksub INT",
     ).write.mode("overwrite").saveAsTable(f"{table}_meta")
 
 
@@ -161,9 +217,29 @@ def _postings_for(
             "neighbor_id",
             "cv",
         )
+    if meta["compress"] == "pq":
+        from dasladen_spark.operators.pq import pq_encode_udf
+
+        books = _load_pq_books(spark, table)
+        return post.select(
+            "probe",
+            "neighbor_id",
+            pq_encode_udf(books)(F.col("cv")).alias("codes"),
+        )
     # match the stored element type (e.g. float corpus, double input)
     cv_type = spark.table(table).schema["cv"].dataType
     return post.withColumn("cv", F.col("cv").cast(cv_type))
+
+
+def _load_pq_books(spark: SparkSession, table: str) -> np.ndarray:
+    rows = spark.table(f"{table}_pqbooks").orderBy("sub", "code").collect()
+    m = max(r["sub"] for r in rows) + 1
+    ksub = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    books = np.zeros((m, ksub, dsub), np.float64)
+    for r in rows:
+        books[r["sub"], r["code"]] = r["centroid"]
+    return books
 
 
 def append_to_ann_index(
@@ -206,10 +282,12 @@ def ensure_ann_index(corpus: DataFrame, table: str, tag: str, **kwargs) -> None:
         if (
             row["tag"] == tag
             and row["method"] == kwargs.get("method", "lsh")
-            # meta written by an older build lacks n_buckets; treat it
-            # as a different index rather than letting append/compact
-            # die on the missing field later
+            # meta written by an older build lacks n_buckets/compress;
+            # treat it as a different index rather than letting
+            # append/search die on the missing field later
             and "n_buckets" in row.asDict()
+            and "compress" in row.asDict()
+            and row["compress"] == kwargs.get("compress", "none")
         ):
             return
     build_ann_index(corpus, table, tag=tag, **kwargs)
@@ -224,6 +302,8 @@ def search_ann_index(
     query_vec: str = "embedding",
     n_probe: int = 4,
     exclude_self: bool = True,
+    corpus: DataFrame | None = None,
+    rerank_mult: int = 8,
 ) -> DataFrame:
     """Probe a materialized index: hash the query batch to probe keys
     (queries are the small side by construction), broadcast it onto
@@ -233,8 +313,21 @@ def search_ann_index(
     BroadcastHashJoin — zero Exchange and zero UDF on the corpus
     side; dedup + top-k window shuffle only the candidate rows.
     Output: (query_id, rank, neighbor_id, cosine), ties broken by
-    neighbor id (fully deterministic)."""
+    neighbor id (fully deterministic).
+
+    For a ``compress="pq"`` index the probed scan reads CODE BYTES
+    only; candidates are LUT-scored (ADC), the per-query
+    ``k × rerank_mult`` shortlist fetches full vectors from
+    ``corpus`` (the source frame; REQUIRED for pq) for the exact
+    re-rank — at 100 TB the vector fetch touches |Q|·k·mult rows,
+    never the corpus."""
     meta = spark.table(f"{table}_meta").collect()[0]
+    compress = (
+        meta["compress"] if "compress" in meta.asDict() else "none"
+    )
+    if compress == "pq" and corpus is None:
+        raise ValueError("pq-compressed index needs the source corpus "
+                         "frame for the exact re-rank")
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
     )
@@ -275,19 +368,87 @@ def search_ann_index(
     )
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    if compress == "pq":
+        books = _load_pq_books(spark, table)
+        adc = _adc_score_udf(
+            books,
+            queries.select(
+                F.col(query_id).alias("query_id"),
+                F.col(query_vec).alias("qv"),
+            ).collect(),
+        )
+        wa = Window.partitionBy("query_id").orderBy(
+            F.col("adc").desc(), F.col("neighbor_id").asc()
+        )
+        short = (
+            cand.select(
+                "query_id",
+                "neighbor_id",
+                adc(F.col("query_id"), F.col("codes")).alias("adc"),
+            )
+            .withColumn("arank", F.row_number().over(wa))
+            .filter(F.col("arank") <= k * rerank_mult)
+            .select("query_id", "neighbor_id")
+        )
+        qv = queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+        )
+        cv = corpus.select(
+            F.col(query_id).alias("neighbor_id"),
+            F.col(query_vec).alias("cv"),
+        )
+        scored = (
+            cv.join(F.broadcast(short), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
+            )
+        )
+    else:
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def _adc_score_udf(books: np.ndarray, q_rows):
+    """Pandas UDF (query_id, codes) → approximate cosine via the
+    precomputed per-query LUT tensor — one fancy-indexed gather per
+    subspace per Arrow batch, no vector math per row."""
+    from dasladen_spark.operators.pq import _normalize_rows
+
+    m, ksub, dsub = books.shape
+    q_ids = [r["query_id"] for r in q_rows]
+    qmap = {qid: i for i, qid in enumerate(q_ids)}
+    q_mat = _normalize_rows(np.array([r["qv"] for r in q_rows], np.float64))
+    lut = np.stack(
+        [q_mat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )  # (Q, m, ksub)
+
+    @F.pandas_udf("double")
+    def adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qid) == 0:
+            return pd.Series([], dtype="float64")
+        idx = qid.map(qmap).to_numpy()
+        c = np.stack(codes.to_numpy())
+        s = np.zeros(len(idx))
+        for j in range(m):
+            s += lut[idx, j, c[:, j]]
+        return pd.Series(s)
+
+    return adc
 
 
 def compact_ann_index(spark: SparkSession, table: str) -> None:

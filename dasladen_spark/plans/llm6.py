@@ -242,6 +242,35 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_pq_indexed_topk")  # approximate method — rows-only;
+# recall audited in tests/test_operators.py::test_pq_indexed_recall and
+# plan-asserted (zero corpus-side Exchange, code-bytes-only scan) in
+# tests/test_plan_shapes.py::test_pq_indexed_search_scans_codes_only
+def ann_pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full at-scale ANN stack: a MATERIALIZED bucketed LSH index
+    whose posting lists store 16-byte PQ codes (operators/ann_index,
+    compress='pq') — built once per corpus snapshot; each query batch
+    probes it with a broadcast join (no corpus-side shuffle), scores
+    candidates by LUT lookups over the code bytes, and exact-re-ranks
+    only the per-query shortlist against the source vectors."""
+    from dasladen_spark.operators.ann_index import (
+        ensure_ann_index,
+        search_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ensure_ann_index(
+        emb, "ann_idx_pq", tag=sf_dir, dim=64, compress="pq"
+    )
+    return search_ann_index(
+        spark,
+        "ann_idx_pq",
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        corpus=emb,
+    ).orderBy("query_id", "rank")
+
+
 # ------------------------------------------- BPE vocabulary induction
 
 

@@ -1626,3 +1626,57 @@ def test_nb_classifier_learns_planted_signal(spark):
         F.avg((F.col("pred") == F.col("label")).cast("double")).alias("a")
     ).collect()[0]["a"]
     assert acc >= 0.95, acc
+
+
+def test_pq_indexed_recall(spark):
+    """LSH candidate pruning + PQ scoring + exact re-rank still
+    recovers >= 0.8 recall@5 vs the exact baseline — the full
+    at-scale stack loses little over either approximation alone."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.ann_index import (
+        build_ann_index,
+        search_ann_index,
+    )
+    from dasladen_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, emb, k=5).select("query_id", "neighbor_id").collect()
+    }
+    build_ann_index(emb, "t_pq_idx", tag="t", compress="pq")
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in search_ann_index(
+            spark, "t_pq_idx", q, k=5, corpus=emb
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.8
+
+
+def test_pq_indexed_append_then_search(spark):
+    """Appending new vectors to a PQ-compressed index makes them
+    immediately searchable (codes are computed with the persisted
+    codebooks — no rebuild)."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.ann_index import (
+        append_to_ann_index,
+        build_ann_index,
+        search_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 40)
+    new = emb.filter(F.col("vec_id") >= 40)
+    build_ann_index(old, "t_pq_app", tag="t", compress="pq")
+    append_to_ann_index(spark, "t_pq_app", new)
+    # a query that IS one of the appended vectors must at least find
+    # itself when self-matches are allowed
+    q = emb.filter(F.col("vec_id") == 45)
+    got = search_ann_index(
+        spark, "t_pq_app", q, k=5, corpus=emb, exclude_self=False
+    ).collect()
+    assert any(r["neighbor_id"] == 45 and r["rank"] == 1 for r in got)

@@ -442,6 +442,11 @@ _EXPECTED_FLAGS = {
     "q_gapfill_monthly": {"single-partition"},
     # OLS over the K-bounded (500-row) vocabulary frame
     "text_zipf_slope": {"single-partition"},
+    # 1-row triangle census scalar (only partial counts cross)
+    "q_triangle_count": {"single-partition"},
+    # label list (2 rows) broadcast-crossed onto doc tokens; 1-row
+    # grand-total doc count for the prior
+    "text_nb_quality_score": {"bnlj", "single-partition"},
     # 1-row moment stats broadcast back over the norms projection
     "embedding_norm_outliers": {"single-partition", "bnlj"},
 }
@@ -535,3 +540,22 @@ def test_fingerprint_index_anti_join_no_history_shuffle(spark):
     assert plan.count("Exchange") == n_joins + plan.count(
         "Exchange rangepartitioning"
     ), plan
+
+
+def test_pq_indexed_search_scans_codes_only(spark):
+    """The PQ-compressed index's probe scan reads CODE BYTES, never
+    vectors: the posting FileScan projects (probe, neighbor_id,
+    codes) — full embeddings appear only in the shortlist re-rank's
+    corpus fetch."""
+    plan = plan_of(spark, "ann_pq_indexed_topk")
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "ann_idx_pq" in ln and "_pqbooks" not in ln
+    ]
+    assert scans, plan
+    for ln in scans:
+        assert "codes" in ln, ln
+        assert "cv" not in ln.replace("cv_", ""), ln
+    # probe join is broadcast — the posting scan feeds it in place
+    assert "BroadcastHashJoin" in plan
