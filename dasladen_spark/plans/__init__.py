@@ -13,6 +13,7 @@ from dasladen_spark.plans import relational  # noqa: F401,E402
 from dasladen_spark.plans import relational2  # noqa: F401,E402
 from dasladen_spark.plans import relational3  # noqa: F401,E402
 from dasladen_spark.plans import relational4  # noqa: F401,E402
+from dasladen_spark.plans import relational5  # noqa: F401,E402
 from dasladen_spark.plans import llm  # noqa: F401,E402
 from dasladen_spark.plans import llm2  # noqa: F401,E402
 from dasladen_spark.plans import llm3  # noqa: F401,E402

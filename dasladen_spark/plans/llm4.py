@@ -1086,6 +1086,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides are their own bucket/cell equi-joins. Intersections join on
     (query_id, neighbor_id) — top-k-sized sets — and each method
     reduces to one summary row."""
+    from dasladen_spark.operators.pq import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_topk_reranked,
+    )
     from dasladen_spark.operators.similarity import (
         cosine_topk,
         ivf_cosine_topk,
@@ -1094,16 +1099,20 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    # persist: the |Q|×|corpus| exact scan is consumed three times
+    # persist: the |Q|×|corpus| exact scan is consumed several times
     # (count + one hash join per approximate method); without the
     # cache it would re-execute for each
     exact = (
         cosine_topk(q, emb, k=5).select("query_id", "neighbor_id").persist()
     )
     n_exact = exact.count()
+    books = fit_pq_codebooks(emb, m=16, ksub=32, iters=2)
     approx = {
         "lsh": lsh_cosine_topk(q, emb, k=5, dim=64),
         "ivf": ivf_cosine_topk(q, emb, k=5, n_centroids=16, n_probe=4),
+        "pq": pq_topk_reranked(
+            q, emb, pq_encode(emb, books), books, k=5, rerank_mult=8
+        ),
     }
     # the report is two tiny rows: materialize them now so the cached
     # |Q|×|corpus| baseline can be RELEASED before returning (a lazy

@@ -1,0 +1,229 @@
+"""Relational/analytics queries, part 5: closed-form regression,
+robust (winsorized) moments, and distributional entropy — the audit
+statistics a pipeline publishes next to its aggregates.
+
+Beyond-reference operators (the reference delegates all query power to
+an RDBMS, /root/reference/dasladen/task.py:94-107). Determinism
+discipline as in llm3+: one rounded double expression per row, DECIMAL
+accumulation, one final ROUND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dasladen_spark.plans.registry import query
+from dasladen_spark.session import load_table as _t
+
+# ------------------------------------------------ per-group OLS trend
+
+
+@query(
+    "q_ols_trend_by_nation",
+    oracle="""
+    WITH wk AS (
+      SELECT n.n_name AS nation,
+             CAST(datediff('day', TIMESTAMP '1995-01-01',
+                           date_trunc('week', o.o_orderdate)) // 7
+                  AS DOUBLE) AS x,
+             CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6)))
+                  AS VARCHAR) AS DOUBLE) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, date_trunc('week', o.o_orderdate)
+    ), s AS (
+      SELECT nation,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM wk GROUP BY nation
+    )
+    SELECT nation, CAST(n AS BIGINT) AS n_weeks,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept
+    FROM s ORDER BY nation
+    """,
+)
+def q_ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least-squares revenue trend per nation: weekly
+    revenue series (the raw facts collapse to |nations × weeks| rows
+    first), then slope/intercept from the five sufficient statistics
+    (n, Σx, Σy, Σx², Σxy) — ONE map-side-combined aggregate, no
+    iterative fitting, no collect. The regression every drift monitor
+    runs, at 100 TB the same two-aggregate plan."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    wk = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("week", "o_orderdate").alias("week"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("y")
+        )
+        .select(
+            "nation",
+            (
+                F.datediff(
+                    F.col("week"), F.lit("1995-01-01").cast("timestamp")
+                )
+                / 7
+            )
+            .cast("int")
+            .cast("double")
+            .alias("x"),
+            "y",
+        )
+    )
+    s = wk.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "nation",
+        F.col("n").cast("bigint").alias("n_weeks"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    ).orderBy("nation")
+
+
+# ------------------------------------------------ winsorized moments
+
+
+@query(
+    "q_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS pri,
+             quantile_cont(o_totalprice, 0.05) AS p5,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority AS pri,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(b.p5, 6) AS p5,
+           ROUND(b.p95, 6) AS p95,
+           ROUND(CAST(CAST(SUM(CAST(
+             ROUND(least(greatest(o.o_totalprice, b.p5), b.p95), 6)
+             AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+             AS winsorized_mean
+    FROM orders o JOIN b ON b.pri = o.o_orderpriority
+    GROUP BY o.o_orderpriority, b.p5, b.p95
+    ORDER BY pri
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clamped) mean order value per priority —
+    the outlier-robust center every monitoring dashboard should show
+    instead of the raw mean.
+
+    Scale shape: pass 1 computes the per-group clamp bounds (exact
+    percentiles via Spark's percentile aggregate — group-keyed, no
+    global sort); pass 2 re-aggregates with values clamped into
+    [p5, p95], broadcast-joining the 5-row bounds table back onto the
+    scan. Clamped values round at 6 then sum in DECIMAL — same
+    linear-interpolation percentile semantics as quantile_cont, same
+    bits from both engines."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p5"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    clamped = o.join(
+        F.broadcast(b), o["o_orderpriority"] == b["pri"]
+    ).select(
+        "pri",
+        "p5",
+        "p95",
+        F.round(
+            F.least(F.greatest(F.col("o_totalprice"), F.col("p5")), F.col("p95")),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("w"),
+    )
+    return (
+        clamped.groupBy("pri", "p5", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").cast("double").alias("sw"),
+        )
+        .select(
+            "pri",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("p5", 6).alias("p5"),
+            F.round("p95", 6).alias("p95"),
+            F.round(F.col("sw") / F.col("n"), 6).alias("winsorized_mean"),
+        )
+        .orderBy("pri")
+    )
+
+
+# ------------------------------------------------ behavioral entropy
+
+
+@query(
+    "q_user_activity_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT user_id, SUM(n) AS tot FROM c GROUP BY 1
+    ), e AS (
+      SELECT c.user_id,
+             ROUND(CAST(CAST(SUM(CAST(
+               ROUND(-(n / CAST(tot AS DOUBLE)) * ln(n / CAST(tot AS DOUBLE)),
+                     12)
+               AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE), 6) AS entropy
+      FROM c JOIN t ON t.user_id = c.user_id
+      GROUP BY c.user_id
+    )
+    SELECT user_id, entropy FROM e ORDER BY entropy DESC, user_id LIMIT 25
+    """,
+)
+def q_user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral
+    diversity score (bots: near 0; explorers: near ln(#types)).
+    Top-25 most-diverse users, ties by id.
+
+    Scale shape: everything stays keyed on user_id — per-(user, type)
+    counts, per-user totals, and the entropy sum are three
+    map-side-combinable aggregates over the SAME key, so one shuffle
+    partitioning serves all of them; the top-25 is a
+    TakeOrderedAndProject, never a global sort."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot").cast("double")
+    ent = (
+        c.join(t, "user_id")
+        .select(
+            "user_id",
+            F.round(-p * F.log(p), 12).cast("decimal(38,18)").alias("term"),
+        )
+        .groupBy("user_id")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("entropy"))
+    )
+    return ent.orderBy(F.col("entropy").desc(), "user_id").limit(25)
