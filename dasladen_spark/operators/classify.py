@@ -60,16 +60,23 @@ def nb_train(
         labeled.select(F.col(id_col).alias("doc_id"), F.col(label_col)),
         "doc_id",
     )
+    # ONE pass over the exploded tokens; vocabulary size and per-label
+    # occurrence totals both derive from the (much smaller) counts
+    # table, and doc counts from the unexploded input — so training
+    # reads the corpus text exactly once
     token_counts = toks.groupBy("tok", label_col).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    vocab = toks.select("tok").distinct().count()
+    token_counts.persist()
+    vocab = token_counts.select("tok").distinct().count()
+    occ_totals = token_counts.groupBy(label_col).agg(
+        F.sum("cnt").alias("tot_occ")
+    )
+    doc_counts = labeled.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     label_stats = (
-        toks.groupBy(label_col)
-        .agg(
-            F.count(F.lit(1)).alias("tot_occ"),
-            F.count_distinct("doc_id").alias("n_docs"),
-        )
+        occ_totals.join(doc_counts, label_col)
         .withColumn("vocab", F.lit(vocab))
     )
     return token_counts, label_stats

@@ -42,9 +42,11 @@ _NB_LONG = 300
       SELECT tok, label, COUNT(*) AS cnt FROM toks
       WHERE NOT is_test GROUP BY tok, label
     ), stats AS (
-      SELECT label, COUNT(*) AS tot_occ,
-             COUNT(DISTINCT doc_id) AS n_docs
-      FROM toks WHERE NOT is_test GROUP BY label
+      SELECT t.label, COUNT(*) AS tot_occ, ANY_VALUE(d.n_docs) AS n_docs
+      FROM toks t
+      JOIN (SELECT label, COUNT(*) AS n_docs FROM lab
+            WHERE NOT is_test GROUP BY label) d ON d.label = t.label
+      WHERE NOT t.is_test GROUP BY t.label
     ), vocab AS (
       SELECT COUNT(DISTINCT tok) AS v FROM toks WHERE NOT is_test
     ), tot AS (
@@ -104,21 +106,17 @@ def text_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = d.filter(F.col("doc_id") % 5 == 0)
     token_counts, label_stats = nb_train(train)
     scores = nb_score(test, token_counts, label_stats)
-    lng = scores.filter(F.col("label") == "long").select(
-        "doc_id", F.col("log_score").alias("score_long")
-    )
-    sht = scores.filter(F.col("label") == "short").select(
-        "doc_id", F.col("log_score").alias("score_short")
-    )
+    # pivot, not a self-join: the scoring plan executes ONCE and the
+    # per-label scores land as columns in the same aggregation
     return (
-        lng.join(sht, "doc_id")
+        scores.groupBy("doc_id")
+        .pivot("label", ["long", "short"])
+        .agg(F.first("log_score"))
         .select(
             "doc_id",
-            "score_long",
-            "score_short",
-            F.when(
-                F.col("score_long") >= F.col("score_short"), F.lit("long")
-            )
+            F.col("long").alias("score_long"),
+            F.col("short").alias("score_short"),
+            F.when(F.col("long") >= F.col("short"), F.lit("long"))
             .otherwise(F.lit("short"))
             .alias("pred"),
         )
