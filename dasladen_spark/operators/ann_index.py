@@ -217,7 +217,7 @@ def _postings_for(
             "neighbor_id",
             "cv",
         )
-    if meta["compress"] == "pq":
+    if "compress" in meta.asDict() and meta["compress"] == "pq":
         from dasladen_spark.operators.pq import pq_encode_udf
 
         books = _load_pq_books(spark, table)
@@ -288,6 +288,15 @@ def ensure_ann_index(corpus: DataFrame, table: str, tag: str, **kwargs) -> None:
             and "n_buckets" in row.asDict()
             and "compress" in row.asDict()
             and row["compress"] == kwargs.get("compress", "none")
+            # a pq index built with different codebook geometry is a
+            # different index — don't silently serve the old one
+            and (
+                row["compress"] != "pq"
+                or (
+                    row["pq_m"] == kwargs.get("pq_m", 16)
+                    and row["pq_ksub"] == kwargs.get("pq_ksub", 32)
+                )
+            )
         ):
             return
     build_ann_index(corpus, table, tag=tag, **kwargs)
@@ -304,6 +313,8 @@ def search_ann_index(
     exclude_self: bool = True,
     corpus: DataFrame | None = None,
     rerank_mult: int = 8,
+    corpus_id: str | None = None,
+    corpus_vec: str | None = None,
 ) -> DataFrame:
     """Probe a materialized index: hash the query batch to probe keys
     (queries are the small side by construction), broadcast it onto
@@ -320,7 +331,9 @@ def search_ann_index(
     ``k × rerank_mult`` shortlist fetches full vectors from
     ``corpus`` (the source frame; REQUIRED for pq) for the exact
     re-rank — at 100 TB the vector fetch touches |Q|·k·mult rows,
-    never the corpus."""
+    never the corpus. ``corpus_id``/``corpus_vec`` name the corpus
+    frame's columns when they differ from the query frame's
+    (default: same names)."""
     meta = spark.table(f"{table}_meta").collect()[0]
     compress = (
         meta["compress"] if "compress" in meta.asDict() else "none"
@@ -372,14 +385,15 @@ def search_ann_index(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     if compress == "pq":
+        from dasladen_spark.operators.pq import exact_rerank
+
+        q_rows = q.collect()
+        if not q_rows:
+            return spark.createDataFrame(
+                [], "query_id long, rank int, neighbor_id long, cosine double"
+            )
         books = _load_pq_books(spark, table)
-        adc = _adc_score_udf(
-            books,
-            queries.select(
-                F.col(query_id).alias("query_id"),
-                F.col(query_vec).alias("qv"),
-            ).collect(),
-        )
+        adc = _adc_score_udf(books, q_rows)
         wa = Window.partitionBy("query_id").orderBy(
             F.col("adc").desc(), F.col("neighbor_id").asc()
         )
@@ -393,28 +407,21 @@ def search_ann_index(
             .filter(F.col("arank") <= k * rerank_mult)
             .select("query_id", "neighbor_id")
         )
-        qv = queries.select(
-            F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+        return exact_rerank(
+            short,
+            queries,
+            corpus,
+            k,
+            query_id=query_id,
+            query_vec=query_vec,
+            id_col=corpus_id or query_id,
+            vec_col=corpus_vec or query_vec,
         )
-        cv = corpus.select(
-            F.col(query_id).alias("neighbor_id"),
-            F.col(query_vec).alias("cv"),
-        )
-        scored = (
-            cv.join(F.broadcast(short), "neighbor_id")
-            .join(F.broadcast(qv), "query_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
-            )
-        )
-    else:
-        scored = cand.select(
-            "query_id",
-            "neighbor_id",
-            cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -424,18 +431,13 @@ def search_ann_index(
 
 def _adc_score_udf(books: np.ndarray, q_rows):
     """Pandas UDF (query_id, codes) → approximate cosine via the
-    precomputed per-query LUT tensor — one fancy-indexed gather per
+    shared pq.query_lut table — one fancy-indexed gather per
     subspace per Arrow batch, no vector math per row."""
-    from dasladen_spark.operators.pq import _normalize_rows
+    from dasladen_spark.operators.pq import query_lut
 
-    m, ksub, dsub = books.shape
-    q_ids = [r["query_id"] for r in q_rows]
+    m = books.shape[0]
+    q_ids, lut = query_lut(books, q_rows)
     qmap = {qid: i for i, qid in enumerate(q_ids)}
-    q_mat = _normalize_rows(np.array([r["qv"] for r in q_rows], np.float64))
-    lut = np.stack(
-        [q_mat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
-        axis=1,
-    )  # (Q, m, ksub)
 
     @F.pandas_udf("double")
     def adc(qid: pd.Series, codes: pd.Series) -> pd.Series:

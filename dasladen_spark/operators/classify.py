@@ -63,12 +63,16 @@ def nb_train(
     # ONE pass over the exploded tokens; vocabulary size and per-label
     # occurrence totals both derive from the (much smaller) counts
     # table, and doc counts from the unexploded input — so training
-    # reads the corpus text exactly once
+    # reads the corpus text exactly once per action. Everything stays
+    # LAZY (the vocabulary size joins in as a 1-row frame): no hidden
+    # persist for the caller to leak — callers that score many
+    # batches should .persist() the returned model frames themselves.
     token_counts = toks.groupBy("tok", label_col).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    token_counts.persist()
-    vocab = token_counts.select("tok").distinct().count()
+    vocab = token_counts.select(
+        F.count_distinct("tok").alias("vocab")
+    )
     occ_totals = token_counts.groupBy(label_col).agg(
         F.sum("cnt").alias("tot_occ")
     )
@@ -77,7 +81,7 @@ def nb_train(
     )
     label_stats = (
         occ_totals.join(doc_counts, label_col)
-        .withColumn("vocab", F.lit(vocab))
+        .crossJoin(F.broadcast(vocab))  # one row — the vocabulary size
     )
     return token_counts, label_stats
 

@@ -92,15 +92,22 @@ def fit_pq_codebooks(
             ).alias("sub", "code"),
         )
         sums = (
+            # explode ONLY the subspace's slice of the vector (dsub
+            # values per code row), not the full dim-length array — a
+            # full posexplode-then-filter would blow rows up m× before
+            # cutting them back
             coded.select(
                 "sub",
                 "code",
-                F.posexplode(F.col("v")).alias("pos", "x"),
+                F.posexplode(
+                    F.slice(F.col("v"), F.col("sub") * dsub + 1, dsub)
+                ).alias("rel", "x"),
             )
-            # keep only this subspace's dims of the vector
-            .filter(
-                (F.col("pos") >= F.col("sub") * dsub)
-                & (F.col("pos") < (F.col("sub") + 1) * dsub)
+            .select(
+                "sub",
+                "code",
+                (F.col("sub") * dsub + F.col("rel")).alias("pos"),
+                "x",
             )
             .groupBy("sub", "code", "pos")
             # DECIMAL accumulation: the centroid sums are identical
@@ -180,6 +187,71 @@ def pq_encode(
     )
 
 
+def query_lut(books: np.ndarray, q_rows) -> tuple[list, np.ndarray]:
+    """(query ids, LUT[q, j, c] = q_sub_j · books[j, c]) for a
+    collected (query_id, qv) batch — the single shared spelling of
+    the ADC table build, so every caller scores with identical
+    bits. Approximate cosine of a coded row is the sum of its m
+    lookups."""
+    m, ksub, dsub = books.shape
+    q_ids = [r["query_id"] for r in q_rows]
+    q_mat = _normalize_rows(np.array([r["qv"] for r in q_rows], np.float64))
+    lut = np.stack(
+        [q_mat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
+        axis=1,
+    )  # (Q, m, ksub)
+    return q_ids, lut
+
+
+def exact_rerank(
+    short: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, neighbor_id) shortlist:
+    the tiny shortlist broadcasts onto the corpus scan (a semi-join-
+    shaped vector fetch of |Q|·shortlist rows), queries broadcast on
+    top, one window per query. The single shared spelling of the
+    re-rank stage — used by pq_topk_reranked and the PQ-compressed
+    materialized index. Output: (query_id, rank, neighbor_id,
+    cosine)."""
+    from dasladen_spark.functions.vectors import cosine_sim
+
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        cv.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -206,15 +278,8 @@ def pq_adc_topk(
         return codes.sparkSession.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, adc_score double"
         )
-    q_ids = np.array([r["query_id"] for r in q_rows])
-    q_mat = _normalize_rows(
-        np.array([r["qv"] for r in q_rows], np.float64)
-    )  # (Q, dim)
-    # LUT[q, j, c] = q_sub_j · books[j, c]  → approx cosine is the sum
-    lut = np.stack(
-        [q_mat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)],
-        axis=1,
-    )  # (Q, m, ksub)
+    q_ids_list, lut = query_lut(books, q_rows)
+    q_ids = np.array(q_ids_list)
 
     def score_partition(batches):
         for pdf in batches:
@@ -282,8 +347,6 @@ def pq_topk_reranked(
     recovers most of the gap to exact search at a fraction of the
     I/O. Output schema matches the other ANN paths:
     (query_id, rank, neighbor_id, cosine)."""
-    from dasladen_spark.functions.vectors import cosine_sim
-
     short = pq_adc_topk(
         queries,
         codes,
@@ -292,30 +355,13 @@ def pq_topk_reranked(
         query_id=query_id,
         query_vec=query_vec,
     ).select("query_id", "neighbor_id")
-    qv = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
-    )
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    # the shortlist is tiny (|Q|·k·mult rows) — broadcast it onto the
-    # corpus scan so the vector fetch is one semi-join-shaped pass
-    scored = (
-        cv.join(F.broadcast(short), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine")
-        )
+    return exact_rerank(
+        short,
+        queries,
+        corpus,
+        k,
+        query_id=query_id,
+        query_vec=query_vec,
+        id_col=id_col,
+        vec_col=vec_col,
     )

@@ -24,7 +24,11 @@ from dasladen_spark.session import load_table as _t
     oracle="""
     WITH wk AS (
       SELECT n.n_name AS nation,
-             CAST(datediff('day', TIMESTAMP '1995-01-01',
+             -- Monday epoch: week-truncated dates are always Mondays,
+             -- so the day diff is an exact multiple of 7 and the
+             -- division is exact (a Sunday epoch would collapse the
+             -- two weeks straddling it onto the same index)
+             CAST(datediff('day', TIMESTAMP '1995-01-02',
                            date_trunc('week', o.o_orderdate)) // 7
                   AS DOUBLE) AS x,
              CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6)))
@@ -75,7 +79,7 @@ def q_ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation",
             (
                 F.datediff(
-                    F.col("week"), F.lit("1995-01-01").cast("timestamp")
+                    F.col("week"), F.lit("1995-01-02").cast("timestamp")
                 )
                 / 7
             )
