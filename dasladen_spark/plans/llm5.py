@@ -346,11 +346,10 @@ def text_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("shuffle", "join", "partition")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
-
-@query(
-    "text_bm25_topk",
-    oracle=f"""
-    WITH toks AS (
+#: shared oracle CTE body: per-doc BM25 scores for the probe terms —
+#: text_bm25_topk and retrieval_rrf_hybrid (llm6) rank the SAME frame
+_BM25_SCORED_SQL = f"""
+    toks AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
              AS tok
       FROM documents
@@ -374,25 +373,18 @@ _BM25_K1, _BM25_B = 1.2, 0.75
                   + {_BM25_B} * dl.len / (SELECT avgdl FROM stats))),
                12) AS s
       FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+    ), bm25 AS (
+      SELECT doc_id,
+             ROUND(CAST(CAST(SUM(CAST(s AS DECIMAL(38,18))) AS VARCHAR)
+                        AS DOUBLE), 6) AS bm25
+      FROM scored GROUP BY doc_id
     )
-    SELECT doc_id,
-           ROUND(CAST(CAST(SUM(CAST(s AS DECIMAL(38,18))) AS VARCHAR)
-                      AS DOUBLE), 6) AS bm25
-    FROM scored GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id LIMIT 10
-    """,
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval over the corpus — the ranked-retrieval primitive
-    a decontamination or eval-set-mining pass runs (TF-IDF's
-    length-normalized, saturating successor; Okapi k1/b form).
+"""
 
-    Scale shape: term stats (df) and doc lengths are one
-    map-side-combined aggregate each; only rows containing PROBE
-    terms reach the scoring join (the tf filter prunes the explode);
-    avgdl/n_docs is a two-value broadcast. Per-term scores are
-    rounded then summed in DECIMAL — bit-identical under any
-    partitioning, same discipline as llm3/llm4."""
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for the probe terms — the Spark twin of
+    _BM25_SCORED_SQL; see text_bm25_topk for the plan-shape notes."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -419,7 +411,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count_distinct("doc_id").alias("df"))
     )
-    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
     denom = F.col("tf") + _BM25_K1 * (
         1.0 - _BM25_B + _BM25_B * F.col("len") / F.lit(float(avgdl))
     )
@@ -428,16 +422,39 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dl, "doc_id")
         .select(
             "doc_id",
-            F.round(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom, 12).alias("s"),
+            F.round(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom, 12).alias(
+                "s"
+            ),
         )
     )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("s").cast("decimal(38,18)")).cast("double"), 6
+        ).alias("bm25")
+    )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL}
+    SELECT doc_id, bm25 FROM bm25
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus — the ranked-retrieval primitive
+    a decontamination or eval-set-mining pass runs (TF-IDF's
+    length-normalized, saturating successor; Okapi k1/b form).
+
+    Scale shape: term stats (df) and doc lengths are one
+    map-side-combined aggregate each; only rows containing PROBE
+    terms reach the scoring join (the tf filter prunes the explode);
+    avgdl/n_docs is a two-value broadcast. Per-term scores are
+    rounded then summed in DECIMAL — bit-identical under any
+    partitioning, same discipline as llm3/llm4."""
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(F.col("s").cast("decimal(38,18)")).cast("double"), 6
-            ).alias("bm25")
-        )
+        bm25_scored(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )

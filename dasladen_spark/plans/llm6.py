@@ -290,6 +290,114 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_rank")
 
 
+# ------------------------------------------- hybrid retrieval (RRF)
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_DEPTH = 100  # fuse the top-100 of each ranker
+
+
+@query(
+    "retrieval_rrf_hybrid",
+    oracle=None,  # assembled below (needs llm.py/llm5.py fragments)
+)
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — reciprocal-rank fusion of a DENSE ranking
+    (cosine against doc 0's embedding; at 100 TB this list comes from
+    the ANN index, here the exact scan for oracle-provability) and a
+    SPARSE ranking (the BM25 probe-term scores): the retrieval stack
+    every RAG/eval-mining pipeline ships.
+
+    rrf(d) = Σ_lists 1/(K + rank_d); docs absent from a list
+    contribute nothing for it. Each ranker is truncated at depth 100
+    (standard practice — fusing full corpora is pointless and at
+    scale impossible), the fused top-20 is returned with both
+    source ranks for auditability.
+
+    Scale shape: both rankers produce bounded lists (top-100), the
+    fusion is a full outer join of two 100-row frames — driver-free
+    and constant-size regardless of corpus size."""
+    from dasladen_spark.operators.similarity import cosine_topk
+    from dasladen_spark.plans.llm5 import bm25_scored
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = (
+        cosine_topk(
+            emb.filter(F.col("vec_id") == 0), emb, k=_RRF_DEPTH
+        )
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("bigint").alias("dense_rank"),
+        )
+    )
+    from pyspark.sql import Window
+
+    ws = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    sparse = (
+        bm25_scored(spark, sf_dir)
+        .withColumn("sparse_rank", F.row_number().over(ws).cast("bigint"))
+        .filter(F.col("sparse_rank") <= _RRF_DEPTH)
+        .select("doc_id", "sparse_rank")
+    )
+    fused = dense.join(sparse, "doc_id", "full_outer").select(
+        "doc_id",
+        "dense_rank",
+        "sparse_rank",
+        (
+            F.coalesce(
+                F.round(1.0 / (F.lit(_RRF_K) + F.col("dense_rank")), 12),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.round(1.0 / (F.lit(_RRF_K) + F.col("sparse_rank")), 12),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+# the oracle reuses the cosine spelling from llm.py and the BM25 CTE
+# from llm5.py so all three queries rank the SAME frames
+def _rrf_oracle() -> str:
+    from dasladen_spark.plans.llm import _cosine_sql
+    from dasladen_spark.plans.llm5 import _BM25_SCORED_SQL
+
+    return f"""
+    WITH {_BM25_SCORED_SQL},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT doc_id, dense_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {_cosine_sql('(SELECT qv FROM q)', 'e.embedding')}
+                   DESC, e.vec_id) AS dense_rank
+        FROM embeddings e WHERE e.vec_id <> 0
+      ) WHERE dense_rank <= {_RRF_DEPTH}
+    ), sparse AS (
+      SELECT doc_id, sparse_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                 AS sparse_rank
+        FROM bm25
+      ) WHERE sparse_rank <= {_RRF_DEPTH}
+    )
+    SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
+           d.dense_rank, s.sparse_rank,
+           COALESCE(ROUND(CAST(1.0 AS DOUBLE) / ({_RRF_K} + d.dense_rank),
+                          12), CAST(0.0 AS DOUBLE))
+           + COALESCE(ROUND(CAST(1.0 AS DOUBLE) / ({_RRF_K} + s.sparse_rank),
+                            12), CAST(0.0 AS DOUBLE))
+             AS rrf
+    FROM dense d FULL OUTER JOIN sparse s ON s.doc_id = d.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """
+
+
+from dasladen_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["retrieval_rrf_hybrid"] = _rrf_oracle()
+
+
 # ------------------------------------------------ triangle census
 
 

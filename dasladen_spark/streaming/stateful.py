@@ -149,3 +149,73 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+#: output schema of ewma_by_key (module-level: parity tests share it)
+EWMA_SCHEMA = "user_id bigint, n_events bigint, ewma double"
+_EWMA_STATE_SCHEMA = "n bigint, s double"
+
+
+def _make_ewma_fn(alpha: float, timeout_ms: int | None):
+    """Per-key exponential smoothing fold. Rows are sorted by
+    (ts, event_id) inside each invocation, so given ordered
+    micro-batches the recursion s ← α·x + (1−α)·s is a pure function
+    of the event sequence — the differential test replays it in
+    pandas and matches exactly."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "ewma": [s]}
+            )
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for x in rows["value"].astype("float64"):
+            s = float(x) if n == 0 else alpha * float(x) + (1.0 - alpha) * s
+            n += 1
+        state.update((n, s))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [s]})
+
+    return fn
+
+
+def ewma_by_key(
+    events: DataFrame,
+    alpha: float = 0.2,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Per-user exponentially-weighted running mean across
+    micro-batches — the streaming sibling of q_ewma_weekly_revenue
+    (there the decay is over a bounded window for oracle parity;
+    here it is the true unbounded recursion, which only a stateful
+    operator can maintain). State per key is TWO numbers regardless
+    of history length — the textbook case for
+    ``applyInPandasWithState`` over a raw-event replay, which would
+    re-read the full history every trigger. Input needs
+    (user_id, ts, event_id, value) columns."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_ewma_fn(alpha, timeout_ms),
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

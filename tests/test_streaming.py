@@ -748,3 +748,69 @@ def test_streaming_ann_sync_new_vectors_searchable(spark, tmp_path, sf_dir):
     assert spark.table("t_ann_sync").count() == n_after
     for t in ("t_ann_sync", "t_ann_sync_meta", "t_ann_sync_centroids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ewma_by_key_matches_sequential_replay(spark, tmp_path):
+    """The stateful EWMA recursion across micro-batches equals a
+    sequential pandas replay of the same (ts, event_id)-ordered
+    event sequence — exactly, not approximately."""
+    from dasladen_spark.streaming.stateful import ewma_by_key
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b1.csv").write_text(
+        "user_id;ts;event_id;value\n"
+        "1;2024-01-01 00:00:00;1;10.0\n"
+        "1;2024-01-01 00:01:00;2;20.0\n"
+        "2;2024-01-01 00:00:30;3;5.0\n"
+    )
+    schema = "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE"
+
+    emitted: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend(
+            (r["user_id"], r["n_events"], r["ewma"])
+            for r in batch_df.collect()
+        )
+
+    def drain():
+        s = (
+            spark.readStream.schema(schema)
+            .option("sep", ";")
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(src))
+        )
+        q = (
+            ewma_by_key(s, alpha=0.25)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_ewma"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    (src / "b2.csv").write_text(
+        "user_id;ts;event_id;value\n"
+        "1;2024-01-01 00:02:00;4;40.0\n"
+        "2;2024-01-01 00:02:30;5;15.0\n"
+    )
+    drain()
+
+    # sequential replay: per user, in (ts, event_id) order across the
+    # SAME micro-batch boundaries
+    def replay(seq, alpha=0.25):
+        s, n = 0.0, 0
+        for x in seq:
+            s = x if n == 0 else alpha * x + (1 - alpha) * s
+            n += 1
+        return n, s
+
+    latest = {u: (n, e) for (u, n, e) in emitted}
+    n1, s1 = replay([10.0, 20.0, 40.0])
+    n2, s2 = replay([5.0, 15.0])
+    assert latest[1] == (n1, s1)
+    assert latest[2] == (n2, s2)
