@@ -331,11 +331,15 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # depth-bound FIRST (TakeOrderedAndProject — distributed), then
+    # rank the ≤100 surviving rows; the global window only ever sees
+    # the bounded frame
     ws = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     sparse = (
         bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
         .withColumn("sparse_rank", F.row_number().over(ws).cast("bigint"))
-        .filter(F.col("sparse_rank") <= _RRF_DEPTH)
         .select("doc_id", "sparse_rank")
     )
     fused = dense.join(sparse, "doc_id", "full_outer").select(

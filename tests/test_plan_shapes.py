@@ -444,6 +444,9 @@ _EXPECTED_FLAGS = {
     "text_zipf_slope": {"single-partition"},
     # 1-row triangle census scalar (only partial counts cross)
     "q_triangle_count": {"single-partition"},
+    # dense ranker: 1 query vector broadcast against the corpus (the
+    # same tiny-side shape as ann_cosine_topk); fusion join is 100×100
+    "retrieval_rrf_hybrid": {"bnlj"},
     # label list (2 rows) broadcast-crossed onto doc tokens; 1-row
     # grand-total doc count for the prior
     "text_nb_quality_score": {"bnlj", "single-partition"},
