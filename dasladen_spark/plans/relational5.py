@@ -231,3 +231,74 @@ def q_user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("term").cast("double"), 6).alias("entropy"))
     )
     return ent.orderBy(F.col("entropy").desc(), "user_id").limit(25)
+
+
+# ----------------------------------- mergeable exact percentiles
+
+
+@query(
+    "q_quantile_mergeable_rollup",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT week,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(cents, 0.5) / 100.0, 6) AS p50,
+           ROUND(quantile_cont(cents, 0.95) / 100.0, 6) AS p95
+    FROM c GROUP BY week ORDER BY week
+    """,
+)
+def q_quantile_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weekly p50/p95 of event values from MERGEABLE per-day
+    value histograms — the quantile sibling of the bitmap distinct
+    rollup: per-day (value → count) partials are what you persist at
+    100 TB; coarser grains merge by adding counts, never by
+    re-scanning events; and the percentile itself is computed
+    DISTRIBUTED — a week-keyed cumulative window over the histogram
+    plus conditional aggregates pick and interpolate the bracketing
+    values, so no task ever sees a week's raw values, only its
+    distinct-value histogram. (Values are canonicalized to cents so
+    the histogram is exact; quantile_cont over the same cents is the
+    oracle.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.date_trunc("week", "ts").alias("week"),
+            F.date_trunc("day", "ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("week", "day", "cents")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the day→week merge: counts ADD (the mergeability property)
+    hist = daily.groupBy("week", "cents").agg(F.sum("n").alias("n"))
+    w = Window.partitionBy("week").orderBy("cents")
+    hist = hist.withColumn("cum", F.sum("n").over(w))
+    tot = hist.groupBy("week").agg(F.sum("n").alias("tot"))
+    h = hist.join(tot, "week")
+
+    def quantile(q: float):
+        pos = (F.col("tot") - 1) * F.lit(q)
+        lo = F.floor(pos)
+        frac = pos - lo
+        v_lo = F.min(F.when(F.col("cum") > lo, F.col("cents")))
+        v_hi = F.min(F.when(F.col("cum") > lo + 1, F.col("cents")))
+        # top rank: lo+1 may exceed the last index — fall back to v_lo
+        interp = v_lo + (F.coalesce(v_hi, v_lo) - v_lo) * F.first(frac)
+        return F.round(interp / 100.0, 6)
+
+    return (
+        h.groupBy("week")
+        .agg(
+            F.first("tot").cast("bigint").alias("n"),
+            quantile(0.5).alias("p50"),
+            quantile(0.95).alias("p95"),
+        )
+        .select(F.col("week").cast("timestamp").alias("week"), "n", "p50", "p95")
+        .orderBy("week")
+    )
