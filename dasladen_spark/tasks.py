@@ -519,6 +519,125 @@ def run_dedup(ctx: TaskContext, task: dict) -> None:
     ctx.log(f"task {task.get('name')}: {n_out} novel rows out")
 
 
+def run_classify(ctx: TaskContext, task: dict) -> None:
+    """Classify task (beyond the reference): train the distributed
+    Naive-Bayes classifier (operators/classify) on the ``train``
+    source's (text, label) rows, score the ``source`` rows, and write
+    (id, pred, score) to ``target`` — the task-file spelling of the
+    quality-filter stage, so a scheduled task file becomes a corpus
+    curation run. ``min_score`` optionally drops rows whose winning
+    log-score is below the bar (an absolute-likelihood floor)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.classify import nb_score, nb_train
+
+    text_field = task.get("text_field", "text")
+    label_field = task.get("label_field", "label")
+    train_src = task["train"]
+    train = _read_source(
+        ctx, {**task, "source": train_src,
+              "type": train_src.get("kind", "parquet") + "-x"}
+    )
+    src = task["source"]
+    df = _read_source(ctx, {**task, "type": src.get("kind", "parquet") + "-x"})
+    df = _transformed(ctx, task, df)
+    id_field = task.get("id_field", df.columns[0])
+    counts, stats = nb_train(
+        train, id_col=task.get("train_id_field", id_field),
+        text_col=text_field, label_col=label_field,
+    )
+    scores = nb_score(
+        df, counts, stats, id_col=id_field, text_col=text_field,
+        label_col=label_field,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("log_score").desc(), F.col(label_field).asc()
+    )
+    pred = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("doc_id").alias(id_field),
+            F.col(label_field).alias("pred"),
+            F.col("log_score").alias("score"),
+        )
+    )
+    if "min_score" in task:
+        pred = pred.filter(F.col("score") >= float(task["min_score"]))
+    pred = pred.persist()
+    try:
+        tgt = task["target"]
+        _write_sink(
+            ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, pred
+        )
+        ctx.log(f"task {task.get('name')}: {pred.count()} rows classified")
+    finally:
+        pred.unpersist()
+
+
+def run_ann_index(ctx: TaskContext, task: dict) -> None:
+    """ANN-index task (beyond the reference): ``action: build`` turns
+    the ``source`` rows (id + vector columns) into a materialized
+    bucketed ANN index (operators/ann_index — LSH or IVF probe keys,
+    optional PQ-compressed postings); ``action: search`` probes a
+    built index with the ``queries`` source and writes the per-query
+    top-k to ``target``. Task-file runs thus cover the index
+    lifecycle the same way the dedup task covers the fingerprint
+    index."""
+    from dasladen_spark.operators.ann_index import (
+        ensure_ann_index,
+        search_ann_index,
+    )
+
+    index = task["index"]
+    id_field = task.get("id_field", "vec_id")
+    vec_field = task.get("vector_field", "embedding")
+    action = task.get("action", "build")
+    if action == "build":
+        src = task["source"]
+        df = _read_source(
+            ctx, {**task, "type": src.get("kind", "parquet") + "-x"}
+        )
+        ensure_ann_index(
+            df,
+            index,
+            tag=str(task.get("tag", src.get("path", ""))),
+            method=task.get("method", "lsh"),
+            id_col=id_field,
+            vec_col=vec_field,
+            dim=int(task.get("dim", 64)),
+            compress=task.get("compress", "none"),
+        )
+        ctx.log(f"task {task.get('name')}: index {index} ready")
+        return
+    if action != "search":
+        raise ValueError(f"unknown ann-index action {action!r}")
+    q_src = task["queries"]
+    queries = _read_source(
+        ctx, {**task, "source": q_src,
+              "type": q_src.get("kind", "parquet") + "-x"}
+    )
+    corpus = None
+    if "source" in task:
+        src = task["source"]
+        corpus = _read_source(
+            ctx, {**task, "type": src.get("kind", "parquet") + "-x"}
+        )
+    res = search_ann_index(
+        ctx.spark,
+        index,
+        queries,
+        k=int(task.get("k", 5)),
+        query_id=id_field,
+        query_vec=vec_field,
+        corpus=corpus,
+    )
+    tgt = task["target"]
+    _write_sink(ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, res)
+    ctx.log(f"task {task.get('name')}: search results written")
+
+
 TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "csv-db": run_etl,
     "db-csv": run_etl,
@@ -538,6 +657,8 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "profile": run_profile,
     "validate": run_validate,
     "dedup": run_dedup,
+    "classify": run_classify,
+    "ann-index": run_ann_index,
 }
 
 # Beyond the reference's seven ETL shapes: the full source×sink matrix

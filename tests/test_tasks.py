@@ -707,3 +707,85 @@ def test_dedup_task_incremental_across_runs(spark, workdir):
     assert got2 == {11}
     for t in ("t_task_fpidx", "t_task_fpidx_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_classify_task_trains_and_scores(spark, workdir):
+    """'classify' task: train NB on a labeled source, score another
+    source, write (id, pred, score) — the task-file spelling of the
+    quality-filter stage."""
+    train_rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            train_rows.append(
+                {"doc_id": i, "text": "meeting agenda report", "label": "ham"}
+            )
+        else:
+            train_rows.append(
+                {"doc_id": i, "text": "winner free prize", "label": "spam"}
+            )
+    with open(workdir / "input" / "train.json", "w", encoding="utf-8") as f:
+        for r in train_rows:
+            f.write(json.dumps(r) + "\n")
+    score_rows = [
+        {"doc_id": 100, "text": "agenda for the meeting"},
+        {"doc_id": 101, "text": "free prize winner click"},
+    ]
+    with open(workdir / "input" / "score.json", "w", encoding="utf-8") as f:
+        for r in score_rows:
+            f.write(json.dumps(r) + "\n")
+    task = {
+        "name": "cls",
+        "type": "classify",
+        "id_field": "doc_id",
+        "train": {
+            "kind": "json",
+            "file": "train.json",
+            "schema": "doc_id BIGINT, text STRING, label STRING",
+        },
+        "source": {
+            "kind": "json",
+            "file": "score.json",
+            "schema": "doc_id BIGINT, text STRING",
+        },
+        "target": {"kind": "parquet", "file": "preds.parquet", "truncate": True},
+    }
+    run_tasks(spark, workdir, {"tasks": [task]})
+    got = {
+        r["doc_id"]: r["pred"]
+        for r in spark.read.parquet(
+            str(workdir / "output" / "preds.parquet")
+        ).collect()
+    }
+    assert got == {100: "ham", 101: "spam"}
+
+
+def test_ann_index_task_build_then_search(spark, workdir):
+    """'ann-index' task lifecycle: one task file builds the
+    materialized index from a vector source, a second searches it and
+    writes the per-query top-k."""
+    spark.sql("DROP TABLE IF EXISTS t_task_annidx")
+    spark.sql("DROP TABLE IF EXISTS t_task_annidx_meta")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(str(workdir / "input" / "emb.parquet"))
+    build = {
+        "name": "annb",
+        "type": "ann-index",
+        "action": "build",
+        "index": "t_task_annidx",
+        "tag": "t1",
+        "source": {"kind": "parquet", "file": "emb.parquet"},
+    }
+    search = {
+        "name": "anns",
+        "type": "ann-index",
+        "action": "search",
+        "index": "t_task_annidx",
+        "k": 3,
+        "queries": {"kind": "parquet", "file": "emb.parquet"},
+        "target": {"kind": "parquet", "file": "nn.parquet", "truncate": True},
+    }
+    run_tasks(spark, workdir, {"tasks": [build, search]})
+    res = spark.read.parquet(str(workdir / "output" / "nn.parquet"))
+    assert set(res.columns) == {"query_id", "rank", "neighbor_id", "cosine"}
+    assert res.count() > 0
+    assert res.groupBy("query_id").count().agg({"count": "max"}).collect()[0][0] <= 3
