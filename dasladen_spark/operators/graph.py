@@ -193,3 +193,61 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
         e3, on=F.expr("e3.u = e1.u AND e3.v = e2.v")
     )
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iterations: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over an
+    undirected graph (distinct edges, one row per pair). Returns
+    (id, community).
+
+    Deterministic variant: every node starts as its own label; each
+    round it adopts the neighbor label with the highest count, ties
+    broken by smallest label — so the result is a pure function of
+    the graph, not of scheduling. Each round is one neighbor-keyed
+    aggregation (map-side combinable) + a window argmax over
+    (node, label) counts; labels localCheckpoint per round so lineage
+    stays O(1). Communities capture dense clusters even where the
+    whole graph is one connected component (which is where
+    connected_components stops helping)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("community", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iterations):
+        nbr = (
+            und.join(labels, und.v == labels.id)
+            .groupBy(F.col("u").alias("id2"), F.col("community"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("id2").orderBy(
+            F.col("n").desc(), F.col("community").asc()
+        )
+        best = (
+            nbr.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("id2"), F.col("community").alias("new_comm"))
+        )
+        labels = (
+            labels.join(best, labels.id == best.id2, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("new_comm"), F.col("community")).alias(
+                    "community"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -576,3 +576,136 @@ def q_ewma_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "week")
     )
+
+
+# ----------------------------- embedding-space label coherence audit
+
+
+@query(
+    "embedding_knn_label_agreement",
+    oracle=None,  # assembled below (reuses llm.py's cosine spelling)
+)
+def embedding_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement — the embedding-quality audit for labeled
+    data: for each probe vector, what fraction of its 5 nearest
+    neighbors (exact cosine) share its label? Near-1 per class means
+    the embedding space respects the labels; a class near chance is
+    either mislabeled or not linearly separated — the check to run
+    BEFORE trusting embedding dedup/clustering on a new corpus.
+
+    Scale shape: probes are a bounded sample (100 here — an audit,
+    not a join); each probe broadcasts against the corpus scan, the
+    per-probe agreement is an exact rational (k_same/5), and the
+    per-label summary is one tiny aggregate. At 100 TB the probe
+    top-k would come from the ANN index; exact scan here keeps the
+    oracle provable."""
+    from dasladen_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 100)
+    nn = cosine_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    lbl = emb.select("vec_id", "label")
+    agree = (
+        nn.join(
+            F.broadcast(
+                lbl.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                    "label", "q_label"
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                lbl.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                    "label", "n_label"
+                )
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.round(
+                F.sum((F.col("n_label") == F.col("q_label")).cast("int"))
+                / F.lit(5.0),
+                6,
+            ).alias("agreement")
+        )
+    )
+    return (
+        agree.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.round(
+                F.sum(F.col("agreement").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_agreement"),
+        )
+        .orderBy("label")
+    )
+
+
+def _knn_agreement_oracle() -> str:
+    from dasladen_spark.plans.llm import _cosine_sql
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+      FROM embeddings WHERE vec_id < 100
+    ), ranked AS (
+      SELECT q.query_id, q.q_label, e.label AS n_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {_cosine_sql('q.qv', 'e.embedding')} DESC, e.vec_id
+             ) AS rank
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), agree AS (
+      SELECT query_id, q_label,
+             ROUND(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                   / 5.0, 6) AS agreement
+      FROM ranked WHERE rank <= 5
+      GROUP BY query_id, q_label
+    )
+    SELECT q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           ROUND(CAST(CAST(SUM(CAST(agreement AS DECIMAL(38,6)))
+                 AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mean_agreement
+    FROM agree GROUP BY q_label ORDER BY label
+    """
+
+
+_ORACLES["embedding_knn_label_agreement"] = _knn_agreement_oracle()
+
+
+@query("graph_communities")  # iterative algorithm — rows-only;
+# tests/test_operators.py::test_label_propagation_finds_planted_communities
+# proves the operator separates planted dense clusters
+def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure of the co-purchase graph via deterministic
+    synchronous label propagation (operators/graph.label_propagation)
+    — the clustering that still says something when the whole graph
+    is one connected component. Reports the 20 largest communities.
+
+    Scale shape: each round is one neighbor-keyed count aggregation +
+    a per-node window argmax; no collect, lineage checkpointed per
+    round."""
+    from dasladen_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    e = (
+        op.alias("a")
+        .join(op.alias("b"), on=F.expr("a.o = b.o AND a.p < b.p"))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    comm = label_propagation(e, iterations=4)
+    return (
+        comm.groupBy("community")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
+    )

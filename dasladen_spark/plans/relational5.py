@@ -302,3 +302,88 @@ def q_quantile_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("week").cast("timestamp").alias("week"), "n", "p50", "p95")
         .orderBy("week")
     )
+
+
+# -------------------------------------------- marketing attribution
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), att AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             (SELECT MAX(c.ts) FROM c
+              WHERE c.user_id = p.user_id AND c.ts < p.ts
+                AND c.ts >= p.ts - INTERVAL 7 DAY) AS click_ts
+      FROM p
+    )
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_attributed,
+           ROUND(SUM(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS attributed_share
+    FROM att GROUP BY 1 ORDER BY week
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the
+    user's most recent click within the preceding 7 days, reported as
+    a weekly attribution-share rollup — the event-analytics composite
+    behind every marketing dashboard.
+
+    Scale shape: the as-of join (operators/asof) is one user-keyed
+    shuffle of clicks+purchases with an in-partition ordered scan —
+    never a per-purchase subquery (the oracle's correlated MAX is the
+    SEMANTIC spec; the engine's plan is the union-sort trick), then
+    one map-side-combined weekly rollup."""
+    from dasladen_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    att = asof_join(
+        p,
+        c,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols={"click_ts": "click_ts"},
+        strict=True,
+    )
+    att = att.withColumn(
+        "click_ts",
+        F.when(
+            F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+            F.col("click_ts"),
+        ),
+    )
+    return (
+        att.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.col("click_ts").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_attributed"),
+            F.round(
+                F.sum(F.col("click_ts").isNotNull().cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("attributed_share"),
+        )
+        .select(
+            F.col("week").cast("timestamp").alias("week"),
+            "n_purchases",
+            "n_attributed",
+            "attributed_share",
+        )
+        .orderBy("week")
+    )

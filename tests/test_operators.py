@@ -1680,3 +1680,19 @@ def test_pq_indexed_append_then_search(spark):
         spark, "t_pq_app", q, k=5, corpus=emb, exclude_self=False
     ).collect()
     assert any(r["neighbor_id"] == 45 and r["rank"] == 1 for r in got)
+
+
+def test_label_propagation_finds_planted_communities(spark):
+    """Two 5-cliques joined by a single bridge edge: LPA must assign
+    each clique one community, and they must differ."""
+    from dasladen_spark.operators.graph import label_propagation
+
+    cliq1 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    cliq2 = [(a, b) for a in range(11, 16) for b in range(a + 1, 16)]
+    edges = cliq1 + cliq2 + [(5, 11)]
+    df = spark.createDataFrame(edges, "u INT, v INT")
+    got = {r["id"]: r["community"] for r in label_propagation(df, iterations=6).collect()}
+    c1 = {got[i] for i in range(1, 6)}
+    c2 = {got[i] for i in range(11, 16)}
+    assert len(c1) == 1 and len(c2) == 1
+    assert c1 != c2

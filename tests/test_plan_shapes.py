@@ -447,6 +447,9 @@ _EXPECTED_FLAGS = {
     # dense ranker: 1 query vector broadcast against the corpus (the
     # same tiny-side shape as ann_cosine_topk); fusion join is 100×100
     "retrieval_rrf_hybrid": {"bnlj"},
+    # bounded probe sample broadcast against the corpus (exact-scan
+    # audit; the ANN index is the at-scale path)
+    "embedding_knn_label_agreement": {"bnlj"},
     # label list (2 rows) broadcast-crossed onto doc tokens; 1-row
     # grand-total doc count for the prior
     "text_nb_quality_score": {"bnlj", "single-partition"},
