@@ -814,3 +814,77 @@ def test_ewma_by_key_matches_sequential_replay(spark, tmp_path):
     n2, s2 = replay([5.0, 15.0])
     assert latest[1] == (n1, s1)
     assert latest[2] == (n2, s2)
+
+
+def test_streaming_nb_model_matches_batch_train(spark, tmp_path):
+    """The streamed (token,label) / (label) count snapshots rehydrate
+    into a model that scores EXACTLY like nb_train over the full
+    delivered corpus — additive merges commute with aggregation."""
+    import json as _json
+
+    from dasladen_spark.operators.classify import nb_score, nb_train
+    from dasladen_spark.streaming.modelsync import (
+        nb_model_from_snapshots,
+        run_streaming_nb_counts,
+        run_streaming_nb_docs,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows1 = [
+        {"doc_id": 1, "text": "meeting agenda report", "label": "ham"},
+        {"doc_id": 2, "text": "winner free prize", "label": "spam"},
+    ]
+    rows2 = [
+        {"doc_id": 3, "text": "agenda minutes meeting report", "label": "ham"},
+        {"doc_id": 4, "text": "free free offer click", "label": "spam"},
+    ]
+    schema = "doc_id BIGINT, text STRING, label STRING"
+    with open(src / "b1.json", "w") as f:
+        for r in rows1:
+            f.write(_json.dumps(r) + "\n")
+
+    def drain():
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        run_streaming_nb_counts(
+            s, str(tmp_path / "cnt"), str(tmp_path / "ck_c")
+        )
+        s2 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        run_streaming_nb_docs(s2, str(tmp_path / "dc"), str(tmp_path / "ck_d"))
+
+    drain()
+    with open(src / "b2.json", "w") as f:
+        for r in rows2:
+            f.write(_json.dumps(r) + "\n")
+    drain()
+
+    counts_s, stats_s = nb_model_from_snapshots(
+        spark, str(tmp_path / "cnt"), str(tmp_path / "dc")
+    )
+    full = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["label"]) for r in rows1 + rows2], schema
+    )
+    counts_b, stats_b = nb_train(full)
+
+    test = spark.createDataFrame(
+        [(100, "agenda meeting"), (101, "free prize click")],
+        "doc_id BIGINT, text STRING",
+    )
+    got_s = {
+        (r["doc_id"], r["label"]): r["log_score"]
+        for r in nb_score(test, counts_s, stats_s).collect()
+    }
+    got_b = {
+        (r["doc_id"], r["label"]): r["log_score"]
+        for r in nb_score(test, counts_b, stats_b).collect()
+    }
+    assert got_s == got_b
+    assert len(got_s) == 4
