@@ -55,7 +55,10 @@ def nb_train(
     - label_stats:  (label, tot_occ, n_docs) + a ``vocab`` column
       (train-wide distinct token count, the Laplace denominator)
 
-    Both are DataFrames — the model lives where the data lives."""
+    Both are DataFrames — the model lives where the data lives.
+    ``labeled`` rows must carry unique ids: the token→label
+    attachment joins on ``id_col``, so a duplicated id would
+    multiply its token counts."""
     toks = _tokens(labeled, id_col, text_col).join(
         labeled.select(F.col(id_col).alias("doc_id"), F.col(label_col)),
         "doc_id",
@@ -101,7 +104,9 @@ def nb_score(
     Plan: distinct (doc, tok, n_occ) CROSS the (tiny) label list,
     left-join the model on (tok, label); each term is
     n_occ × round(ln((cnt+1)/(tot+V)), 12), summed in DECIMAL; the
-    label prior ln(n_docs/Σn_docs) rounds the same way."""
+    label prior ln(n_docs/Σn_docs) rounds the same way. EVERY input
+    doc gets a score row per label — a doc whose text tokenizes to
+    nothing scores its priors alone, it is never silently dropped."""
     total = label_stats.agg(F.sum("n_docs").alias("all_docs"))
     labels = (
         label_stats.select(label_col, "tot_occ", "vocab", "n_docs")
@@ -122,7 +127,6 @@ def nb_score(
         .select(
             "doc_id",
             label_col,
-            "prior",
             # multiply in DOUBLE (IEEE-deterministic), cast the final
             # per-row term to DECIMAL for the order-free accumulation
             (
@@ -139,11 +143,22 @@ def nb_score(
             .alias("term"),
         )
     )
-    return terms.groupBy("doc_id", label_col).agg(
+    sums = terms.groupBy("doc_id", label_col).agg(F.sum("term").alias("tsum"))
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .crossJoin(F.broadcast(labels.select(label_col, "prior")))
+    )
+    return base.join(sums, ["doc_id", label_col], "left").select(
+        "doc_id",
+        label_col,
         F.round(
             (
-                F.sum("term") + F.first("prior").cast("decimal(38,18)")
+                F.coalesce(
+                    F.col("tsum"), F.lit(0).cast("decimal(38,18)")
+                )
+                + F.col("prior").cast("decimal(38,18)")
             ).cast("double"),
             6,
-        ).alias("log_score")
+        ).alias("log_score"),
     )

@@ -227,9 +227,18 @@ def label_propagation(
     from pyspark.sql import Window
 
     for _ in range(iterations):
+        # the node's CURRENT label gets one vote alongside its
+        # neighbors' — without it, degree-1 pairs swap labels every
+        # round and the result depends on the parity of `iterations`
+        votes = und.join(labels, und.v == labels.id).select(
+            F.col("u").alias("id2"), F.col("community")
+        )
+        own = labels.select(
+            F.col("id").alias("id2"), F.col("community")
+        )
         nbr = (
-            und.join(labels, und.v == labels.id)
-            .groupBy(F.col("u").alias("id2"), F.col("community"))
+            votes.unionByName(own)
+            .groupBy("id2", "community")
             .agg(F.count(F.lit(1)).alias("n"))
         )
         w = Window.partitionBy("id2").orderBy(

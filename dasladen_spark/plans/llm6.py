@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dasladen_spark.plans.llm import _cosine_sql
+from dasladen_spark.plans.llm5 import _BM25_SCORED_SQL
 from dasladen_spark.plans.registry import query
 from dasladen_spark.session import load_table as _t
 
@@ -59,19 +61,27 @@ _NB_LONG = 300
     ), occ AS (
       SELECT doc_id, tok, COUNT(*) AS n_occ FROM toks
       WHERE is_test GROUP BY doc_id, tok
-    ), scored AS (
+    ), tsum AS (
       SELECT o.doc_id, s.label,
-             ROUND(CAST(CAST(
-               SUM(CAST(o.n_occ * ROUND(ln(
-                 (COALESCE(c.cnt, 0) + 1)
-                 / CAST(s.tot_occ + (SELECT v FROM vocab) AS DOUBLE)
-               ), 12) AS DECIMAL(38,18)))
-               + CAST(ANY_VALUE(s.prior) AS DECIMAL(38,18))
-             AS VARCHAR) AS DOUBLE), 6) AS log_score
+             SUM(CAST(o.n_occ * ROUND(ln(
+               (COALESCE(c.cnt, 0) + 1)
+               / CAST(s.tot_occ + (SELECT v FROM vocab) AS DOUBLE)
+             ), 12) AS DECIMAL(38,18))) AS t
       FROM occ o
       CROSS JOIN pri s
       LEFT JOIN cnt c ON c.tok = o.tok AND c.label = s.label
       GROUP BY o.doc_id, s.label
+    ), scored AS (
+      -- every test doc scores every label; token-less docs score
+      -- their priors alone (mirrors classify.nb_score's base frame)
+      SELECT d.doc_id, s.label,
+             ROUND(CAST(CAST(
+               COALESCE(t.t, CAST(0 AS DECIMAL(38,18)))
+               + CAST(s.prior AS DECIMAL(38,18))
+             AS VARCHAR) AS DOUBLE), 6) AS log_score
+      FROM (SELECT doc_id FROM lab WHERE is_test) d
+      CROSS JOIN pri s
+      LEFT JOIN tsum t ON t.doc_id = d.doc_id AND t.label = s.label
     )
     SELECT l.doc_id, l.log_score AS score_long, s.log_score AS score_short,
            CASE WHEN l.log_score >= s.log_score THEN 'long' ELSE 'short' END
@@ -296,10 +306,38 @@ _RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 _RRF_DEPTH = 100  # fuse the top-100 of each ranker
 
 
-@query(
-    "retrieval_rrf_hybrid",
-    oracle=None,  # assembled below (needs llm.py/llm5.py fragments)
-)
+_RRF_ORACLE = f"""
+    WITH {_BM25_SCORED_SQL},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT doc_id, dense_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {_cosine_sql('(SELECT qv FROM q)', 'e.embedding')}
+                   DESC, e.vec_id) AS dense_rank
+        FROM embeddings e WHERE e.vec_id <> 0
+      ) WHERE dense_rank <= {_RRF_DEPTH}
+    ), sparse AS (
+      SELECT doc_id, sparse_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                 AS sparse_rank
+        FROM bm25
+      ) WHERE sparse_rank <= {_RRF_DEPTH}
+    )
+    SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
+           d.dense_rank, s.sparse_rank,
+           COALESCE(ROUND(CAST(1.0 AS DOUBLE) / ({_RRF_K} + d.dense_rank),
+                          12), CAST(0.0 AS DOUBLE))
+           + COALESCE(ROUND(CAST(1.0 AS DOUBLE) / ({_RRF_K} + s.sparse_rank),
+                            12), CAST(0.0 AS DOUBLE))
+             AS rrf
+    FROM dense d FULL OUTER JOIN sparse s ON s.doc_id = d.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """
+
+
+@query("retrieval_rrf_hybrid", oracle=_RRF_ORACLE)
 def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval — reciprocal-rank fusion of a DENSE ranking
     (cosine against doc 0's embedding; at 100 TB this list comes from
@@ -360,46 +398,6 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
 
 
-# the oracle reuses the cosine spelling from llm.py and the BM25 CTE
-# from llm5.py so all three queries rank the SAME frames
-def _rrf_oracle() -> str:
-    from dasladen_spark.plans.llm import _cosine_sql
-    from dasladen_spark.plans.llm5 import _BM25_SCORED_SQL
-
-    return f"""
-    WITH {_BM25_SCORED_SQL},
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    dense AS (
-      SELECT doc_id, dense_rank FROM (
-        SELECT e.vec_id AS doc_id,
-               ROW_NUMBER() OVER (
-                 ORDER BY {_cosine_sql('(SELECT qv FROM q)', 'e.embedding')}
-                   DESC, e.vec_id) AS dense_rank
-        FROM embeddings e WHERE e.vec_id <> 0
-      ) WHERE dense_rank <= {_RRF_DEPTH}
-    ), sparse AS (
-      SELECT doc_id, sparse_rank FROM (
-        SELECT doc_id,
-               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
-                 AS sparse_rank
-        FROM bm25
-      ) WHERE sparse_rank <= {_RRF_DEPTH}
-    )
-    SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
-           d.dense_rank, s.sparse_rank,
-           COALESCE(ROUND(CAST(1.0 AS DOUBLE) / ({_RRF_K} + d.dense_rank),
-                          12), CAST(0.0 AS DOUBLE))
-           + COALESCE(ROUND(CAST(1.0 AS DOUBLE) / ({_RRF_K} + s.sparse_rank),
-                            12), CAST(0.0 AS DOUBLE))
-             AS rrf
-    FROM dense d FULL OUTER JOIN sparse s ON s.doc_id = d.doc_id
-    ORDER BY rrf DESC, doc_id LIMIT 20
-    """
-
-
-from dasladen_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
-
-_ORACLES["retrieval_rrf_hybrid"] = _rrf_oracle()
 
 
 # ------------------------------------------------ triangle census
@@ -581,74 +579,7 @@ def q_ewma_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------- embedding-space label coherence audit
 
 
-@query(
-    "embedding_knn_label_agreement",
-    oracle=None,  # assembled below (reuses llm.py's cosine spelling)
-)
-def embedding_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN label-agreement — the embedding-quality audit for labeled
-    data: for each probe vector, what fraction of its 5 nearest
-    neighbors (exact cosine) share its label? Near-1 per class means
-    the embedding space respects the labels; a class near chance is
-    either mislabeled or not linearly separated — the check to run
-    BEFORE trusting embedding dedup/clustering on a new corpus.
-
-    Scale shape: probes are a bounded sample (100 here — an audit,
-    not a join); each probe broadcasts against the corpus scan, the
-    per-probe agreement is an exact rational (k_same/5), and the
-    per-label summary is one tiny aggregate. At 100 TB the probe
-    top-k would come from the ANN index; exact scan here keeps the
-    oracle provable."""
-    from dasladen_spark.operators.similarity import cosine_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 100)
-    nn = cosine_topk(q, emb, k=5).select("query_id", "neighbor_id")
-    lbl = emb.select("vec_id", "label")
-    agree = (
-        nn.join(
-            F.broadcast(
-                lbl.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
-                    "label", "q_label"
-                )
-            ),
-            "query_id",
-        )
-        .join(
-            F.broadcast(
-                lbl.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
-                    "label", "n_label"
-                )
-            ),
-            "neighbor_id",
-        )
-        .groupBy("query_id", "q_label")
-        .agg(
-            F.round(
-                F.sum((F.col("n_label") == F.col("q_label")).cast("int"))
-                / F.lit(5.0),
-                6,
-            ).alias("agreement")
-        )
-    )
-    return (
-        agree.groupBy(F.col("q_label").alias("label"))
-        .agg(
-            F.count(F.lit(1)).alias("n_probes"),
-            F.round(
-                F.sum(F.col("agreement").cast("decimal(38,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("mean_agreement"),
-        )
-        .orderBy("label")
-    )
-
-
-def _knn_agreement_oracle() -> str:
-    from dasladen_spark.plans.llm import _cosine_sql
-
-    return f"""
+_KNN_AGREEMENT_ORACLE = f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv, label AS q_label
       FROM embeddings WHERE vec_id < 100
@@ -675,7 +606,62 @@ def _knn_agreement_oracle() -> str:
     """
 
 
-_ORACLES["embedding_knn_label_agreement"] = _knn_agreement_oracle()
+@query("embedding_knn_label_agreement", oracle=_KNN_AGREEMENT_ORACLE)
+def embedding_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement — the embedding-quality audit for labeled
+    data: for each probe vector, what fraction of its 5 nearest
+    neighbors (exact cosine) share its label? Near-1 per class means
+    the embedding space respects the labels; a class near chance is
+    either mislabeled or not linearly separated — the check to run
+    BEFORE trusting embedding dedup/clustering on a new corpus.
+
+    Scale shape: probes are a bounded sample (100 here — an audit,
+    not a join); each probe broadcasts against the corpus scan, the
+    per-probe agreement is an exact rational (k_same/5), and the
+    per-label summary is one tiny aggregate. At 100 TB the probe
+    top-k would come from the ANN index; exact scan here keeps the
+    oracle provable."""
+    from dasladen_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 100)
+    nn = cosine_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    lbl = emb.select("vec_id", "label")
+    # the kNN result (≤ probes×k rows) is the genuinely small side —
+    # broadcast IT onto the corpus label scan, never the reverse
+    probe_lbl = lbl.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    nnq = nn.join(probe_lbl, "query_id")
+    agree = (
+        lbl.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+        )
+        .join(F.broadcast(nnq), "neighbor_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.round(
+                F.sum((F.col("n_label") == F.col("q_label")).cast("int"))
+                / F.lit(5.0),
+                6,
+            ).alias("agreement")
+        )
+    )
+    return (
+        agree.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.round(
+                F.sum(F.col("agreement").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_agreement"),
+        )
+        .orderBy("label")
+    )
+
+
 
 
 @query("graph_communities")  # iterative algorithm — rows-only;

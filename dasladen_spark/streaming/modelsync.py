@@ -13,6 +13,11 @@ frames that score EXACTLY like a from-scratch nb_train over
 everything the stream has delivered — proven by the batch-parity
 test.
 
+Contract: delivered doc ids must be unique (run the stream through
+the dedup intake first — streaming/indexsync) — nb_train joins
+labels on doc_id, so duplicated ids would square their token counts
+there while merely doubling here, breaking the parity.
+
 This completes the incrementality set: fingerprint index (dedup),
 ANN index (similarity), matview (aggregates), model counts
 (classification).

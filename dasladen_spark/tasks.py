@@ -602,7 +602,9 @@ def run_ann_index(ctx: TaskContext, task: dict) -> None:
         ensure_ann_index(
             df,
             index,
-            tag=str(task.get("tag", src.get("path", ""))),
+            # default tag = the resolved source FILE path, so pointing
+            # the same index at a different corpus file rebuilds it
+            tag=str(task.get("tag", _src_path(ctx, src))),
             method=task.get("method", "lsh"),
             id_col=id_field,
             vec_col=vec_field,
