@@ -67,6 +67,9 @@ HEADLINE = [
     "decontaminate_containment",
     "q_ewma_weekly_revenue",
     "q_user_activity_entropy",
+    "retrieval_rrf_hybrid",
+    "q_quantile_mergeable_rollup",
+    "q_attribution_last_touch",
 ]
 
 
