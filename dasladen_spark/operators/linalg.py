@@ -156,3 +156,64 @@ def pca_explained_variance(
         (i + 1, float(evals[i]), float(evals[i] / total))
         for i in range(min(k, dim))
     ]
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    ridge: float = 1e-6,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-``top_n`` embeddings by Mahalanobis distance from the
+    corpus distribution — the covariance-aware outlier audit (a
+    vector can sit at a normal L2 norm yet be wildly atypical along
+    a low-variance direction; z-scored norms miss it, this doesn't).
+
+    Scale shape: mean and covariance come from the SAME O(√P)-bounded
+    gram_moments fold every other linalg audit uses; the d×d inverse
+    (ridge-regularized Cholesky) is driver-side microseconds; scoring
+    is one broadcast-rotation Arrow pass over the corpus (a single
+    matmul per batch), and only per-partition top-n candidates reach
+    the final window. Differential-tested against a sequential numpy
+    replica."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n, s, g = gram_moments(df.select(vec_col), vec_col, dim)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    cov += ridge * np.eye(dim)
+    inv = np.linalg.inv(cov)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, np.float64) for v in pdf[vec_col]]
+            ) - mean
+            # d(x)² = (x-μ)ᵀ Σ⁻¹ (x-μ), one matmul per Arrow batch
+            d2 = np.einsum("ij,jk,ik->i", x, inv, x)
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "mahalanobis": np.sqrt(np.maximum(d2, 0.0)),
+                }
+            )
+            # per-partition shortlist: only candidates cross the wire
+            yield out.nlargest(min(top_n, len(out)), "mahalanobis")
+
+    cand = df.select(id_col, vec_col).mapInPandas(
+        score, "vec_id long, mahalanobis double"
+    )
+    w = Window.orderBy(F.col("mahalanobis").desc(), F.col("vec_id").asc())
+    return (
+        cand.orderBy(F.col("mahalanobis").desc(), F.col("vec_id").asc())
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank", "vec_id", F.round("mahalanobis", 6).alias("mahalanobis")
+        )
+    )

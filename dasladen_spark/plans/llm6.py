@@ -695,3 +695,19 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("size").desc(), "community")
         .limit(20)
     )
+
+
+@query("embedding_mahalanobis_outliers")  # covariance inverse — not
+# SQL-expressible; numpy-differential-tested in test_operators.py::
+# test_mahalanobis_matches_numpy
+def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance-aware outlier audit: top-20 embeddings by
+    Mahalanobis distance (operators/linalg.mahalanobis_outliers) —
+    catches vectors that are atypical along low-variance directions,
+    which norm-z-score audits (embedding_norm_outliers) cannot see.
+    Driver holds O(d²); scoring is one broadcast-rotation pass with
+    per-partition shortlists."""
+    from dasladen_spark.operators.linalg import mahalanobis_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mahalanobis_outliers(emb, "vec_id", "embedding", dim=64)

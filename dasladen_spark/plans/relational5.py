@@ -387,3 +387,71 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------- rater agreement (kappa)
+
+
+@query(
+    "q_rater_agreement_kappa",
+    oracle=r"""
+    WITH r AS (
+      SELECT doc_id,
+             CAST(n_chars >= 300 AS INT) AS a,
+             CAST(len(regexp_extract_all(text, '\S+')) >= 60 AS INT) AS b
+      FROM documents
+    ), c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+             CAST(SUM(a) AS BIGINT) AS a1, CAST(SUM(b) AS BIGINT) AS b1
+      FROM r
+    )
+    SELECT n, agree,
+           ROUND(agree / CAST(n AS DOUBLE), 6) AS po,
+           ROUND((a1 * b1 + (n - a1) * (n - b1))
+                 / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           ROUND((agree / CAST(n AS DOUBLE)
+                  - (a1 * b1 + (n - a1) * (n - b1))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - (a1 * b1 + (n - a1) * (n - b1))
+                    / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+    FROM c
+    """,
+)
+def q_rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two labeling policies (here: a length
+    rater and a token-count rater) — the agreement statistic every
+    labeling/curation pipeline publishes before trusting a rater or
+    a distilled classifier as ground truth.
+
+    Scale shape: one map-side-combined aggregate produces the whole
+    2×2 confusion summary (n, agreements, per-rater positives); the
+    kappa arithmetic is a single driver-free projection over that
+    1-row frame."""
+    d = _t(spark, sf_dir, "documents")
+    r = d.select(
+        (F.col("n_chars") >= 300).cast("int").alias("a"),
+        (
+            F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 60
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    c = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("int")).cast("bigint").alias("agree"),
+        F.sum("a").cast("bigint").alias("a1"),
+        F.sum("b").cast("bigint").alias("b1"),
+    )
+    po = F.col("agree") / F.col("n").cast("double")
+    pe = (
+        F.col("a1") * F.col("b1")
+        + (F.col("n") - F.col("a1")) * (F.col("n") - F.col("b1"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return c.select(
+        "n",
+        "agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )

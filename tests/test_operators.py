@@ -1696,3 +1696,27 @@ def test_label_propagation_finds_planted_communities(spark):
     c2 = {got[i] for i in range(11, 16)}
     assert len(c1) == 1 and len(c2) == 1
     assert c1 != c2
+
+
+def test_mahalanobis_matches_numpy(spark, sf_dir):
+    """Distributed Mahalanobis audit equals the sequential numpy
+    computation (same ridge, same ordering)."""
+    import numpy as np
+
+    from dasladen_spark.operators.linalg import mahalanobis_outliers
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = mahalanobis_outliers(emb, "vec_id", "embedding", dim=64).collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+    mean = x.sum(axis=0) / len(x)
+    # replicate gram_moments' fold: G = Σ xxᵀ / n - μμᵀ  (+ ridge)
+    cov = (x.T @ x) / len(x) - np.outer(mean, mean) + 1e-6 * np.eye(64)
+    inv = np.linalg.inv(cov)
+    c = x - mean
+    d = np.sqrt(np.maximum(np.einsum("ij,jk,ik->i", c, inv, c), 0.0))
+    order = np.lexsort((ids, -d))[:20]
+    assert [r["vec_id"] for r in got] == ids[order].tolist()
+    for r, i in zip(got, order):
+        assert abs(r["mahalanobis"] - d[i]) < 1e-5

@@ -450,6 +450,8 @@ _EXPECTED_FLAGS = {
     # bounded probe sample broadcast against the corpus (exact-scan
     # audit; the ANN index is the at-scale path)
     "embedding_knn_label_agreement": {"bnlj"},
+    # 1-row confusion summary (only partial sums cross the exchange)
+    "q_rater_agreement_kappa": {"single-partition"},
     # label list (2 rows) broadcast-crossed onto doc tokens; 1-row
     # grand-total doc count for the prior
     "text_nb_quality_score": {"bnlj", "single-partition"},
