@@ -789,3 +789,67 @@ def test_ann_index_task_build_then_search(spark, workdir):
     assert set(res.columns) == {"query_id", "rank", "neighbor_id", "cosine"}
     assert res.count() > 0
     assert res.groupBy("query_id").count().agg({"count": "max"}).collect()[0][0] <= 3
+
+
+def test_task_pipeline_dedup_then_classify_end_to_end(spark, workdir):
+    """A single task file chains the curation pipeline the reference's
+    users would run: incremental dedup against a history index, then
+    classifier scoring of the survivors — each stage reading the
+    previous stage's sink."""
+    for t in ("t_pipe_fpidx", "t_pipe_fpidx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    docs = [
+        {"doc_id": 1, "text": "meeting agenda and quarterly report"},
+        {"doc_id": 2, "text": "MEETING agenda and quarterly report"},  # dup
+        {"doc_id": 3, "text": "click here for a free prize offer"},
+    ]
+    with open(workdir / "input" / "raw.json", "w", encoding="utf-8") as f:
+        for r in docs:
+            f.write(json.dumps(r) + "\n")
+    train = [
+        {"doc_id": i, "text": "meeting agenda minutes report", "label": "keep"}
+        if i % 2 == 0
+        else {"doc_id": i, "text": "free prize click offer", "label": "drop"}
+        for i in range(40)
+    ]
+    with open(workdir / "input" / "train.json", "w", encoding="utf-8") as f:
+        for r in train:
+            f.write(json.dumps(r) + "\n")
+    dedup = {
+        "name": "p1",
+        "type": "dedup",
+        "index": "t_pipe_fpidx",
+        "id_field": "doc_id",
+        "source": {
+            "kind": "json",
+            "file": "raw.json",
+            "schema": "doc_id BIGINT, text STRING",
+        },
+        "target": {"kind": "parquet", "file": "clean.parquet", "truncate": True},
+    }
+    classify = {
+        "name": "p2",
+        "type": "classify",
+        "id_field": "doc_id",
+        "train": {
+            "kind": "json",
+            "file": "train.json",
+            "schema": "doc_id BIGINT, text STRING, label STRING",
+        },
+        # reads the PREVIOUS stage's sink from the output folder
+        "source": {
+            "kind": "parquet",
+            "file": "clean.parquet",
+            "folder": str(workdir / "output"),
+        },
+        "target": {"kind": "parquet", "file": "scored.parquet", "truncate": True},
+    }
+    run_tasks(spark, workdir, {"tasks": [dedup, classify]})
+    got = {
+        r["doc_id"]: r["pred"]
+        for r in spark.read.parquet(
+            str(workdir / "output" / "scored.parquet")
+        ).collect()
+    }
+    # doc 2 fell to the dedup stage; 1 keeps, 3 drops
+    assert got == {1: "keep", 3: "drop"}
