@@ -711,3 +711,136 @@ def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFram
 
     emb = _t(spark, sf_dir, "embeddings")
     return mahalanobis_outliers(emb, "vec_id", "embedding", dim=64)
+
+
+# --------------------------------- sampling / mixture planning
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(stddev_pop(o_totalprice), 6) AS sigma
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT SUM(n_rows * sigma) AS denom FROM s
+    )
+    SELECT stratum, n_rows, sigma,
+           CAST(round(1000.0 * n_rows * sigma / (SELECT denom FROM t))
+                AS BIGINT) AS alloc_k,
+           ROUND(1000.0 * sigma / (SELECT denom FROM t), 6) AS rate
+    FROM s ORDER BY stratum
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation for a budget of
+    1000 rows: each stratum's share ∝ N_h·σ_h — the variance-minimal
+    design for estimating the mean, and the allocation step every
+    serious stratified sampler runs before drawing (the draw itself
+    is sample_stratified's portable hash filter at these rates).
+
+    Scale shape: per-stratum (count, stddev) is ONE map-side-combined
+    aggregate; the denominator is a 1-row broadcast. stddev_pop is
+    computed from decimal-exact moment sums so both engines see the
+    same doubles."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        # decimal-exact moments -> identical doubles in both engines
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (F.col("o_totalprice") * F.col("o_totalprice")).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+                - F.pow(
+                    F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    2,
+                )
+            ),
+            6,
+        ).alias("sigma"),
+    )
+    t = s.agg(F.sum(F.col("n_rows") * F.col("sigma")).alias("denom"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "stratum",
+            "n_rows",
+            "sigma",
+            F.round(1000.0 * F.col("n_rows") * F.col("sigma") / F.col("denom"))
+            .cast("bigint")
+            .alias("alloc_k"),
+            F.round(1000.0 * F.col("sigma") / F.col("denom"), 6).alias("rate"),
+        )
+        .orderBy("stratum")
+    )
+
+
+@query(
+    "corpus_mixture_temperature",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT SUM(n_docs) AS total,
+             SUM(pow(n_docs / CAST((SELECT SUM(n_docs) FROM s) AS DOUBLE),
+                     0.7)) AS z
+      FROM s
+    )
+    SELECT source, n_docs,
+           ROUND(n_docs / CAST((SELECT total FROM t) AS DOUBLE), 6)
+             AS p_natural,
+           ROUND(pow(n_docs / CAST((SELECT total FROM t) AS DOUBLE), 0.7)
+                 / (SELECT z FROM t), 6) AS p_sample,
+           ROUND(pow(n_docs / CAST((SELECT total FROM t) AS DOUBLE), 0.7)
+                 / (SELECT z FROM t)
+                 / (n_docs / CAST((SELECT total FROM t) AS DOUBLE)), 6)
+             AS upsample_factor
+    FROM s ORDER BY source
+    """,
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rates (α = 0.7): sampling probability
+    ∝ p_natural^α — the multilingual/multi-source rebalancing rule
+    (upweights small sources without flattening the mixture, the
+    standard alternative to corpus_mixture_plan's equal-share
+    budget). Reports natural share, α-sampled share, and the implied
+    up/downsample factor per source.
+
+    Scale shape: a source-keyed count aggregate plus a 1-row
+    normalizer broadcast — the 100 TB corpus is touched once."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    total = s.agg(F.sum("n_docs").alias("total"))
+    z = (
+        s.crossJoin(F.broadcast(total))
+        .agg(
+            F.sum(
+                F.pow(F.col("n_docs") / F.col("total").cast("double"), 0.7)
+            ).alias("z"),
+            F.first("total").alias("total"),
+        )
+    )
+    t = z  # (z, total) — one normalizer row
+    p_nat = F.col("n_docs") / F.col("total").cast("double")
+    p_smp = F.pow(p_nat, 0.7) / F.col("z")
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            F.round(p_nat, 6).alias("p_natural"),
+            F.round(p_smp, 6).alias("p_sample"),
+            F.round(p_smp / p_nat, 6).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )

@@ -452,6 +452,11 @@ _EXPECTED_FLAGS = {
     "embedding_knn_label_agreement": {"bnlj"},
     # 1-row confusion summary (only partial sums cross the exchange)
     "q_rater_agreement_kappa": {"single-partition"},
+    # 1-row normalizer (Σ N_h·σ_h) broadcast back over the 5-row
+    # stratum table
+    "sample_neyman_allocation": {"bnlj", "single-partition"},
+    # 1-row (total, z) normalizer broadcast over the S-row source table
+    "corpus_mixture_temperature": {"bnlj", "single-partition"},
     # label list (2 rows) broadcast-crossed onto doc tokens; 1-row
     # grand-total doc count for the prior
     "text_nb_quality_score": {"bnlj", "single-partition"},
