@@ -577,15 +577,21 @@ def run_classify(ctx: TaskContext, task: dict) -> None:
 
 
 def run_ann_index(ctx: TaskContext, task: dict) -> None:
-    """ANN-index task (beyond the reference): ``action: build`` turns
-    the ``source`` rows (id + vector columns) into a materialized
-    bucketed ANN index (operators/ann_index — LSH or IVF probe keys,
-    optional PQ-compressed postings); ``action: search`` probes a
-    built index with the ``queries`` source and writes the per-query
-    top-k to ``target``. Task-file runs thus cover the index
-    lifecycle the same way the dedup task covers the fingerprint
-    index."""
+    """ANN-index task (beyond the reference): the full index
+    lifecycle from task files, the same way the dedup task covers the
+    fingerprint index —
+
+    - ``action: build``   materialize the bucketed index from the
+      ``source`` rows (LSH or IVF probe keys, optional PQ postings)
+    - ``action: append``  encode ONLY the ``source`` rows with the
+      stored parameters/codebooks and add them (no rebuild)
+    - ``action: compact`` rewrite to one posting file per bucket
+      after many appends (schedule it like any table maintenance)
+    - ``action: search``  probe with the ``queries`` source, write
+      the per-query top-k to ``target``"""
     from dasladen_spark.operators.ann_index import (
+        append_to_ann_index,
+        compact_ann_index,
         ensure_ann_index,
         search_ann_index,
     )
@@ -594,6 +600,20 @@ def run_ann_index(ctx: TaskContext, task: dict) -> None:
     id_field = task.get("id_field", "vec_id")
     vec_field = task.get("vector_field", "embedding")
     action = task.get("action", "build")
+    if action == "append":
+        src = task["source"]
+        df = _read_source(
+            ctx, {**task, "type": src.get("kind", "parquet") + "-x"}
+        )
+        append_to_ann_index(
+            ctx.spark, index, df, id_col=id_field, vec_col=vec_field
+        )
+        ctx.log(f"task {task.get('name')}: appended to index {index}")
+        return
+    if action == "compact":
+        compact_ann_index(ctx.spark, index)
+        ctx.log(f"task {task.get('name')}: compacted index {index}")
+        return
     if action == "build":
         src = task["source"]
         df = _read_source(

@@ -853,3 +853,59 @@ def test_task_pipeline_dedup_then_classify_end_to_end(spark, workdir):
     }
     # doc 2 fell to the dedup stage; 1 keeps, 3 drops
     assert got == {1: "keep", 3: "drop"}
+
+
+def test_ann_index_task_append_and_compact(spark, workdir):
+    """'ann-index' maintenance actions: append new vectors (searchable
+    immediately, no rebuild), then compact back to one file per
+    bucket."""
+    import os
+
+    for t in ("t_task_annidx2", "t_task_annidx2_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.filter("vec_id < 40").write.mode("overwrite").parquet(
+        str(workdir / "input" / "old.parquet")
+    )
+    emb.filter("vec_id >= 40").write.mode("overwrite").parquet(
+        str(workdir / "input" / "new.parquet")
+    )
+    emb.filter("vec_id = 45").write.mode("overwrite").parquet(
+        str(workdir / "input" / "q.parquet")
+    )
+    tasks = [
+        {
+            "name": "b", "type": "ann-index", "action": "build",
+            "index": "t_task_annidx2", "tag": "t1",
+            "source": {"kind": "parquet", "file": "old.parquet"},
+        },
+        {
+            "name": "a", "type": "ann-index", "action": "append",
+            "index": "t_task_annidx2",
+            "source": {"kind": "parquet", "file": "new.parquet"},
+        },
+        {
+            "name": "c", "type": "ann-index", "action": "compact",
+            "index": "t_task_annidx2",
+        },
+        {
+            "name": "s", "type": "ann-index", "action": "search",
+            "index": "t_task_annidx2", "k": 3, "exclude_self": False,
+            "queries": {"kind": "parquet", "file": "q.parquet"},
+            "target": {"kind": "parquet", "file": "nn2.parquet", "truncate": True},
+        },
+    ]
+    run_tasks(spark, workdir, {"tasks": tasks})
+    res = spark.read.parquet(str(workdir / "output" / "nn2.parquet")).collect()
+    # the appended vector finds itself (exclude_self not set -> the
+    # task defaults to self-matches allowed? search defaults True, so
+    # check the appended vector appears as SOMEONE's neighbor instead
+    assert any(r["neighbor_id"] >= 40 or r["query_id"] == 45 for r in res)
+    # compaction left one file per bucket
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    files = [
+        f
+        for f in os.listdir(os.path.join(wh, "t_task_annidx2"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 16, len(files)
