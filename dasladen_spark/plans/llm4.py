@@ -1107,11 +1107,22 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_exact = exact.count()
     books = fit_pq_codebooks(emb, m=16, ksub=32, iters=2)
+    from dasladen_spark.operators.ann_index import (
+        ensure_ann_index,
+        search_ann_index,
+    )
+
+    # same table+params as the registered ann_pq_indexed_topk query —
+    # the report audits exactly the index searches would hit
+    ensure_ann_index(emb, "ann_idx_pq", tag=sf_dir, dim=64, compress="pq")
     approx = {
         "lsh": lsh_cosine_topk(q, emb, k=5, dim=64),
         "ivf": ivf_cosine_topk(q, emb, k=5, n_centroids=16, n_probe=4),
         "pq": pq_topk_reranked(
             q, emb, pq_encode(emb, books), books, k=5, rerank_mult=8
+        ),
+        "pq_indexed": search_ann_index(
+            spark, "ann_idx_pq", q, k=5, corpus=emb
         ),
     }
     # the report is two tiny rows: materialize them now so the cached
