@@ -455,3 +455,54 @@ def q_rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
     )
+
+
+# ------------------------------------------- dataset fingerprint
+
+
+@query(
+    "q_dataset_fingerprint",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(CAST(
+               ('0x' || substr(md5(
+                 concat_ws(chr(31),
+                   COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+                   COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+                   COALESCE(o_orderstatus, chr(0) || 'null'),
+                   COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 AS VARCHAR), chr(0) || 'null'),
+                   COALESCE(strftime(o_orderdate, '%Y-%m-%d'),
+                            chr(0) || 'null'),
+                   COALESCE(o_orderpriority, chr(0) || 'null')
+                 )), 1, 15))::UBIGINT AS HUGEINT) AS DECIMAL(38,0)) AS v
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(v) AS DECIMAL(38,0)) AS VARCHAR) AS content_hash
+    FROM h
+    """,
+)
+def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum of the orders table
+    (operators/checksum): SUM of portable per-row md5 hashes +
+    count. Every storage rewrite this engine ships (compaction,
+    bucketing, z-order, snapshot swap) must preserve this number —
+    the rewrite-invariance test proves it survives arbitrary
+    repartitioning, and the DuckDB oracle proves it is
+    engine-portable. Mergeable: shard partials add up, so a 100 TB
+    validation is one map-side-combined scan."""
+    from dasladen_spark.operators.checksum import dataset_fingerprint
+
+    o = _t(spark, sf_dir, "orders")
+    return dataset_fingerprint(
+        o,
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(18,2)"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.col("o_orderpriority"),
+        ],
+    )

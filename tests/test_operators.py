@@ -1720,3 +1720,42 @@ def test_mahalanobis_matches_numpy(spark, sf_dir):
     assert [r["vec_id"] for r in got] == ids[order].tolist()
     for r, i in zip(got, order):
         assert abs(r["mahalanobis"] - d[i]) < 1e-5
+
+
+def test_dataset_fingerprint_invariant_under_rewrites(spark, sf_dir, tmp_path):
+    """The content fingerprint is a pure function of the row multiset:
+    repartitioning, single-file coalescing, and a compaction rewrite
+    all preserve it; changing ONE row changes it."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.checksum import dataset_fingerprint
+
+    cols = lambda: [
+        F.col("o_orderkey"),
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        F.col("o_orderpriority"),
+    ]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = dataset_fingerprint(o, cols()).collect()[0]
+    # rewrite 1: arbitrary repartition
+    out = str(tmp_path / "rw")
+    o.repartition(13).write.parquet(out)
+    rw = dataset_fingerprint(spark.read.parquet(out), cols()).collect()[0]
+    assert (rw["n_rows"], rw["content_hash"]) == (
+        base["n_rows"],
+        base["content_hash"],
+    )
+    # rewrite 2: compaction
+    from dasladen_spark.sinks.partitioned import compact
+
+    compact(spark, out, target_mb=64)
+    cp = dataset_fingerprint(spark.read.parquet(out), cols()).collect()[0]
+    assert cp["content_hash"] == base["content_hash"]
+    # sensitivity: one mutated row flips the hash
+    mut = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 1, F.col("o_totalprice") + 0.01)
+        .otherwise(F.col("o_totalprice")),
+    )
+    mt = dataset_fingerprint(mut, cols()).collect()[0]
+    assert mt["content_hash"] != base["content_hash"]

@@ -457,6 +457,8 @@ _EXPECTED_FLAGS = {
     "sample_neyman_allocation": {"bnlj", "single-partition"},
     # 1-row (total, z) normalizer broadcast over the S-row source table
     "corpus_mixture_temperature": {"bnlj", "single-partition"},
+    # 1-row (count, hash-sum) checksum — only partial sums cross
+    "q_dataset_fingerprint": {"single-partition"},
     # label list (2 rows) broadcast-crossed onto doc tokens; 1-row
     # grand-total doc count for the prior
     "text_nb_quality_score": {"bnlj", "single-partition"},
