@@ -64,3 +64,26 @@ def dataset_fingerprint(df: DataFrame, cols: list[Column]) -> DataFrame:
         .cast("string")
         .alias("content_hash"),
     )
+
+
+def grouped_fingerprint(
+    df: DataFrame, keys: list[str], cols: list[Column]
+) -> DataFrame:
+    """Per-group content fingerprints — (keys..., n_rows,
+    content_hash): the partition-level form of dataset_fingerprint,
+    for validating selective rewrites (one partition compacted, one
+    source re-ingested) without re-hashing the whole table's total
+    into one number."""
+    return (
+        df.select(
+            *keys, row_hash64(canonical_row(cols)).alias("h")
+        )
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("content_hash"),
+        )
+    )

@@ -844,3 +844,38 @@ def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------ evaluation matrices
+
+
+def _lang_confusion_oracle() -> str:
+    from dasladen_spark.plans.llm import _lang_oracle
+
+    return f"""
+    WITH pred AS ({_lang_oracle()})
+    SELECT lang AS actual, lang_pred AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2 ORDER BY actual, predicted
+    """
+
+
+@query("text_lang_confusion", oracle=_lang_confusion_oracle())
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against
+    the labeled ``lang`` column — the eval artifact that turns "we
+    have a lang-id" into "we know its error modes" (which pairs
+    confuse, how much lands in 'und'). One map-side-combined
+    aggregate over (actual, predicted)."""
+    from dasladen_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("actual"),
+            lang_id(F.col("text")).alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("actual", "predicted")
+    )

@@ -506,3 +506,36 @@ def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority"),
         ],
     )
+
+
+@query(
+    "q_source_fingerprints",
+    oracle="""
+    WITH h AS (
+      SELECT source,
+             CAST(CAST(
+               ('0x' || substr(md5(
+                 concat_ws(chr(31),
+                   COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null'),
+                   COALESCE(text, chr(0) || 'null'),
+                   COALESCE(lang, chr(0) || 'null')
+                 )), 1, 15))::UBIGINT AS HUGEINT) AS DECIMAL(38,0)) AS v
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(v) AS DECIMAL(38,0)) AS VARCHAR) AS content_hash
+    FROM h GROUP BY source ORDER BY source
+    """,
+)
+def q_source_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content fingerprints of the corpus
+    (operators/checksum.grouped_fingerprint) — the selective-rewrite
+    validator: after re-ingesting or compacting ONE source, only its
+    group hash may change. Same portable mergeable hash-sum as
+    q_dataset_fingerprint, one map-side-combined aggregate."""
+    from dasladen_spark.operators.checksum import grouped_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return grouped_fingerprint(
+        d, ["source"], [F.col("doc_id"), F.col("text"), F.col("lang")]
+    ).orderBy("source")
