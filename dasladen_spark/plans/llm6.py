@@ -720,9 +720,17 @@ def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFram
     "sample_neyman_allocation",
     oracle="""
     WITH s AS (
+      -- sigma from the SAME decimal-exact moment sums the Spark side
+      -- uses (not Welford stddev_pop — different accumulation, bits
+      -- could differ beyond the rounding guard)
       SELECT o_orderpriority AS stratum,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
-             ROUND(stddev_pop(o_totalprice), 6) AS sigma
+             ROUND(sqrt(
+               CAST(CAST(SUM(CAST(o_totalprice * o_totalprice
+                    AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+               - pow(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                     AS VARCHAR) AS DOUBLE) / COUNT(*), 2)
+             ), 6) AS sigma
       FROM orders GROUP BY 1
     ), t AS (
       SELECT SUM(n_rows * sigma) AS denom FROM s
