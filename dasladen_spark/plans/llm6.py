@@ -27,9 +27,9 @@ from dasladen_spark.session import load_table as _t
 _NB_LONG = 300
 
 
-@query(
-    "text_nb_quality_score",
-    oracle=f"""
+#: shared oracle CTE: per-(test doc, label) NB log-scores — the
+#: quality-score query and the eval report read the SAME frame
+_NB_SCORED_CTE = f"""
     WITH lab AS (
       SELECT doc_id, text,
              CASE WHEN n_chars >= {_NB_LONG} THEN 'long' ELSE 'short' END
@@ -83,6 +83,12 @@ _NB_LONG = 300
       CROSS JOIN pri s
       LEFT JOIN tsum t ON t.doc_id = d.doc_id AND t.label = s.label
     )
+"""
+
+
+@query(
+    "text_nb_quality_score",
+    oracle=_NB_SCORED_CTE + """
     SELECT l.doc_id, l.log_score AS score_long, s.log_score AS score_short,
            CASE WHEN l.log_score >= s.log_score THEN 'long' ELSE 'short' END
              AS pred
@@ -887,3 +893,97 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("actual", "predicted")
     )
+
+
+@query(
+    "nb_eval_report",
+    oracle=_NB_SCORED_CTE + """
+    , pred AS (
+      SELECT l.doc_id,
+             CASE WHEN l.log_score >= s.log_score THEN 'long'
+                  ELSE 'short' END AS pred
+      FROM scored l JOIN scored s USING (doc_id)
+      WHERE l.label = 'long' AND s.label = 'short'
+    ), j AS (
+      SELECT p.pred, t.label
+      FROM pred p JOIN (SELECT doc_id, label FROM lab WHERE is_test) t
+        USING (doc_id)
+    ), m AS (
+      SELECT 'long' AS label,
+             SUM(CASE WHEN pred='long' AND label='long' THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN pred='long' AND label<>'long' THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN pred<>'long' AND label='long' THEN 1 ELSE 0 END) AS fn
+      FROM j
+      UNION ALL
+      SELECT 'short',
+             SUM(CASE WHEN pred='short' AND label='short' THEN 1 ELSE 0 END),
+             SUM(CASE WHEN pred='short' AND label<>'short' THEN 1 ELSE 0 END),
+             SUM(CASE WHEN pred<>'short' AND label='short' THEN 1 ELSE 0 END)
+      FROM j
+    )
+    SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           ROUND(tp / CAST(greatest(tp + fp, 1) AS DOUBLE), 6) AS precision,
+           ROUND(tp / CAST(greatest(tp + fn, 1) AS DOUBLE), 6) AS recall,
+           ROUND(2.0 * tp / CAST(greatest(2 * tp + fp + fn, 1) AS DOUBLE), 6)
+             AS f1
+    FROM m ORDER BY label
+    """,
+)
+def nb_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the NB quality classifier
+    on its holdout — the eval card that must accompany any learned
+    curation filter before its predictions gate data. Reads the SAME
+    scored frame as text_nb_quality_score (shared oracle CTE); the
+    metrics reduce from one confusion aggregate, guarded against
+    empty classes with a max(·,1) denominator.
+
+    Scale shape: scoring is the classifier's token-keyed pass; the
+    confusion summary is one map-side-combined aggregate; the report
+    is |classes| rows."""
+    from dasladen_spark.plans.llm6 import text_nb_quality_score
+
+    preds = text_nb_quality_score(spark, sf_dir).select("doc_id", "pred")
+    truth = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.when(F.col("n_chars") >= _NB_LONG, F.lit("long"))
+            .otherwise(F.lit("short"))
+            .alias("label"),
+        )
+    )
+    j = preds.join(truth, "doc_id").select("pred", "label")
+
+    def cls(k: str):
+        tp = F.sum(
+            ((F.col("pred") == k) & (F.col("label") == k)).cast("int")
+        ).alias("tp")
+        fp = F.sum(
+            ((F.col("pred") == k) & (F.col("label") != k)).cast("int")
+        ).alias("fp")
+        fn = F.sum(
+            ((F.col("pred") != k) & (F.col("label") == k)).cast("int")
+        ).alias("fn")
+        return j.agg(tp, fp, fn).select(F.lit(k).alias("label"), "tp", "fp", "fn")
+
+    m = cls("long").unionByName(cls("short"))
+    p = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)).cast(
+        "double"
+    )
+    r = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)).cast(
+        "double"
+    )
+    f1 = (2.0 * F.col("tp")) / F.greatest(
+        2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)
+    ).cast("double")
+    return m.select(
+        "label",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy("label")

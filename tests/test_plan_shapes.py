@@ -459,6 +459,9 @@ _EXPECTED_FLAGS = {
     "corpus_mixture_temperature": {"bnlj", "single-partition"},
     # 1-row (count, hash-sum) checksum — only partial sums cross
     "q_dataset_fingerprint": {"single-partition"},
+    # inherits the classifier's 2-row-label broadcast cross; the
+    # confusion summary is two 1-row aggregates
+    "nb_eval_report": {"bnlj", "single-partition"},
     # label list (2 rows) broadcast-crossed onto doc tokens; 1-row
     # grand-total doc count for the prior
     "text_nb_quality_score": {"bnlj", "single-partition"},
