@@ -539,3 +539,145 @@ def q_source_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_fingerprint(
         d, ["source"], [F.col("doc_id"), F.col("text"), F.col("lang")]
     ).orderBy("source")
+
+
+@query(
+    "q_attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), pairs AS (
+      SELECT p.purchase_id, p.value, c.click_id,
+             COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touch
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.click_ts < p.ts
+       AND c.click_ts >= p.ts - INTERVAL 7 DAY
+    ), credit AS (
+      SELECT click_id,
+             CAST(ROUND(value / n_touch, 6) AS DECIMAL(38,6)) AS cr
+      FROM pairs
+    )
+    SELECT click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(CAST(CAST(SUM(cr) AS VARCHAR) AS DOUBLE), 6)
+             AS credited_value
+    FROM credit GROUP BY click_id
+    ORDER BY credited_value DESC, click_id LIMIT 25
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — every click in the 7 days
+    before a purchase shares that purchase's value equally (the
+    fairness-spread complement of q_attribution_last_touch). Top-25
+    clicks by credited value.
+
+    Scale shape: the purchase×click pairing is a user-keyed range
+    join (both sides shuffle once on user_id; the 7-day band bounds
+    fan-out), the per-purchase touch count is a window over that
+    bounded pair set, and credits aggregate map-side per click.
+    Per-credit rounding + DECIMAL accumulation keeps the totals
+    bit-stable under any partitioning."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("value"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") < F.col("ts"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("purchase_id")
+    credit = pairs.select(
+        "click_id",
+        F.round(F.col("value") / F.count(F.lit(1)).over(w), 6)
+        .cast("decimal(38,6)")
+        .alias("cr"),
+    )
+    return (
+        credit.groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.sum("cr").cast("double"), 6).alias("credited_value"),
+        )
+        .orderBy(F.col("credited_value").desc(), "click_id")
+        .limit(25)
+    )
+
+
+@query(
+    "q_daily_quality_scorecard",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_id, user_id, value, props
+      FROM events
+    ), s AS (
+      SELECT day,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(value) AS BIGINT) AS null_values,
+             CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+               AS dup_event_ids,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM d GROUP BY day
+    )
+    SELECT day, n_rows, null_values, dup_event_ids, n_users,
+           CAST(n_rows - LAG(n_rows) OVER (ORDER BY day) AS BIGINT)
+             AS wow_delta
+    FROM s ORDER BY day LIMIT 40
+    """,
+)
+def q_daily_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day data-quality scorecard for the event intake — row
+    volume, null measure count, duplicate-id count, distinct users,
+    and the day-over-day volume delta: the observability panel that
+    catches a broken upstream BEFORE the corpus does (first 40 days).
+
+    Scale shape: one day-keyed aggregate (COUNT DISTINCT per day is
+    partial-aggregated within the day's partition range); the lag
+    window runs over the days-sized rollup, never raw events."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.select(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_id",
+            "user_id",
+            "value",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("value"))
+            .cast("bigint")
+            .alias("null_values"),
+            (F.count(F.lit(1)) - F.count_distinct("event_id"))
+            .cast("bigint")
+            .alias("dup_event_ids"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    return (
+        s.withColumn(
+            "wow_delta",
+            (F.col("n_rows") - F.lag("n_rows").over(w)).cast("bigint"),
+        )
+        .orderBy("day")
+        .limit(40)
+    )

@@ -462,6 +462,9 @@ _EXPECTED_FLAGS = {
     # inherits the classifier's 2-row-label broadcast cross; the
     # confusion summary is two 1-row aggregates
     "nb_eval_report": {"bnlj", "single-partition"},
+    # LAG over the days-sized rollup (calendar-bounded, like
+    # q_cumulative_distinct_users)
+    "q_daily_quality_scorecard": {"single-partition"},
     # label list (2 rows) broadcast-crossed onto doc tokens; 1-row
     # grand-total doc count for the prior
     "text_nb_quality_score": {"bnlj", "single-partition"},
