@@ -5,7 +5,7 @@ Every storage-maintenance operation this engine ships (compaction,
 bucketed rewrite, z-order clustering, snapshot swap, CDC apply)
 promises content preservation; this operator turns that promise into
 a checkable number. The fingerprint is the SUM of a per-row portable
-hash (md5 of a canonical string rendering, folded to a 63-bit int),
+hash (md5 of a canonical string rendering, folded to a 60-bit int),
 so it is
 
 - order-independent (addition commutes — partitioning, shuffles and
@@ -46,7 +46,7 @@ def canonical_row(cols: list[Column]) -> Column:
 
 
 def row_hash64(canonical: Column) -> Column:
-    """Portable 63-bit row hash: the first 15 hex digits of md5,
+    """Portable 60-bit row hash: the first 15 hex digits of md5,
     parsed base-16 — bigint-safe, identical in any engine with md5."""
     return F.conv(F.substring(F.md5(canonical), 1, 15), 16, 10).cast("bigint")
 
@@ -54,16 +54,9 @@ def row_hash64(canonical: Column) -> Column:
 def dataset_fingerprint(df: DataFrame, cols: list[Column]) -> DataFrame:
     """(n_rows, content_hash): count plus the DECIMAL-exact sum of
     per-row hashes — equal fingerprints ⇒ equal row multisets (up to
-    hash collision odds ~2⁻⁶³ per differing row)."""
-    return df.select(
-        row_hash64(canonical_row(cols)).alias("h")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.col("h").cast("decimal(38,0)"))
-        .cast("decimal(38,0)")
-        .cast("string")
-        .alias("content_hash"),
-    )
+    hash collision odds ~2⁻⁶⁰ per differing row). The keyless case of
+    grouped_fingerprint — one definition of the hash-sum."""
+    return grouped_fingerprint(df, [], cols)
 
 
 def grouped_fingerprint(

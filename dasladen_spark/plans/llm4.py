@@ -1065,12 +1065,13 @@ def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_recall_report")  # compares approximate methods — rows-only
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of each approximate ANN path (LSH buckets, IVF cells)
-    against the exact brute-force top-5 on the same 10 query vectors —
-    the accept/reject evidence for shipping an approximate index.
-    Numbers use the same parameters the registered ann_lsh_topk /
-    ann_ivf_topk queries run with, so this report audits exactly what
-    the engine exposes.
+    """Recall@5 of each approximate ANN path — LSH buckets, IVF
+    cells, flat PQ with exact re-rank (m=16, ksub=32, rerank 8×), and
+    the materialized PQ-compressed index (ann_idx_pq) — against the
+    exact brute-force top-5 on the same 10 query vectors: the
+    accept/reject evidence for shipping an approximate index. Every
+    row uses the same parameters its registered query runs with, so
+    this report audits exactly what the engine exposes.
 
     IVF recall note: centroids are seeded from a hash-ordered sample
     (fit_ivf_centroids). The earlier lowest-id seeding reported 0.90
@@ -1125,7 +1126,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, "ann_idx_pq", q, k=5, corpus=emb
         ),
     }
-    # the report is two tiny rows: materialize them now so the cached
+    # the report is a handful of tiny rows: materialize them now so the cached
     # |Q|×|corpus| baseline can be RELEASED before returning (a lazy
     # result would pin the cache for the rest of the session)
     try:

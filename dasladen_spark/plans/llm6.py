@@ -941,8 +941,6 @@ def nb_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: scoring is the classifier's token-keyed pass; the
     confusion summary is one map-side-combined aggregate; the report
     is |classes| rows."""
-    from dasladen_spark.plans.llm6 import text_nb_quality_score
-
     preds = text_nb_quality_score(spark, sf_dir).select("doc_id", "pred")
     truth = (
         _t(spark, sf_dir, "documents")
@@ -954,36 +952,39 @@ def nb_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("label"),
         )
     )
-    j = preds.join(truth, "doc_id").select("pred", "label")
+    # ONE scoring pass: the (pred, label) confusion cells (≤ 4 rows)
+    # collect to the driver; a per-class union of aggregates would
+    # re-execute the whole NB train/score pipeline once per branch
+    cm = {
+        (r["pred"], r["label"]): r["n"]
+        for r in preds.join(truth, "doc_id")
+        .groupBy("pred", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
 
-    def cls(k: str):
-        tp = F.sum(
-            ((F.col("pred") == k) & (F.col("label") == k)).cast("int")
-        ).alias("tp")
-        fp = F.sum(
-            ((F.col("pred") == k) & (F.col("label") != k)).cast("int")
-        ).alias("fp")
-        fn = F.sum(
-            ((F.col("pred") != k) & (F.col("label") == k)).cast("int")
-        ).alias("fn")
-        return j.agg(tp, fp, fn).select(F.lit(k).alias("label"), "tp", "fp", "fn")
+    import math
 
-    m = cls("long").unionByName(cls("short"))
-    p = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)).cast(
-        "double"
-    )
-    r = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)).cast(
-        "double"
-    )
-    f1 = (2.0 * F.col("tp")) / F.greatest(
-        2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)
-    ).cast("double")
-    return m.select(
-        "label",
-        F.col("tp").cast("bigint").alias("tp"),
-        F.col("fp").cast("bigint").alias("fp"),
-        F.col("fn").cast("bigint").alias("fn"),
-        F.round(p, 6).alias("precision"),
-        F.round(r, 6).alias("recall"),
-        F.round(f1, 6).alias("f1"),
+    def r6(x: float) -> float:
+        # SQL ROUND is half-away-from-zero; Python round is banker's
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def metrics(k: str):
+        tp = cm.get((k, k), 0)
+        fp = sum(n for (p_, l_), n in cm.items() if p_ == k and l_ != k)
+        fn = sum(n for (p_, l_), n in cm.items() if p_ != k and l_ == k)
+        return (
+            k,
+            tp,
+            fp,
+            fn,
+            r6(tp / float(max(tp + fp, 1))),
+            r6(tp / float(max(tp + fn, 1))),
+            r6(2.0 * tp / float(max(2 * tp + fp + fn, 1))),
+        )
+
+    return spark.createDataFrame(
+        [metrics("long"), metrics("short")],
+        "label STRING, tp BIGINT, fp BIGINT, fn BIGINT,"
+        " precision DOUBLE, recall DOUBLE, f1 DOUBLE",
     ).orderBy("label")

@@ -624,7 +624,7 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             event_id, user_id, value, props
+             event_id, user_id, value
       FROM events
     ), s AS (
       SELECT day,
@@ -637,7 +637,7 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day, n_rows, null_values, dup_event_ids, n_users,
            CAST(n_rows - LAG(n_rows) OVER (ORDER BY day) AS BIGINT)
-             AS wow_delta
+             AS dod_delta
     FROM s ORDER BY day LIMIT 40
     """,
 )
@@ -675,7 +675,7 @@ def q_daily_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day")
     return (
         s.withColumn(
-            "wow_delta",
+            "dod_delta",
             (F.col("n_rows") - F.lag("n_rows").over(w)).cast("bigint"),
         )
         .orderBy("day")
