@@ -681,3 +681,49 @@ def q_daily_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(40)
     )
+
+
+@query(
+    "q_user_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), top AS (
+      SELECT n FROM c ORDER BY n DESC, user_id LIMIT 10
+    )
+    SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_users,
+           CAST((SELECT SUM(n) FROM c) AS BIGINT) AS n_events,
+           CAST((SELECT SUM(n) FROM top) AS BIGINT) AS top10_events,
+           ROUND((SELECT SUM(n) FROM top)
+                 / CAST((SELECT SUM(n) FROM c) AS DOUBLE), 6)
+             AS top10_share
+    """,
+)
+def q_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-concentration audit: what share of all events comes
+    from the 10 heaviest users — the Pareto check that decides
+    whether per-user keys need skew handling (a top10_share in the
+    tens of percent means salting before any user-keyed shuffle).
+
+    Scale shape: per-user counts are one map-side-combined aggregate;
+    the top-10 is a TakeOrdered over those counts (never a global
+    sort); the three totals reduce from the same counts frame."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    top = (
+        c.orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+        .agg(F.sum("n").cast("bigint").alias("top10_events"))
+    )
+    return tot.crossJoin(F.broadcast(top)).select(
+        "n_users",
+        "n_events",
+        "top10_events",
+        F.round(
+            F.col("top10_events") / F.col("n_events").cast("double"), 6
+        ).alias("top10_share"),
+    )

@@ -465,6 +465,8 @@ _EXPECTED_FLAGS = {
     # LAG over the days-sized rollup (calendar-bounded, like
     # q_cumulative_distinct_users)
     "q_daily_quality_scorecard": {"single-partition"},
+    # two 1-row summaries (totals + top-10 sum) broadcast-crossed
+    "q_user_concentration": {"bnlj", "single-partition"},
     # label list (2 rows) broadcast-crossed onto doc tokens; 1-row
     # grand-total doc count for the prior
     "text_nb_quality_score": {"bnlj", "single-partition"},
