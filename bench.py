@@ -121,20 +121,39 @@ def main() -> None:
         )
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "spread": spread,
-                "reps": reps,
-                "sf": sf,
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
-            }
-        )
-    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    full = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "spread": spread,
+        "reps": reps,
+        "sf": sf,
+        "cpus": cpus,
+    }
+    # Full payload (spread, reps, config) goes to a file; stdout gets a
+    # COMPACT line (medians only) guaranteed to fit the driver's 2 kB
+    # tail window — round 5's record was lost to "parsed": null because
+    # the verbose line outgrew it (VERDICT.md Missing #1).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1)
+    compact = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= 2000:
+        # drop per-query detail before ever risking an unparseable tail
+        compact["queries"] = {"n_queries": len(times)}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -177,11 +177,13 @@ def build_ann_index(
                 compress,
                 pq_m,
                 pq_ksub,
+                pq_iters,
+                lloyd_iters,
             )
         ],
         "method STRING, dim INT, num_tables INT, bits_per_table INT,"
         " n_centroids INT, n_buckets INT, tag STRING, compress STRING,"
-        " pq_m INT, pq_ksub INT",
+        " pq_m INT, pq_ksub INT, pq_iters INT, lloyd_iters INT",
     ).write.mode("overwrite").saveAsTable(f"{table}_meta")
 
 
@@ -269,34 +271,43 @@ def append_to_ann_index(
     )
 
 
+#: every geometry knob a build can take, with build_ann_index's
+#: defaults — ensure_ann_index compares ALL of them against the
+#: persisted _meta row so no parameter change can silently serve a
+#: stale index (any kwarg differing from the stored value rebuilds)
+_GEOMETRY_DEFAULTS = {
+    "method": "lsh",
+    "dim": 64,
+    "num_tables": 16,
+    "bits_per_table": 4,
+    "n_centroids": 16,
+    "n_buckets": 16,
+    "compress": "none",
+    "pq_m": 16,
+    "pq_ksub": 32,
+    "pq_iters": 2,
+    "lloyd_iters": 1,
+}
+
+
 def ensure_ann_index(corpus: DataFrame, table: str, tag: str, **kwargs) -> None:
-    """Build the index only if absent or built from a different corpus
-    snapshot (``tag`` mismatch) — the idempotent entry point query
-    code calls, so repeated batches in one session (or a warm catalog)
-    reuse the materialized postings."""
+    """Build the index only if absent, built from a different corpus
+    snapshot (``tag`` mismatch), or built with ANY different geometry
+    parameter — the idempotent entry point query code calls, so
+    repeated batches in one session (or a warm catalog) reuse the
+    materialized postings, and a changed knob always rebuilds."""
     spark = corpus.sparkSession
     if spark.catalog.tableExists(f"{table}_meta") and spark.catalog.tableExists(
         table
     ):
-        row = spark.table(f"{table}_meta").collect()[0]
-        if (
-            row["tag"] == tag
-            and row["method"] == kwargs.get("method", "lsh")
-            # meta written by an older build lacks n_buckets/compress;
-            # treat it as a different index rather than letting
+        row = spark.table(f"{table}_meta").collect()[0].asDict()
+        if row.get("tag") == tag and all(
+            # meta written by an older build lacks newer fields
+            # (n_buckets/compress/pq_iters); .get(None) != default
+            # treats it as a different index rather than letting
             # append/search die on the missing field later
-            and "n_buckets" in row.asDict()
-            and "compress" in row.asDict()
-            and row["compress"] == kwargs.get("compress", "none")
-            # a pq index built with different codebook geometry is a
-            # different index — don't silently serve the old one
-            and (
-                row["compress"] != "pq"
-                or (
-                    row["pq_m"] == kwargs.get("pq_m", 16)
-                    and row["pq_ksub"] == kwargs.get("pq_ksub", 32)
-                )
-            )
+            row.get(param) == kwargs.get(param, default)
+            for param, default in _GEOMETRY_DEFAULTS.items()
         ):
             return
     build_ann_index(corpus, table, tag=tag, **kwargs)

@@ -111,7 +111,13 @@ def learn_bpe_merges(
             nxt = syms.select(
                 _merge_udf(l, r)(F.col("syms")).alias("syms"), "freq"
             ).persist()
-            nxt.count()  # materialize before dropping the parent
+            try:
+                nxt.count()  # materialize before dropping the parent
+            except Exception:
+                # release the fresh persist before re-raising — the
+                # outer finally only knows about the current syms
+                nxt.unpersist()
+                raise
             syms.unpersist()
             syms = nxt
     finally:

@@ -51,12 +51,21 @@ def kmeans_fit(
     iterations: int = 5,
 ) -> DataFrame:
     """Run ``iterations`` of Lloyd's algorithm; returns the final
-    (id, cluster) assignment. Init = the k lowest-id vectors (fully
-    deterministic, reproducible across runs and partitionings)."""
+    (id, cluster) assignment. Init = the k vectors with the smallest
+    md5('kmeans-seed' || id) — deterministic AND spread uniformly
+    over the corpus even when ids correlate with content (lowest-id
+    seeding starts every centroid in the same content neighborhood;
+    same hash-ordered scheme as similarity.fit_ivf_centroids)."""
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    init = base.orderBy("id").limit(k).collect()
+    init = (
+        base.orderBy(
+            F.md5(F.concat(F.lit("kmeans-seed"), F.col("id").cast("string")))
+        )
+        .limit(k)
+        .collect()
+    )
     centroids = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in init])
 
     for _ in range(iterations):

@@ -182,6 +182,12 @@ def mahalanobis_outliers(
     from pyspark.sql import functions as F
 
     n, s, g = gram_moments(df.select(vec_col), vec_col, dim)
+    if n == 0:
+        # no vectors → no distribution; mirror whiten/pca's guard so
+        # an empty frame yields an empty audit, not NaN → LinAlgError
+        return df.sparkSession.createDataFrame(
+            [], "rank INT, vec_id LONG, mahalanobis DOUBLE"
+        )
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     cov += ridge * np.eye(dim)

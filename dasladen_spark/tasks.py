@@ -630,6 +630,18 @@ def run_ann_index(ctx: TaskContext, task: dict) -> None:
             vec_col=vec_field,
             dim=int(task.get("dim", 64)),
             compress=task.get("compress", "none"),
+            # every geometry knob is reachable from the task surface
+            # (defaults match ann_index._GEOMETRY_DEFAULTS — a task
+            # that sets any of them gets a matching index, not the
+            # stale default-geometry one)
+            num_tables=int(task.get("num_tables", 16)),
+            bits_per_table=int(task.get("bits_per_table", 4)),
+            n_centroids=int(task.get("n_centroids", 16)),
+            lloyd_iters=int(task.get("lloyd_iters", 1)),
+            n_buckets=int(task.get("n_buckets", 16)),
+            pq_m=int(task.get("pq_m", 16)),
+            pq_ksub=int(task.get("pq_ksub", 32)),
+            pq_iters=int(task.get("pq_iters", 2)),
         )
         ctx.log(f"task {task.get('name')}: index {index} ready")
         return
@@ -653,6 +665,8 @@ def run_ann_index(ctx: TaskContext, task: dict) -> None:
         k=int(task.get("k", 5)),
         query_id=id_field,
         query_vec=vec_field,
+        n_probe=int(task.get("n_probe", 4)),
+        rerank_mult=int(task.get("rerank_mult", 8)),
         corpus=corpus,
     )
     tgt = task["target"]

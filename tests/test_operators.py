@@ -961,7 +961,17 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     x = np.stack([t[1] for t in rows])
     k, iters = 8, 4
 
-    c = x[:k].copy()
+    # same md5 hash-ordered seeding as kmeans_fit (lowercase hex
+    # strings sort identically to Spark's md5 ordering)
+    import hashlib
+
+    seed_order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(
+            f"kmeans-seed{ids[i]}".encode()
+        ).hexdigest(),
+    )
+    c = x[seed_order[:k]].copy()
     for _ in range(iters):
         d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
         a = np.argmin(d, axis=1)
