@@ -35,3 +35,20 @@ def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity; 0.0 for zero vectors (no NaN poisoning)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def bounded_window_key(col: Column) -> Column:
+    """A non-foldable always-zero partition key for windows whose
+    input is BOUNDED by construction (a preceding ``limit``, a
+    per-partition shortlist, one row per calendar day/month...).
+
+    ``Window.partitionBy(lit(0))`` gets constant-folded back to an
+    empty partition spec, so WindowExec still logs "No Partition
+    Defined" — a warning we want to stay meaningful for genuinely
+    unbounded global windows. ``col % 1`` references a real column,
+    survives optimization, and always evaluates to 0 (or null for a
+    null input — one extra group of the nulls, same bounded size), so
+    the single partition becomes an explicit, greppable plan choice
+    rather than an accident. Cast goes through long: works for any
+    numeric input."""
+    return col.cast("long") % 1

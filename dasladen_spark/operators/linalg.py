@@ -214,7 +214,14 @@ def mahalanobis_outliers(
     cand = df.select(id_col, vec_col).mapInPandas(
         score, "vec_id long, mahalanobis double"
     )
-    w = Window.orderBy(F.col("mahalanobis").desc(), F.col("vec_id").asc())
+    from dasladen_spark.functions.vectors import bounded_window_key
+
+    # explicit single partition: the input is the ≤ top_n-row limit
+    # below, so one partition is the intended plan (see
+    # bounded_window_key for why lit(0) wouldn't survive the optimizer)
+    w = Window.partitionBy(bounded_window_key(F.col("vec_id"))).orderBy(
+        F.col("mahalanobis").desc(), F.col("vec_id").asc()
+    )
     return (
         cand.orderBy(F.col("mahalanobis").desc(), F.col("vec_id").asc())
         .limit(top_n)

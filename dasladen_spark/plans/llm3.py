@@ -144,7 +144,13 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "tok")
         .limit(_ZIPF_K)
     )
-    w = Window.orderBy(F.col("n").desc(), "tok")
+    from dasladen_spark.functions.vectors import bounded_window_key
+
+    # the window input is the ≤ _ZIPF_K-row vocab head — explicit
+    # single partition by construction
+    w = Window.partitionBy(bounded_window_key(F.col("n"))).orderBy(
+        F.col("n").desc(), "tok"
+    )
     pts = vocab.select(
         F.round(F.log(F.row_number().over(w).cast("double")), 12).alias("x"),
         F.round(F.log(F.col("n").cast("double")), 12).alias("y"),

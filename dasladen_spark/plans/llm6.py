@@ -388,7 +388,11 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # depth-bound FIRST (TakeOrderedAndProject — distributed), then
     # rank the ≤100 surviving rows; the global window only ever sees
     # the bounded frame
-    ws = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    from dasladen_spark.functions.vectors import bounded_window_key
+
+    ws = Window.partitionBy(bounded_window_key(F.col("doc_id"))).orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
     sparse = (
         bm25_scored(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())

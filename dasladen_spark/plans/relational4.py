@@ -684,7 +684,14 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_day = first_seen.groupBy("d").agg(
         F.count(F.lit(1)).alias("new_users")
     )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    from dasladen_spark.functions.vectors import bounded_window_key
+
+    # one row per calendar day — bounded; explicit single partition
+    w = (
+        Window.partitionBy(bounded_window_key(F.year("d")))
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return per_day.select(
         F.col("d").cast("timestamp").alias("day"),
         "new_users",
@@ -1039,7 +1046,10 @@ def q_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,4)")
         .alias("rev")
     )
-    w = Window.orderBy("mon")
+    from dasladen_spark.functions.vectors import bounded_window_key
+
+    # one row per calendar month — bounded; explicit single partition
+    w = Window.partitionBy(bounded_window_key(F.year("mon"))).orderBy("mon")
     prev = F.lag("rev", 12).over(w)
     return m.select(
         F.col("mon").cast("timestamp").alias("month"),

@@ -672,7 +672,13 @@ def q_daily_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy("day")
+    from dasladen_spark.functions.vectors import bounded_window_key
+
+    # ≤40 daily rows reach this window (limit below) — explicit
+    # single partition, not an accidental global sort
+    w = Window.partitionBy(
+        bounded_window_key(F.year("day"))
+    ).orderBy("day")
     return (
         s.withColumn(
             "dod_delta",
