@@ -1066,12 +1066,15 @@ def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_recall_report")  # compares approximate methods — rows-only
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of each approximate ANN path — LSH buckets, IVF
-    cells, flat PQ with exact re-rank (m=16, ksub=32, rerank 8×), and
-    the materialized PQ-compressed index (ann_idx_pq) — against the
-    exact brute-force top-5 on the same 10 query vectors: the
-    accept/reject evidence for shipping an approximate index. Every
-    row uses the same parameters its registered query runs with, so
-    this report audits exactly what the engine exposes.
+    cells, flat PQ with exact re-rank (m=16, ksub=32, rerank 8×), the
+    materialized PQ-compressed index (ann_idx_pq), and that same
+    index grown via the append path (70% built + 30% appended with
+    the stored codebooks — the pq_indexed_post_append row, the drift
+    audit for long-lived indexes) — against the exact brute-force
+    top-5 on the same 10 query vectors: the accept/reject evidence
+    for shipping an approximate index. Every row uses the same
+    parameters its registered query runs with, so this report audits
+    exactly what the engine exposes.
 
     IVF recall note: centroids are seeded from a hash-ordered sample
     (fit_ivf_centroids). The earlier lowest-id seeding reported 0.90
@@ -1116,6 +1119,45 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same table+params as the registered ann_pq_indexed_topk query —
     # the report audits exactly the index searches would hit
     ensure_ann_index(emb, "ann_idx_pq", tag=sf_dir, dim=64, compress="pq")
+
+    # append-drift audit: the SAME pq index built from 70% of the
+    # corpus, the other 30% APPENDED with the stored codebooks — the
+    # real-world growth path (append_to_ann_index encodes new rows
+    # with codebooks fit before they existed). Searched against the
+    # full-corpus exact baseline, so the pq_indexed_post_append row
+    # exposes how much recall the append path gives up vs the
+    # full-build pq_indexed row; a widening gap after many appends is
+    # the signal to recompact/refit. Rebuilt whenever the state
+    # marker doesn't match the corpus, so replays never stack
+    # duplicate appends.
+    from dasladen_spark.operators.ann_index import (
+        _drop_orphan_location,
+        append_to_ann_index,
+        build_ann_index,
+    )
+
+    drift_tbl = "ann_idx_pq_drift"
+    marker = drift_tbl + "_state"
+    want = sf_dir + ":70+30"
+    fresh = (
+        spark.catalog.tableExists(marker)
+        and spark.table(marker).collect()[0]["tag"] == want
+    )
+    if not fresh:
+        _drop_orphan_location(spark, marker)
+        build_ann_index(
+            emb.filter(F.col("vec_id") % 10 < 7),
+            drift_tbl,
+            tag=sf_dir + ":70",
+            dim=64,
+            compress="pq",
+        )
+        append_to_ann_index(
+            spark, drift_tbl, emb.filter(F.col("vec_id") % 10 >= 7)
+        )
+        spark.createDataFrame([(want,)], "tag STRING").write.mode(
+            "overwrite"
+        ).saveAsTable(marker)
     approx = {
         "lsh": lsh_cosine_topk(q, emb, k=5, dim=64),
         "ivf": ivf_cosine_topk(q, emb, k=5, n_centroids=16, n_probe=4),
@@ -1124,6 +1166,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "pq_indexed": search_ann_index(
             spark, "ann_idx_pq", q, k=5, corpus=emb
+        ),
+        "pq_indexed_post_append": search_ann_index(
+            spark, drift_tbl, q, k=5, corpus=emb
         ),
     }
     # the report is a handful of tiny rows: materialize them now so the cached

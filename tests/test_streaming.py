@@ -888,3 +888,80 @@ def test_streaming_nb_model_matches_batch_train(spark, tmp_path):
     }
     assert got_s == got_b
     assert len(got_s) == 4
+
+
+def test_ewma_state_recovers_after_mid_stream_crash(spark, tmp_path):
+    """RocksDB state RECOVERY, not just happy-path accumulation: a
+    foreachBatch sink crashes the query on its second micro-batch
+    (after batch 0's state committed), the query is restarted from
+    the same checkpoint, and the final per-key state must equal a
+    sequential replay of the full event sequence — proving the
+    restarted query resumed from batch 0's committed RocksDB state
+    (changelog checkpointing, session.py default) and reprocessed
+    the failed batch exactly once rather than from scratch or
+    twice."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dasladen_spark.streaming.stateful import ewma_by_key
+
+    import os
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    values = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    for b in range(3):  # 3 files → 3 micro-batches (maxFilesPerTrigger=1)
+        rows = "".join(
+            f"1;2024-01-01 00:00:{2 * b + j:02d};{2 * b + j};"
+            f"{values[2 * b + j]}\n"
+            for j in range(2)
+        )
+        f = src / f"b{b}.csv"
+        f.write_text("user_id;ts;event_id;value\n" + rows)
+        # the file source orders micro-batches by modification time;
+        # same-instant writes tie and order arbitrarily, which would
+        # scramble the (order-dependent) EWMA recursion — pin them
+        os.utime(f, (1_700_000_000 + b, 1_700_000_000 + b))
+    schema = "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE"
+
+    final: dict[int, tuple] = {}
+    crash = {"armed": True}
+
+    def sink(batch_df, batch_id):
+        if batch_id == 1 and crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("injected mid-stream crash")
+        for r in batch_df.collect():
+            final[r["user_id"]] = (r["n_events"], r["ewma"])
+
+    def run():
+        s = (
+            spark.readStream.schema(schema)
+            .option("sep", ";")
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(src))
+        )
+        q = (
+            ewma_by_key(s, alpha=0.2)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_crash"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run()
+        raise AssertionError("first run should have crashed")
+    except StreamingQueryException:
+        pass
+    assert not crash["armed"]  # the injected crash actually fired
+    run()  # restart from the same checkpoint — must resume, not restart
+
+    s = values[0]
+    for x in values[1:]:
+        s = 0.2 * x + 0.8 * s
+    n_events, ewma = final[1]
+    assert n_events == len(values)
+    assert abs(ewma - s) < 1e-12
