@@ -1,0 +1,569 @@
+"""Training-data pipeline queries, part 7: language-model perplexity
+filtering, classifier AUC, embedding-space dispersion, hard-negative
+mining, feature hashing, and readability scoring — the remaining
+curation/eval audits of a corpus pipeline.
+
+Beyond-reference operators (the reference delegates all query power to
+an RDBMS, /root/reference/dasladen/task.py:94-107). Determinism
+discipline as in llm3-6: every cross-engine double is one expression
+rounded to 12 decimals, accumulated in DECIMAL, rounded once at the
+end; decimal sums widen to double through the VARCHAR round-trip both
+engines share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dasladen_spark.functions.vectors import bounded_window_key
+from dasladen_spark.plans.llm import _cosine_sql
+from dasladen_spark.plans.llm6 import _NB_SCORED_CTE, text_nb_quality_score
+from dasladen_spark.plans.registry import query
+from dasladen_spark.session import load_table as _t
+
+# ------------------------------------- bigram LM perplexity filtering
+
+#: ASCII unit separator — can't appear in [a-z0-9]+ tokens, so a
+#: "prev cur" bigram string splits back unambiguously
+_BG_SEP = " "
+
+
+@query(
+    "text_lm_perplexity",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, doc_id % 5 = 0 AS is_test,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, is_test,
+             unnest(list_transform(
+               generate_series(2, len(toks)),
+               i -> toks[i-1] || '{_BG_SEP}' || toks[i])) AS bg
+      FROM tk
+    ), cnt2 AS (
+      SELECT bg, COUNT(*) AS c2 FROM bg WHERE NOT is_test GROUP BY bg
+    ), cnt1 AS (
+      SELECT split_part(bg, '{_BG_SEP}', 1) AS prev, COUNT(*) AS c1
+      FROM bg WHERE NOT is_test GROUP BY 1
+    ), voc AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(toks) AS tok FROM tk WHERE NOT is_test)
+    ), occ AS (
+      SELECT doc_id, bg, COUNT(*) AS n_occ
+      FROM bg WHERE is_test GROUP BY 1, 2
+    ), terms AS (
+      SELECT o.doc_id, o.n_occ,
+             CAST(o.n_occ * ROUND(ln(
+               (COALESCE(c2.c2, 0) + 1)
+               / CAST(COALESCE(c1.c1, 0) + (SELECT v FROM voc) AS DOUBLE)
+             ), 12) AS DECIMAL(38,18)) AS term
+      FROM occ o
+      LEFT JOIN cnt2 c2 ON c2.bg = o.bg
+      LEFT JOIN cnt1 c1 ON c1.prev = split_part(o.bg, '{_BG_SEP}', 1)
+    )
+    SELECT doc_id,
+           CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+           ROUND(-CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+                 / CAST(SUM(n_occ) AS DOUBLE), 6) AS cross_entropy
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality filter — the CCNet-style perplexity stage:
+    fit an add-one-smoothed bigram language model on the training
+    slice (doc_id % 5 != 0), score each held-out doc's per-token
+    cross-entropy H = −Σ n·ln P(cur|prev) / N. Low-H docs read like
+    the training distribution; high-H docs are the boilerplate/noise
+    a perplexity threshold would drop.
+
+    Scale shape: bigrams are built JVM-side from the token array
+    (one transform, no position self-join); the model is two
+    map-side-combined count tables keyed by bigram/prefix (joined
+    shuffle-side — a corpus-scale model never broadcasts); scoring
+    joins distinct (doc, bigram) occurrence rows only. DECIMAL
+    accumulation + the VARCHAR widening keeps every score
+    bit-identical to the DuckDB replay."""
+    tk = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 5 == 0).alias("is_test"),
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+        ).alias("toks"),
+    )
+    bg = tk.select(
+        "doc_id",
+        "is_test",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(toks)),"
+                f" i -> concat(element_at(toks, i-1), '{_BG_SEP}',"
+                " element_at(toks, i)))"
+            )
+        ).alias("bg"),
+    )
+    train = bg.filter(~F.col("is_test"))
+    cnt2 = train.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = train.select(
+        F.split_part(F.col("bg"), F.lit(_BG_SEP), F.lit(1)).alias("prev")
+    ).groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    voc = (
+        tk.filter(~F.col("is_test"))
+        .select(F.explode("toks").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    occ = (
+        bg.filter(F.col("is_test"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    terms = (
+        occ.join(cnt2, "bg", "left")
+        .withColumn(
+            "prev", F.split_part(F.col("bg"), F.lit(_BG_SEP), F.lit(1))
+        )
+        .join(cnt1, "prev", "left")
+        .crossJoin(F.broadcast(voc))  # one row — the vocabulary size
+        .select(
+            "doc_id",
+            "n_occ",
+            (
+                F.col("n_occ")
+                * F.round(
+                    F.log(
+                        (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                        / (
+                            F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
+                        ).cast("double")
+                    ),
+                    12,
+                )
+            )
+            .cast("decimal(38,18)")
+            .alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum("term").cast("double")
+                / F.sum("n_occ").cast("double"),
+                6,
+            ).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------- classifier AUC (eval)
+
+
+@query(
+    "nb_quality_auc",
+    oracle=_NB_SCORED_CTE + """
+    , piv AS (
+      SELECT l.doc_id, ROUND(l.log_score - s.log_score, 6) AS margin
+      FROM scored l JOIN scored s USING (doc_id)
+      WHERE l.label = 'long' AND s.label = 'short'
+    ), truth AS (
+      SELECT doc_id, label = 'long' AS is_pos FROM lab WHERE is_test
+    ), g AS (
+      SELECT margin,
+             SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS np,
+             SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS nn
+      FROM piv JOIN truth USING (doc_id) GROUP BY margin
+    ), c AS (
+      SELECT np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY margin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM g
+    )
+    SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(nn) AS BIGINT) AS n_neg,
+           ROUND(SUM(np * (2 * below + nn))
+                 / CAST(2 * SUM(np) * SUM(nn) AS DOUBLE), 6) AS auc
+    FROM c
+    """,
+)
+def nb_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the NB quality classifier's margin against the true
+    labels on the held-out slice — the threshold-free eval number
+    next to nb_eval_report's confusion cells. Computed by the
+    Mann-Whitney identity AUC = U/(n₊·n₋) with midrank tie handling,
+    kept in INTEGER arithmetic (2U = Σ n₊·(2·below + n₋ ties)) until
+    the single final division — no rank sort of the raw rows, no
+    floating accumulation.
+
+    Scale shape: scores group by DISTINCT margin value first, so the
+    ordering window runs over the (much smaller) margin-level frame
+    — an eval-audit bound, partitioned explicitly."""
+    d = _t(spark, sf_dir, "documents")
+    truth = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", (F.col("n_chars") >= 300).alias("is_pos")
+    )
+    m = (
+        text_nb_quality_score(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.round(F.col("score_long") - F.col("score_short"), 6).alias(
+                "margin"
+            ),
+        )
+        .join(truth, "doc_id")
+    )
+    g = m.groupBy("margin").agg(
+        F.sum(F.col("is_pos").cast("int")).alias("np"),
+        F.sum((~F.col("is_pos")).cast("int")).alias("nn"),
+    )
+    w = (
+        Window.partitionBy(bounded_window_key(F.col("np")))
+        .orderBy("margin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.withColumn("below", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    return c.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.round(
+            F.sum(F.col("np") * (2 * F.col("below") + F.col("nn")))
+            / (2 * F.sum("np") * F.sum("nn")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ----------------------------------------- embedding-space dispersion
+
+
+@query(
+    "embedding_dispersion",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(label AS VARCHAR) AS label,
+             CAST(ROUND(list_sum(list_transform(
+               embedding::DOUBLE[], x -> x * x)), 12)
+               AS DECIMAL(38,18)) AS sq
+      FROM embeddings
+    ), per AS (
+      SELECT COALESCE(label, 'all') AS label,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(sq) AS VARCHAR) AS DOUBLE) AS ss
+      FROM e GROUP BY GROUPING SETS ((label), ())
+    ), dims AS (
+      SELECT CAST(label AS VARCHAR) AS label, d.i AS dim,
+             CAST(ROUND(embedding[d.i]::DOUBLE, 12) AS DECIMAL(38,18))
+               AS comp
+      FROM embeddings, LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i) d
+    ), sums AS (
+      SELECT COALESCE(label, 'all') AS label, dim,
+             CAST(CAST(SUM(comp) AS VARCHAR) AS DOUBLE) AS sv
+      FROM dims GROUP BY GROUPING SETS ((label, dim), (dim))
+    ), mu2 AS (
+      SELECT s.label,
+             CAST(CAST(SUM(CAST(ROUND(
+               (s.sv / p.n) * (s.sv / p.n), 12) AS DECIMAL(38,18)))
+               AS VARCHAR) AS DOUBLE) AS musq
+      FROM sums s JOIN per p USING (label) GROUP BY s.label
+    )
+    SELECT p.label, CAST(p.n AS BIGINT) AS n,
+           ROUND(2.0 * (p.ss / p.n - m.musq), 6) AS mean_sq_dist
+    FROM per p JOIN mu2 m USING (label)
+    ORDER BY label
+    """,
+)
+def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise squared distance of the embedding cloud, overall
+    and per label — the diversity number behind "did dedup collapse
+    the corpus onto a few modes". Uses the moments identity
+    E‖x−y‖² = 2(E‖x‖² − ‖μ‖²), so the all-pairs statistic costs ONE
+    O(n·d) pass (per-row squared norms + per-dimension sums), never
+    the O(n²) pair join a naive audit would run.
+
+    Determinism: each per-row norm and per-dim component rounds to 12
+    decimals before DECIMAL accumulation; per-dim means square
+    through the same rounded-double path in both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    with_all = e.select(
+        F.col("label").cast("string").alias("label"), "embedding"
+    ).unionByName(
+        e.select(F.lit("all").alias("label"), "embedding")
+    )
+    per = with_all.select(
+        "label",
+        F.round(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            ),
+            12,
+        )
+        .cast("decimal(38,18)")
+        .alias("sq"),
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sq").cast("double").alias("ss"),
+    )
+    sums = (
+        with_all.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "comp"
+            ),
+        )
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("comp"), 12).cast("decimal(38,18)").alias("comp"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("comp").cast("double").alias("sv"))
+    )
+    mu2 = (
+        sums.join(per.select("label", "n"), "label")
+        .select(
+            "label",
+            F.round(
+                (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n")), 12
+            )
+            .cast("decimal(38,18)")
+            .alias("term"),
+        )
+        .groupBy("label")
+        .agg(F.sum("term").cast("double").alias("musq"))
+    )
+    return (
+        per.join(mu2, "label")
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                2.0 * (F.col("ss") / F.col("n") - F.col("musq")), 6
+            ).alias("mean_sq_dist"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------- hard-negative mining
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding AS qv
+      FROM embeddings WHERE vec_id < 30
+    ), scored AS (
+      SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+             e.label AS n_label,
+             {_cosine_sql('q.qv', 'e.embedding')} AS cosine
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id AND e.label <> q.q_label
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, q_label, neighbor_id, n_label,
+           ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rk = 1 ORDER BY query_id
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each probe vector, the single most
+    cosine-similar vector carrying a DIFFERENT label — the contrastive
+    training pairs (and the mislabeling audit: a hard negative at
+    cosine ≈ 1 usually means one of the two labels is wrong).
+
+    Scale shape: the probe set broadcasts against one corpus scan
+    (exact for oracle-provability; the ANN index + post-filter is the
+    at-scale path); the per-query top-1 window runs over each probe's
+    candidate list only."""
+    from dasladen_spark.functions.vectors import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("n_label") != F.col("q_label")),
+        )
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ------------------------------------------------- feature hashing
+
+
+@query(
+    "text_hashed_features",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1
+                AS INTEGER) AS bucket,
+           COUNT(*) AS n
+    FROM tk GROUP BY 1, 2 ORDER BY doc_id, bucket
+    """,
+)
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): every token maps to one
+    of 16 buckets by the first hex digit of its md5, yielding a
+    fixed-width sparse count representation no vocabulary table can
+    bloat — the classic collision-tolerant featurizer for linear
+    models over unbounded token spaces. Long format (doc, bucket,
+    count); densify with a 16-slot pivot when a model wants arrays.
+
+    Scale shape: hash + count is one map-side-combined aggregation;
+    md5 (not the faster xxhash64) keeps the bucketing engine-portable
+    so the oracle replays it exactly — the same trade
+    sampling.portable_sample_filter documents."""
+    tk = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+            )
+        ).alias("tok"),
+    )
+    return (
+        tk.select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 1), 16, 10)
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+# --------------------------------------------------- readability
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+             greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+      FROM documents
+    ), scored AS (
+      SELECT source,
+             CAST(ROUND(206.835
+               - 1.015 * (w / CAST(s AS DOUBLE))
+               - 84.6 * (y / CAST(w AS DOUBLE)), 6)
+               AS DECIMAL(38,6)) AS fre,
+             CAST(ROUND(w / CAST(s AS DOUBLE), 6) AS DECIMAL(38,6)) AS wps
+      FROM d WHERE w > 0
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(CAST(SUM(fre) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_reading_ease,
+           ROUND(CAST(CAST(SUM(wps) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_words_per_sentence
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source: 206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words), with syllables approximated
+    by vowel-group runs and sentences by terminal-punctuation count —
+    the grade-level lens a curation pipeline puts next to
+    text_quality's mechanical ratios (both engines share the exact
+    regex heuristics, so the score is reproducible, not
+    library-dependent).
+
+    Scale shape: three regexp counts per doc in one scan-side
+    projection, one map-side-combined per-source rollup; per-doc
+    scores round before DECIMAL accumulation."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+            )
+        ).alias("w"),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), F.lit(0))
+            ),
+            F.lit(1),
+        ).alias("s"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0)
+            )
+        ).alias("y"),
+    ).filter(F.col("w") > 0)
+    scored = d.select(
+        "source",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("w") / F.col("s").cast("double"))
+            - 84.6 * (F.col("y") / F.col("w").cast("double")),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("fre"),
+        F.round(F.col("w") / F.col("s").cast("double"), 6)
+        .cast("decimal(38,6)")
+        .alias("wps"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("fre").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_reading_ease"),
+            F.round(
+                F.sum("wps").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_words_per_sentence"),
+        )
+        .orderBy("source")
+    )

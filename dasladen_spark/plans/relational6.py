@@ -1,0 +1,356 @@
+"""Relational/analytics queries, part 6: association rules, CUSUM
+change-point detection, weekday seasonality, and position-based
+multi-touch attribution — the second-order event/basket analytics a
+warehouse team reaches for after the part-5 suite.
+
+Beyond-reference operators (the reference delegates all query power to
+an RDBMS, /root/reference/dasladen/task.py:94-107). Determinism
+discipline as in llm3+: one rounded double expression per row, DECIMAL
+accumulation for order-sensitive sums, one final ROUND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dasladen_spark.functions.vectors import bounded_window_key
+from dasladen_spark.plans.registry import query
+from dasladen_spark.session import load_table as _t
+
+# --------------------------------------------- association rule mining
+
+
+@query(
+    "q_association_rules",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT ok) AS n_baskets FROM b
+    ), itm AS (
+      SELECT item, COUNT(*) AS n_item FROM b GROUP BY item
+    ), pair AS (
+      SELECT a.item AS antecedent, c.item AS consequent,
+             COUNT(*) AS n_both
+      FROM b a JOIN b c ON a.ok = c.ok AND a.item <> c.item
+      GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent, p.n_both,
+           ROUND(p.n_both / CAST(ia.n_item AS DOUBLE), 6) AS confidence,
+           ROUND((p.n_both * (SELECT n_baskets FROM n))
+                 / CAST(ia.n_item * ic.n_item AS DOUBLE), 6) AS lift
+    FROM pair p
+    JOIN itm ia ON ia.item = p.antecedent
+    JOIN itm ic ON ic.item = p.consequent
+    WHERE p.n_both >= 3
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 20
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over order baskets — support,
+    confidence, lift for every part pair co-occurring in ≥3 orders
+    (the A-priori 2-itemset pass; q_copurchase_pairs counts the
+    co-occurrences, this turns them into ranked rules).
+
+    Scale shape: the pair expansion self-joins on the ORDER key
+    (fan-out bounded by basket size, linear in orders — never a
+    part-keyed hub join); item supports are one map-side-combined
+    count; the basket total is a 1-row broadcast. All ratios are
+    exact-integer divisions evaluated once in IEEE double and
+    rounded — identical in any engine."""
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    n = b.agg(F.count_distinct("ok").alias("n_baskets"))
+    itm = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = b.select(F.col("ok"), F.col("item").alias("antecedent"))
+    c = b.select(F.col("ok").alias("ok2"), F.col("item").alias("consequent"))
+    pair = (
+        a.join(
+            c,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("antecedent") != F.col("consequent")),
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    ia = itm.select(F.col("item").alias("antecedent"), F.col("n_item").alias("n_a"))
+    ic = itm.select(F.col("item").alias("consequent"), F.col("n_item").alias("n_c"))
+    return (
+        pair.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(n))  # one row — the basket total
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_a").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_both") * F.col("n_baskets"))
+                / (F.col("n_a") * F.col("n_c")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(20)
+    )
+
+
+# ------------------------------------------ CUSUM change-point audit
+
+
+@query(
+    "q_cusum_drift",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT SUM(x) AS sx, SUM(x * x) AS sxx, COUNT(*) AS n FROM d
+    ), k AS (
+      SELECT ROUND(sx / CAST(n AS DOUBLE)
+                   + 0.5 * sqrt(sxx / CAST(n AS DOUBLE)
+                                - (sx / CAST(n AS DOUBLE))
+                                  * (sx / CAST(n AS DOUBLE))), 6) AS slack,
+             ROUND(4.0 * sqrt(sxx / CAST(n AS DOUBLE)
+                              - (sx / CAST(n AS DOUBLE))
+                                * (sx / CAST(n AS DOUBLE))), 6) AS h
+      FROM s
+    ), y AS (
+      SELECT day, x,
+             SUM(CAST(ROUND(x - (SELECT slack FROM k), 6)
+                      AS DECIMAL(38,6)))
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    ), m AS (
+      SELECT day, x, cum,
+             MIN(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS run_min
+      FROM y
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, x,
+           ROUND(CAST(CAST(
+             cum - LEAST(run_min, CAST(0 AS DECIMAL(38,6)))
+           AS VARCHAR) AS DOUBLE), 6) AS cusum,
+           CAST(cum - LEAST(run_min, CAST(0 AS DECIMAL(38,6)))
+                AS DOUBLE) > (SELECT h FROM k) AS drift
+    FROM m ORDER BY day
+    """,
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection on daily event volume —
+    the drift monitor a data-quality pipeline runs over intake
+    counts. Uses the prefix-minimum closed form
+    S_t = y_t − min(0, min_{j≤t} y_j) with y = Σ(x − k), so the
+    "recursive" statistic is two bounded windows instead of an
+    unexpressible recursion; slack k = μ + σ/2, alarm at 4σ.
+
+    Scale shape: one map-side-combined daily count, a 1-row moments
+    broadcast (μ, σ from exact integer Σx/Σx²), and two windows over
+    one-row-per-day — bounded by the calendar, partitioned
+    explicitly (bounded_window_key)."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    s = d.agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("sx") / F.col("n").cast("double")
+    sig = F.sqrt(F.col("sxx") / F.col("n").cast("double") - mean * mean)
+    k = s.select(
+        F.round(mean + 0.5 * sig, 6).alias("slack"),
+        F.round(4.0 * sig, 6).alias("h"),
+    )
+    wy = (
+        Window.partitionBy(bounded_window_key(F.col("x")))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    y = (
+        d.crossJoin(F.broadcast(k))  # one row — the (slack, h) scalars
+        .withColumn(
+            "cum",
+            F.sum(
+                F.round(F.col("x") - F.col("slack"), 6).cast("decimal(38,6)")
+            ).over(wy),
+        )
+        .withColumn("run_min", F.min("cum").over(wy))
+    )
+    cusum = F.col("cum") - F.least(
+        F.col("run_min"), F.lit(0).cast("decimal(38,6)")
+    )
+    return y.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "x",
+        F.round(cusum.cast("double"), 6).alias("cusum"),
+        (cusum.cast("double") > F.col("h")).alias("drift"),
+    ).orderBy("day")
+
+
+# ------------------------------------------------ weekday seasonality
+
+
+@query(
+    "q_weekday_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             dayname(CAST(date_trunc('day', ts) AS DATE)) AS weekday,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ), o AS (
+      SELECT SUM(x) AS tot, COUNT(*) AS n_days FROM d
+    )
+    SELECT weekday,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(SUM(x) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_events,
+           ROUND((SUM(x) / CAST(COUNT(*) AS DOUBLE))
+                 / ((SELECT tot FROM o)
+                    / CAST((SELECT n_days FROM o) AS DOUBLE)), 6)
+             AS seasonal_index
+    FROM d GROUP BY weekday ORDER BY weekday
+    """,
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of event volume: average events per
+    observed weekday divided by the overall daily average — >1 means
+    the weekday runs hot. The load-shaping profile behind capacity
+    planning and the denominator for "is today anomalous given it's
+    a Saturday" checks (pairs with q_cusum_drift).
+
+    Scale shape: one daily count, one 7-row weekday rollup, a 1-row
+    grand-total broadcast; all sums exact integers, each ratio one
+    IEEE-double expression rounded once."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.date_format(
+                F.date_trunc("day", F.col("ts")).cast("date"), "EEEE"
+            ).alias("weekday"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    o = d.agg(F.sum("x").alias("tot"), F.count(F.lit(1)).alias("n_days_all"))
+    avg_day = F.col("sum_x") / F.col("n_days").cast("double")
+    return (
+        d.groupBy("weekday")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("x").alias("sum_x"),
+        )
+        .crossJoin(F.broadcast(o))  # one row — the grand totals
+        .select(
+            "weekday",
+            "n_days",
+            F.round(avg_day, 6).alias("avg_events"),
+            F.round(
+                avg_day
+                / (F.col("tot") / F.col("n_days_all").cast("double")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("weekday")
+    )
+
+
+# ------------------------------- position-based (U-shaped) attribution
+
+
+@query(
+    "q_attribution_position",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), pairs AS (
+      SELECT p.purchase_id, p.value, c.click_id,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.click_ts, c.click_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touch
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.click_ts < p.ts
+       AND c.click_ts >= p.ts - INTERVAL 7 DAY
+    ), credit AS (
+      SELECT click_id,
+             CAST(ROUND(value * CASE
+               WHEN n_touch = 1 THEN 1.0
+               WHEN n_touch = 2 THEN 0.5
+               WHEN pos = 1 OR pos = n_touch THEN 0.4
+               ELSE 0.2 / (n_touch - 2) END, 6) AS DECIMAL(38,6)) AS cr
+      FROM pairs
+    )
+    SELECT click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(CAST(CAST(SUM(cr) AS VARCHAR) AS DOUBLE), 6)
+             AS credited_value
+    FROM credit GROUP BY click_id
+    ORDER BY credited_value DESC, click_id LIMIT 25
+    """,
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution:
+    the first and last click before a purchase each earn 40% of its
+    value, the middle clicks split the remaining 20% — completing the
+    attribution family next to last-touch and linear. Top-25 clicks
+    by credited value.
+
+    Scale shape: identical join geometry to q_attribution_linear
+    (user-keyed 7-day range join, per-purchase windows over the
+    bounded touch set, map-side credit aggregation); the position
+    weights add one CASE to the credit expression. Per-credit
+    rounding + DECIMAL accumulation keeps totals bit-stable."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("value"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") < F.col("ts"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    wp = Window.partitionBy("purchase_id")
+    pos = F.row_number().over(wp.orderBy("click_ts", "click_id"))
+    n_touch = F.count(F.lit(1)).over(wp)
+    share = (
+        F.when(n_touch == 1, F.lit(1.0))
+        .when(n_touch == 2, F.lit(0.5))
+        .when((pos == 1) | (pos == n_touch), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n_touch - 2))
+    )
+    credit = pairs.select(
+        "click_id",
+        F.round(F.col("value") * share, 6).cast("decimal(38,6)").alias("cr"),
+    )
+    return (
+        credit.groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.sum("cr").cast("double"), 6).alias("credited_value"),
+        )
+        .orderBy(F.col("credited_value").desc(), "click_id")
+        .limit(25)
+    )

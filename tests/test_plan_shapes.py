@@ -472,6 +472,20 @@ _EXPECTED_FLAGS = {
     "text_nb_quality_score": {"bnlj", "single-partition"},
     # 1-row moment stats broadcast back over the norms projection
     "embedding_norm_outliers": {"single-partition", "bnlj"},
+    # 1-row basket-total broadcast-crossed onto the rule pairs
+    "q_association_rules": {"bnlj", "single-partition"},
+    # 1-row (slack, alarm) moments broadcast over the days-sized
+    # rollup; CUSUM windows are calendar-bounded
+    "q_cusum_drift": {"bnlj", "single-partition"},
+    # 1-row grand-total broadcast over the 7-row weekday rollup
+    "q_weekday_seasonality": {"bnlj", "single-partition"},
+    # 1-row vocabulary-size broadcast-crossed onto the scoring terms
+    "text_lm_perplexity": {"bnlj", "single-partition"},
+    # inherits the NB scorer's label broadcast; 1-row AUC summary
+    "nb_quality_auc": {"bnlj", "single-partition"},
+    # bounded probe set broadcast against the corpus (exact-scan
+    # audit; ANN index + label post-filter is the at-scale path)
+    "embedding_hard_negatives": {"bnlj"},
 }
 
 
