@@ -354,3 +354,200 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("credited_value").desc(), "click_id")
         .limit(25)
     )
+
+
+# --------------------------------------------------- k-core backbone
+
+
+@query("graph_kcore")  # iterative fixpoint — rows-only;
+# tests/test_operators.py::test_kcore_keeps_planted_clique_drops_chain
+# proves the peel keeps exactly the dense subgraph
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense backbone of the co-purchase graph: the 4-core (every
+    surviving part co-ordered with ≥4 other surviving parts) — the
+    subgraph community/triangle analytics should run on after the
+    long tail is peeled away. Top-20 survivors by in-core degree.
+
+    Scale shape (operators/graph.kcore): each peel round is one
+    degree count + two semi-joins on the node key, lineage
+    localCheckpointed per round; rounds = peel depth, not node
+    count. The pair expansion is order-keyed (bounded by basket
+    size) like q_copurchase_pairs."""
+    from dasladen_spark.operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, on=[a.ok == b.ok, F.col("u") < F.col("v")])
+        .select("u", "v")
+        .distinct()
+    )
+    return (
+        kcore(edges, k=4)
+        .orderBy(F.col("degree").desc(), "id")
+        .limit(20)
+    )
+
+
+# --------------------------------------- duplicate-transaction audit
+
+
+@query(
+    "q_duplicate_events_audit",
+    oracle="""
+    SELECT a.event_id AS first_id, b.event_id AS second_id,
+           a.user_id, a.value AS value_a, b.value AS value_b,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+    FROM events a
+    JOIN events b
+      ON b.user_id = a.user_id
+     AND b.event_type = 'purchase' AND a.event_type = 'purchase'
+     AND b.event_id > a.event_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    ORDER BY a.user_id, first_id, second_id
+    """,
+)
+def q_duplicate_events_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-fire audit: pairs of purchases by the same user within
+    10 minutes — the retry-bug / double-charge candidate list every
+    event pipeline reviews before revenue numbers ship (both values
+    reported so an exact-amount repeat stands out). Pairs orient by
+    event_id so each duplicate reports once.
+
+    Scale shape: a user-keyed self-join — the equality key does the
+    heavy pruning, the 10-minute band bounds what's left; one
+    shuffle per side, fan-out limited to per-user purchase bursts.
+    The oracle's band predicate is the semantic spec; Spark plans
+    the same equi-join + range filter."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    a = e.select(
+        F.col("event_id").alias("first_id"),
+        "user_id",
+        F.col("value").alias("value_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = e.select(
+        F.col("event_id").alias("second_id"),
+        F.col("user_id").alias("u2"),
+        F.col("value").alias("value_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("second_id") > F.col("first_id"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            "first_id",
+            "second_id",
+            "user_id",
+            "value_a",
+            "value_b",
+            (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a"))
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+        .orderBy("user_id", "first_id", "second_id")
+    )
+
+
+# ------------------------------------------------- top session paths
+
+
+@query(
+    "q_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_idx,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+                                     ORDER BY ts, event_id) AS pos
+        FROM sess
+      ) WHERE pos <= 5
+      GROUP BY user_id, session_idx
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 15
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top clickstream paths: sessionize (30-minute gap rule, same as
+    q_sessionize_events), take each session's first 5 event types in
+    order, and rank the most common paths — the "how do users
+    actually move" summary behind funnel design.
+
+    Scale shape: the lag→flag→running-sum sessionizer is one
+    user-keyed shuffle; the path string builds from an in-group
+    sorted array (JVM array_join over a bounded 5-slot prefix — no
+    per-row UDF); path counting is map-side combinable."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_idx").orderBy(
+        "ts", "event_id"
+    )
+    paths = (
+        sess.withColumn("pos", F.row_number().over(ws))
+        .filter(F.col("pos") <= 5)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("pos", F.col("event_type").alias("et"))
+                        )
+                    ),
+                    lambda x: x["et"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )

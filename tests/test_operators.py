@@ -1769,3 +1769,30 @@ def test_dataset_fingerprint_invariant_under_rewrites(spark, sf_dir, tmp_path):
     )
     mt = dataset_fingerprint(mut, cols()).collect()[0]
     assert mt["content_hash"] != base["content_hash"]
+
+
+def test_kcore_keeps_planted_clique_drops_chain(spark):
+    """The 3-core of (K5 clique) ∪ (long chain) ∪ (star) is exactly
+    the clique: every clique node has in-core degree 4; chain nodes
+    (degree ≤ 2) and the star (leaves degree 1, hub degraded once
+    leaves peel) must vanish — including the hub, which starts above
+    k but falls below it as the peel cascades."""
+    from dasladen_spark.operators.graph import kcore
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(100 + i, 101 + i) for i in range(10)]
+    star = [(200, 201 + i) for i in range(6)]
+    edges = spark.createDataFrame(
+        clique + chain + star, "u LONG, v LONG"
+    )
+    got = {r["id"]: r["degree"] for r in kcore(edges, k=3).collect()}
+    assert got == {i: 4 for i in range(5)}
+
+
+def test_kcore_empty_when_overpeeled(spark):
+    """k above the graph's max coreness peels to nothing — the empty
+    frame, not an error."""
+    from dasladen_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u LONG, v LONG")
+    assert kcore(edges, k=3).count() == 0
