@@ -80,7 +80,13 @@ def write_tar_shards(
                 os.path.join(path, f"shard-{shard_id:05d}.tar"), "w"
             ) as tf:
                 for r in buf:
-                    payload = bytes(r["_payload"] or b"")
+                    raw = r["_payload"]
+                    # accept a STRING payload column too (text corpora)
+                    payload = (
+                        raw.encode("utf-8")
+                        if isinstance(raw, str)
+                        else bytes(raw or b"")
+                    )
                     info = tarfile.TarInfo(name=f"{r['_key']}.{ext}")
                     info.size = len(payload)
                     info.mtime = 0  # fixed time → byte-identical re-runs

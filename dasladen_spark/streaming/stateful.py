@@ -219,3 +219,89 @@ def ewma_by_key(
             timeoutConf=timeout,
         )
     )
+
+
+CUSUM_SCHEMA = (
+    "user_id bigint, n_events bigint, cusum double, drift boolean"
+)
+_CUSUM_STATE_SCHEMA = "n bigint, s double"
+
+
+def _make_cusum_fn(slack: float, threshold: float, timeout_ms: int | None):
+    """Per-key one-sided CUSUM fold S ← max(0, S + (x − slack)).
+    Rows sort by (ts, event_id) per invocation, so given ordered
+    micro-batches the statistic is a pure function of the event
+    sequence — the differential test replays it sequentially. Unlike
+    the batch q_cusum_drift (whole-history closed form with
+    data-derived slack), the streaming detector takes slack/threshold
+    as parameters: a live monitor alarms against an agreed baseline,
+    not one it re-estimates per batch."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "cusum": [s],
+                    "drift": [s > threshold],
+                }
+            )
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for x in rows["value"].astype("float64"):
+            s = max(0.0, s + (float(x) - slack))
+            n += 1
+        state.update((n, s))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "cusum": [s],
+                "drift": [s > threshold],
+            }
+        )
+
+    return fn
+
+
+def cusum_by_key(
+    events: DataFrame,
+    slack: float,
+    threshold: float,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Per-user one-sided CUSUM drift detector across micro-batches —
+    the streaming sibling of q_cusum_drift (there the whole history
+    is replayed through the prefix-min closed form; here the true
+    recursion S ← max(0, S + x − slack) runs live, which only a
+    stateful operator can maintain). Emits the running statistic and
+    a drift flag once S crosses ``threshold``; state per key is TWO
+    numbers regardless of history length. Input needs
+    (user_id, ts, event_id, value) columns."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_cusum_fn(slack, threshold, timeout_ms),
+            outputStructType=CUSUM_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

@@ -163,6 +163,20 @@ def _write_sink(ctx: TaskContext, task: dict, df: DataFrame) -> None:
         if tgt.get("partition_by"):
             w = w.partitionBy(*tgt["partition_by"])
         w.orc(_tgt_path(ctx, tgt))
+    elif kind == "tar":
+        # WebDataset-style shard export (sinks/tarshards) — the
+        # training-loader layout, reachable from task files
+        from dasladen_spark.sinks.tarshards import write_tar_shards
+
+        write_tar_shards(
+            df,
+            _tgt_path(ctx, tgt),
+            n_shards=int(tgt.get("n_shards", 8)),
+            key_col=tgt.get("key_field", "key"),
+            payload_col=tgt.get("payload_field", "payload"),
+            ext=tgt.get("ext", "bin"),
+            meta_cols=tgt.get("meta_fields"),
+        )
     else:
         raise ValueError(f"unknown sink kind {kind!r}")
 
@@ -702,5 +716,5 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
 # a lakehouse pipeline actually moves; all splittable and columnar/
 # row-streamed at any scale).
 for _s in ("csv", "db", "xml", "xls", "json", "parquet", "orc"):
-    for _t in ("csv", "db", "json", "parquet", "orc"):
+    for _t in ("csv", "db", "json", "parquet", "orc", "tar"):
         TASK_TYPES.setdefault(f"{_s}-{_t}", run_etl)

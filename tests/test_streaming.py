@@ -965,3 +965,66 @@ def test_ewma_state_recovers_after_mid_stream_crash(spark, tmp_path):
     n_events, ewma = final[1]
     assert n_events == len(values)
     assert abs(ewma - s) < 1e-12
+
+
+def test_cusum_by_key_matches_sequential_replay(spark, tmp_path):
+    """The stateful CUSUM recursion across micro-batches equals a
+    sequential replay of the (ts, event_id)-ordered sequence, and the
+    drift flag trips exactly when the statistic crosses the
+    threshold."""
+    from dasladen_spark.streaming.stateful import cusum_by_key
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b1.csv").write_text(
+        "user_id;ts;event_id;value\n"
+        "1;2024-01-01 00:00:00;1;10.0\n"
+        "1;2024-01-01 00:01:00;2;12.0\n"
+        "2;2024-01-01 00:00:30;3;5.0\n"
+    )
+    schema = "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE"
+    final: dict[int, tuple] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r["user_id"]] = (r["n_events"], r["cusum"], r["drift"])
+
+    def drain():
+        s = (
+            spark.readStream.schema(schema)
+            .option("sep", ";")
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(src))
+        )
+        q = (
+            cusum_by_key(s, slack=8.0, threshold=5.0)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_cusum"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    (src / "b2.csv").write_text(
+        "user_id;ts;event_id;value\n"
+        "1;2024-01-01 00:02:00;4;11.0\n"
+        "2;2024-01-01 00:02:30;5;20.0\n"
+    )
+    drain()
+
+    def replay(values):
+        s = 0.0
+        for x in values:
+            s = max(0.0, s + (x - 8.0))
+        return s
+
+    # user 1: 10,12,11 → 2,6,9 — drift (9 > 5)
+    n, s, drift = final[1]
+    assert (n, s, drift) == (3, replay([10.0, 12.0, 11.0]), True)
+    assert s == 9.0
+    # user 2: 5 → 0; then 20 → 12 — drift
+    n2, s2, drift2 = final[2]
+    assert (n2, s2, drift2) == (2, replay([5.0, 20.0]), True)

@@ -909,3 +909,48 @@ def test_ann_index_task_append_and_compact(spark, workdir):
         if f.endswith(".parquet")
     ]
     assert len(files) == 16, len(files)
+
+
+def test_json_to_tar_shards_task(spark, workdir):
+    """json-tar: the WebDataset export is reachable from a task file —
+    JSON-lines rows become tar members (the sink UTF-8-encodes a
+    string payload field itself), with metadata sidecars."""
+    import tarfile
+
+    with open(workdir / "input" / "docs.json", "w", encoding="utf-8") as f:
+        for i, txt in [(1, "alpha"), (2, "beta"), (3, "gamma")]:
+            f.write(json.dumps({"key": i, "text": txt, "lang": "en"}) + "\n")
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "j2t",
+                    "type": "json-tar",
+                    "source": {
+                        "file": "docs.json",
+                        "schema": "key BIGINT, text STRING, lang STRING",
+                    },
+                    "target": {
+                        "file": "shards",
+                        "n_shards": 2,
+                        "key_field": "key",
+                        "payload_field": "text",
+                        "ext": "txt",
+                        "meta_fields": ["lang"],
+                    },
+                }
+            ]
+        },
+    )
+    shard_dir = workdir / "output" / "shards"
+    got = {}
+    for tf_path in sorted(shard_dir.glob("shard-*.tar")):
+        with tarfile.open(tf_path) as tf:
+            for m in tf.getmembers():
+                got[m.name] = tf.extractfile(m).read()
+    assert got["1.txt"] == b"alpha"
+    assert got["2.txt"] == b"beta"
+    assert got["3.txt"] == b"gamma"
+    assert json.loads(got["1.json"]) == {"lang": "en"}
