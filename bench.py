@@ -70,6 +70,15 @@ HEADLINE = [
     "retrieval_rrf_hybrid",
     "q_quantile_mergeable_rollup",
     "q_attribution_last_touch",
+    # round 6: LM-based curation + basket mining + drift shapes.
+    # text_lm_perplexity's bigram model is two shuffle-joined count
+    # tables (never broadcast) — the corpus-scale scoring join is the
+    # thing being measured; q_association_rules is the order-keyed
+    # basket self-join; q_cusum_drift is a calendar-bounded window
+    # over a 1-row moments broadcast.
+    "text_lm_perplexity",
+    "q_association_rules",
+    "q_cusum_drift",
 ]
 
 

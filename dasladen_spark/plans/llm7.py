@@ -567,3 +567,140 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- embedding centroid drift
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH half AS (
+      SELECT CAST(label AS VARCHAR) AS label,
+             CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'new' END AS cohort,
+             embedding
+      FROM embeddings
+    ), dims AS (
+      SELECT COALESCE(label, 'all') AS label, cohort, d.i AS dim,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(ROUND(embedding[d.i]::DOUBLE, 12)
+                    AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sv
+      FROM half, LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i) d
+      GROUP BY GROUPING SETS ((label, cohort, d.i), (cohort, d.i))
+    ), mu AS (
+      SELECT label, cohort, dim, n, ROUND(sv / n, 12) AS m FROM dims
+    ), paired AS (
+      SELECT r.label, r.dim, r.n AS n_ref, w.n AS n_new,
+             CAST(ROUND((r.m - w.m) * (r.m - w.m), 12)
+                  AS DECIMAL(38,18)) AS d2,
+             CAST(ROUND(r.m * w.m, 12) AS DECIMAL(38,18)) AS ab,
+             CAST(ROUND(r.m * r.m, 12) AS DECIMAL(38,18)) AS a2,
+             CAST(ROUND(w.m * w.m, 12) AS DECIMAL(38,18)) AS b2
+      FROM (SELECT * FROM mu WHERE cohort = 'ref') r
+      JOIN (SELECT * FROM mu WHERE cohort = 'new') w
+        ON w.label = r.label AND w.dim = r.dim
+    )
+    SELECT label,
+           CAST(ANY_VALUE(n_ref) AS BIGINT) AS n_ref,
+           CAST(ANY_VALUE(n_new) AS BIGINT) AS n_new,
+           ROUND(sqrt(CAST(CAST(SUM(d2) AS VARCHAR) AS DOUBLE)), 6)
+             AS l2_shift,
+           ROUND(CAST(CAST(SUM(ab) AS VARCHAR) AS DOUBLE)
+                 / (sqrt(CAST(CAST(SUM(a2) AS VARCHAR) AS DOUBLE))
+                    * sqrt(CAST(CAST(SUM(b2) AS VARCHAR) AS DOUBLE))), 6)
+             AS centroid_cosine
+    FROM paired GROUP BY label ORDER BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between a reference cohort and a
+    new batch (even/odd ids here; date or ingest-batch in
+    production): per-label L2 shift of the centroid and the cosine
+    between the two centroids — the cheap first-line alarm before
+    retraining an ANN index or quality classifier on a shifted
+    corpus (pairs with embedding_dispersion: that audits spread,
+    this audits location).
+
+    Scale shape: everything reduces through (label, cohort, dim)
+    keyed sums — one posexplode pass, no pairwise math, O(labels·d)
+    result rows; the same rounded-component DECIMAL discipline as
+    embedding_dispersion keeps both engines bit-identical."""
+    e = _t(spark, sf_dir, "embeddings")
+    half = e.select(
+        F.col("label").cast("string").alias("label"),
+        F.when(F.col("vec_id") % 2 == 0, F.lit("ref"))
+        .otherwise(F.lit("new"))
+        .alias("cohort"),
+        "embedding",
+    )
+    with_all = half.unionByName(
+        half.select(F.lit("all").alias("label"), "cohort", "embedding")
+    )
+    dims = (
+        with_all.select(
+            "label",
+            "cohort",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "comp"
+            ),
+        )
+        .select(
+            "label",
+            "cohort",
+            "dim",
+            F.round(F.col("comp"), 12).cast("decimal(38,18)").alias("comp"),
+        )
+        .groupBy("label", "cohort", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("comp").cast("double").alias("sv"),
+        )
+    )
+    mu = dims.select(
+        "label",
+        "cohort",
+        "dim",
+        "n",
+        F.round(F.col("sv") / F.col("n"), 12).alias("m"),
+    )
+    r = mu.filter(F.col("cohort") == "ref").select(
+        "label", "dim", F.col("n").alias("n_ref"), F.col("m").alias("mr")
+    )
+    w = mu.filter(F.col("cohort") == "new").select(
+        "label", "dim", F.col("n").alias("n_new"), F.col("m").alias("mw")
+    )
+    paired = r.join(w, ["label", "dim"]).select(
+        "label",
+        "n_ref",
+        "n_new",
+        F.round((F.col("mr") - F.col("mw")) * (F.col("mr") - F.col("mw")), 12)
+        .cast("decimal(38,18)")
+        .alias("d2"),
+        F.round(F.col("mr") * F.col("mw"), 12)
+        .cast("decimal(38,18)")
+        .alias("ab"),
+        F.round(F.col("mr") * F.col("mr"), 12)
+        .cast("decimal(38,18)")
+        .alias("a2"),
+        F.round(F.col("mw") * F.col("mw"), 12)
+        .cast("decimal(38,18)")
+        .alias("b2"),
+    )
+    return (
+        paired.groupBy("label")
+        .agg(
+            F.any_value("n_ref").cast("bigint").alias("n_ref"),
+            F.any_value("n_new").cast("bigint").alias("n_new"),
+            F.round(F.sqrt(F.sum("d2").cast("double")), 6).alias("l2_shift"),
+            F.round(
+                F.sum("ab").cast("double")
+                / (
+                    F.sqrt(F.sum("a2").cast("double"))
+                    * F.sqrt(F.sum("b2").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label")
+    )
