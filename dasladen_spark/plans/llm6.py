@@ -502,20 +502,22 @@ _EWMA_WIN = len(_EWMA_W)  # 12 weeks
     WITH wk AS (
       SELECT n.n_name AS nation,
              CAST(date_trunc('week', o.o_orderdate) AS TIMESTAMP) AS week,
-             CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6)))
-                  AS VARCHAR) AS DOUBLE) AS rev
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(24,6)))
+                  AS DECIMAL(24,6)) AS rev
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
       GROUP BY 1, 2
     ), wts AS (
       SELECT unnest(generate_series(0, {_EWMA_WIN - 1})) AS j,
-             unnest([{", ".join("CAST('" + w + "' AS DOUBLE)" for w in _EWMA_W)}])
+             unnest([{", ".join("CAST('" + w + "' AS DECIMAL(13,11))" for w in _EWMA_W)}])
                AS wt
     ), pairs AS (
+      -- DECIMAL(24,6) × DECIMAL(13,11) = exact DECIMAL(38,17): no
+      -- double touches the numerator until the final division
       SELECT a.nation, a.week,
-             CAST(ROUND(b.rev * w.wt, 12) AS DECIMAL(38,18)) AS term,
-             CAST(w.wt AS DECIMAL(38,18)) AS wt
+             CAST(b.rev * w.wt AS DECIMAL(38,17)) AS term,
+             CAST(w.wt AS DECIMAL(38,11)) AS wt
       FROM wk a
       JOIN wk b ON b.nation = a.nation
        AND datediff('day', b.week, a.week) BETWEEN 0
@@ -523,8 +525,16 @@ _EWMA_WIN = len(_EWMA_W)  # 12 weeks
       JOIN wts w ON w.j = datediff('day', b.week, a.week) // 7
     )
     SELECT nation, week,
-           ROUND(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
-                 / CAST(CAST(SUM(wt) AS VARCHAR) AS DOUBLE), 6) AS ewma_rev
+           -- boundary-proof final round: divide the two exact sums as
+           -- identical doubles, REDUCE to 12 decimals in DECIMAL, and
+           -- only then round to 6 — rounding a raw double at 6 places
+           -- flipped 1/8623 rows at sf0.1 (…581566499 straddles the
+           -- half in the multiply-based double round, not in the
+           -- decimal one)
+           CAST(ROUND(CAST(
+             CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(wt) AS VARCHAR) AS DOUBLE)
+           AS DECIMAL(38,12)), 6) AS DOUBLE) AS ewma_rev
     FROM pairs GROUP BY nation, week
     ORDER BY nation, week
     """,
@@ -537,12 +547,16 @@ def q_ewma_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the raw 100 TB fact table collapses to the
     (nation, week) series FIRST (one map-side-combined aggregate);
     the EWMA is then a bounded self-join of that tiny series on
-    (nation, week-range ≤ 12) — never a window over raw rows. Weights
-    are exact decimal literals shared verbatim with the oracle, terms
-    round at 12 and accumulate in DECIMAL, so the smoothed series is
-    bit-deterministic. Gaps (weeks with no orders) simply drop out of
-    both numerator and normalizer — the same semantics both engines
-    derive from the join."""
+    (nation, week-range ≤ 12) — never a window over raw rows.
+
+    Determinism: weights are exact decimal literals shared verbatim
+    with the oracle, and every product rev × wt is EXACT decimal
+    arithmetic (DECIMAL(24,6) × DECIMAL(13,11) → DECIMAL(38,17)) —
+    no double exists until the final division, whose result reduces
+    to 12 decimals in DECIMAL before the 6-decimal round. The earlier
+    round-the-double-at-6 recipe flipped one sf0.1 row whose quotient
+    (…581566499) straddles the half under a multiply-based double
+    round; decimal reduction first removes that boundary class."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -554,15 +568,16 @@ def q_ewma_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("week", "o_orderdate").alias("week"),
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-            .cast("double")
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+            .cast("decimal(24,6)")
             .alias("rev")
         )
     )
-    wts = F.array(*[F.lit(w).cast("double") for w in _EWMA_W])
+    wts = F.array(*[F.lit(w).cast("decimal(13,11)") for w in _EWMA_W])
     a = wk.alias("a")
     b = wk.alias("b")
     diff_days = F.datediff(F.col("a.week"), F.col("b.week"))
+    wt = F.element_at(wts, (diff_days / 7).cast("int") + 1)
     pairs = (
         a.join(
             b,
@@ -573,24 +588,22 @@ def q_ewma_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.nation").alias("nation"),
             F.col("a.week").alias("week"),
-            F.round(
-                F.col("b.rev")
-                * F.element_at(wts, (diff_days / 7).cast("int") + 1),
-                12,
-            )
-            .cast("decimal(38,18)")
-            .alias("term"),
-            F.element_at(wts, (diff_days / 7).cast("int") + 1)
-            .cast("decimal(38,18)")
-            .alias("wt"),
+            (F.col("b.rev") * wt).cast("decimal(38,17)").alias("term"),
+            wt.cast("decimal(38,11)").alias("wt"),
         )
     )
     return (
         pairs.groupBy("nation", "week")
         .agg(
             F.round(
-                F.sum("term").cast("double") / F.sum("wt").cast("double"), 6
-            ).alias("ewma_rev")
+                (
+                    F.sum("term").cast("double")
+                    / F.sum("wt").cast("double")
+                ).cast("decimal(38,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("ewma_rev")
         )
         .orderBy("nation", "week")
     )

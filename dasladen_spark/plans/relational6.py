@@ -115,13 +115,15 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
       SELECT SUM(x) AS sx, SUM(x * x) AS sxx, COUNT(*) AS n FROM d
     ), k AS (
+      -- greatest(var, 0): the moment form can dip below zero by an
+      -- ulp when all days are (nearly) equal; sqrt(NaN) must not leak
       SELECT ROUND(sx / CAST(n AS DOUBLE)
-                   + 0.5 * sqrt(sxx / CAST(n AS DOUBLE)
+                   + 0.5 * sqrt(greatest(sxx / CAST(n AS DOUBLE)
                                 - (sx / CAST(n AS DOUBLE))
-                                  * (sx / CAST(n AS DOUBLE))), 6) AS slack,
-             ROUND(4.0 * sqrt(sxx / CAST(n AS DOUBLE)
+                                  * (sx / CAST(n AS DOUBLE)), 0)), 6) AS slack,
+             ROUND(4.0 * sqrt(greatest(sxx / CAST(n AS DOUBLE)
                               - (sx / CAST(n AS DOUBLE))
-                                * (sx / CAST(n AS DOUBLE))), 6) AS h
+                                * (sx / CAST(n AS DOUBLE)), 0)), 6) AS h
       FROM s
     ), y AS (
       SELECT day, x,
@@ -167,7 +169,13 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     mean = F.col("sx") / F.col("n").cast("double")
-    sig = F.sqrt(F.col("sxx") / F.col("n").cast("double") - mean * mean)
+    # greatest(var, 0): see the oracle comment — identical guard
+    sig = F.sqrt(
+        F.greatest(
+            F.col("sxx") / F.col("n").cast("double") - mean * mean,
+            F.lit(0.0),
+        )
+    )
     k = s.select(
         F.round(mean + 0.5 * sig, 6).alias("slack"),
         F.round(4.0 * sig, 6).alias("h"),
