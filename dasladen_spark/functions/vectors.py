@@ -46,9 +46,10 @@ def bounded_window_key(col: Column) -> Column:
     empty partition spec, so WindowExec still logs "No Partition
     Defined" — a warning we want to stay meaningful for genuinely
     unbounded global windows. ``col % 1`` references a real column,
-    survives optimization, and always evaluates to 0 (or null for a
-    null input — one extra group of the nulls, same bounded size), so
-    the single partition becomes an explicit, greppable plan choice
-    rather than an accident. Cast goes through long: works for any
-    numeric input."""
-    return col.cast("long") % 1
+    survives optimization and always evaluates to 0 — including for
+    null inputs (coalesced), so a nullable key can never silently
+    split the window into a second partition and restart running
+    sums/ranks. The single partition becomes an explicit, greppable
+    plan choice rather than an accident. Cast goes through long:
+    works for any numeric input."""
+    return F.coalesce(col.cast("long") % 1, F.lit(0))

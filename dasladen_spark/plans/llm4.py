@@ -1141,6 +1141,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     want = sf_dir + ":70+30"
     fresh = (
         spark.catalog.tableExists(marker)
+        # the marker alone isn't enough: a warehouse cleanup can drop
+        # the index tables while the marker survives (the orphan-
+        # location class ensure_ann_index also defends against)
+        and spark.catalog.tableExists(drift_tbl)
+        and spark.catalog.tableExists(f"{drift_tbl}_meta")
         and spark.table(marker).collect()[0]["tag"] == want
     )
     if not fresh:

@@ -24,8 +24,10 @@ from dasladen_spark.session import load_table as _t
 
 # ------------------------------------- bigram LM perplexity filtering
 
-#: ASCII unit separator — can't appear in [a-z0-9]+ tokens, so a
-#: "prev cur" bigram string splits back unambiguously
+#: a plain space — can't appear inside [a-z0-9]+ tokens, so a
+#: "prev cur" bigram string splits back unambiguously (if the token
+#: regex ever admits spaces, change this to an out-of-alphabet byte
+#: IN BOTH the Spark and oracle sides — the oracle interpolates it)
 _BG_SEP = " "
 
 
@@ -95,11 +97,17 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = tk.select(
         "doc_id",
         "is_test",
+        # guard: Spark's sequence(2, n) DESCENDS for n < 2 (yielding
+        # out-of-range element_at indexes), so short docs must
+        # short-circuit to the empty array — the same semantics the
+        # oracle's generate_series gives for free
         F.explode(
             F.expr(
-                "transform(sequence(2, size(toks)),"
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(2, size(toks)),"
                 f" i -> concat(element_at(toks, i-1), '{_BG_SEP}',"
                 " element_at(toks, i)))"
+                " ELSE array() END"
             )
         ).alias("bg"),
     )

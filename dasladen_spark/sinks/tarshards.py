@@ -49,8 +49,27 @@ def write_tar_shards(
     single ``foreachPartition`` pass where each task streams its
     rows into its own tar — O(partition) memory, no driver
     collection. ``n_shards`` sizes the files: pick payload-bytes /
-    ~1 GB like any shard layout."""
+    ~1 GB like any shard layout.
+
+    ``path`` must be a filesystem shared between executors and the
+    driver (local disk only on single-node; NFS/FUSE-mounted object
+    store on a cluster — tarfile needs a real file handle, so a raw
+    s3:// URI won't do). Each shard writes to a ``.tmp`` name and
+    atomically renames, so a retried or speculative task can never
+    leave a truncated tar; stale ``shard-*.tar`` from a previous
+    export under the same path are removed first so the directory
+    always holds exactly this export. Keys must be non-null (the
+    task fails with a pointed error otherwise); duplicate keys write
+    duplicate member names, which WebDataset loaders treat as one
+    sample — dedupe upstream."""
     os.makedirs(path, exist_ok=True)
+    # a re-export with fewer shards (or different data) must not leave
+    # last run's files mixed into the directory
+    for f in os.listdir(path):
+        if f.startswith("shard-") and (
+            f.endswith(".tar") or f.endswith(".tar.tmp")
+        ):
+            os.remove(os.path.join(path, f))
     meta_cols = list(meta_cols or [])
     shard = (
         F.conv(
@@ -73,12 +92,18 @@ def write_tar_shards(
         # byte-stable output
         by_shard: dict[int, list] = {}
         for r in it:
+            if r["_shard"] is None:
+                raise ValueError(
+                    "tar-shard export requires non-null keys; got a "
+                    f"null {key_col!r} (payload row dropped nowhere — "
+                    "filter or fix upstream)"
+                )
             by_shard.setdefault(r["_shard"], []).append(r)
         for shard_id, buf in by_shard.items():
             buf.sort(key=lambda r: r["_key"])
-            with tarfile.open(
-                os.path.join(path, f"shard-{shard_id:05d}.tar"), "w"
-            ) as tf:
+            final = os.path.join(path, f"shard-{shard_id:05d}.tar")
+            tmp = final + ".tmp"
+            with tarfile.open(tmp, "w") as tf:
                 for r in buf:
                     raw = r["_payload"]
                     # accept a STRING payload column too (text corpora)
@@ -101,6 +126,9 @@ def write_tar_shards(
                         mi.size = len(meta)
                         mi.mtime = 0
                         tf.addfile(mi, io.BytesIO(meta))
+            # atomic publish: a retried/speculative attempt replaces,
+            # never interleaves with, a half-written file
+            os.replace(tmp, final)
 
     rows.foreachPartition(write_partition)
     return sorted(

@@ -143,3 +143,31 @@ def test_cdc_diff_apply_roundtrip_reconstructs_new_snapshot(spark):
         map(tuple, new.collect())
     )
     diff.unpersist()
+
+
+def test_lm_perplexity_survives_short_docs(spark, tmp_path):
+    """Docs tokenizing to 0 or 1 tokens must not crash the bigram
+    builder: Spark's sequence(2, n) DESCENDS for n < 2 and element_at
+    then throws — the guard short-circuits them to no bigrams, same
+    as the oracle's generate_series semantics."""
+    from dasladen_spark.plans.llm7 import text_lm_perplexity
+
+    rows = [
+        (0, "", "en", "s", 0),                      # test slice, empty
+        (5, "word", "en", "s", 4),                  # test slice, 1 token
+        (10, "alpha beta gamma alpha beta", "en", "s", 29),  # test
+        (1, "alpha beta gamma delta", "en", "s", 22),        # train
+        (2, "beta gamma alpha beta", "en", "s", 21),         # train
+        (3, "!", "en", "s", 1),                     # train, 0 tokens
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r["n_bigrams"]
+        for r in text_lm_perplexity(spark, str(tmp_path)).collect()
+    }
+    # token-less test docs simply have no bigram rows; the real doc does
+    assert 0 not in got and 5 not in got
+    assert got[10] == 4
