@@ -712,3 +712,189 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ------------------------------------------ Gopher-style rule filters
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS words,
+        len(regexp_extract_all(lower(text), '[a-z]')) AS alpha,
+        length(text) AS chars,
+        len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+          AS dwords
+      FROM documents
+    ), flags AS (
+      SELECT source,
+        words >= 30 AS ok_words,
+        (alpha / CAST(greatest(words, 1) AS DOUBLE)) BETWEEN 4.0 AND 10.0
+          AS ok_wordlen,
+        (alpha / CAST(greatest(chars, 1) AS DOUBLE)) >= 0.80 AS ok_alpha,
+        (dwords / CAST(greatest(words, 1) AS DOUBLE)) >= 0.55 AS ok_distinct
+      FROM d
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN ok_words AND ok_wordlen AND ok_alpha
+                     AND ok_distinct THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      ROUND(SUM(CASE WHEN ok_words AND ok_wordlen AND ok_alpha
+                      AND ok_distinct THEN 1 ELSE 0 END)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate,
+      CAST(SUM(CASE WHEN ok_words THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_words,
+      CAST(SUM(CASE WHEN ok_wordlen THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_wordlen,
+      CAST(SUM(CASE WHEN ok_alpha THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_alpha,
+      CAST(SUM(CASE WHEN ok_distinct THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_fail_distinct
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard rule filters as individual flags — the
+    complement of text_quality's blended score: a doc passes only if
+    it clears EVERY rule (word count ≥ 30, mean word length in
+    [4, 10], alphabetic char ratio ≥ 0.80, distinct-word ratio ≥
+    0.55 — the repetition rule), and the per-source report breaks
+    out WHICH rule kills what (the number a curation run actually
+    debugs with).
+
+    Scale shape: four regexp counts per doc in one scan projection,
+    one map-side-combined per-source rollup; every ratio is an exact
+    int/int division compared once — no accumulation to diverge."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+            )
+        ).alias("words"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z]")).alias(
+            "alpha"
+        ),
+        F.length("text").alias("chars"),
+        F.size(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+                )
+            )
+        ).alias("dwords"),
+    )
+    ok_words = F.col("words") >= 30
+    wordlen = F.col("alpha") / F.greatest(F.col("words"), F.lit(1)).cast(
+        "double"
+    )
+    ok_wordlen = (wordlen >= 4.0) & (wordlen <= 10.0)
+    ok_alpha = (
+        F.col("alpha") / F.greatest(F.col("chars"), F.lit(1)).cast("double")
+    ) >= 0.80
+    ok_distinct = (
+        F.col("dwords") / F.greatest(F.col("words"), F.lit(1)).cast("double")
+    ) >= 0.55
+    all_ok = ok_words & ok_wordlen & ok_alpha & ok_distinct
+    cnt = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            cnt(all_ok).alias("n_pass"),
+            F.round(
+                F.sum(all_ok.cast("int")) / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("pass_rate"),
+            cnt(~ok_words).alias("n_fail_words"),
+            cnt(~ok_wordlen).alias("n_fail_wordlen"),
+            cnt(~ok_alpha).alias("n_fail_alpha"),
+            cnt(~ok_distinct).alias("n_fail_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------- char-level entropy
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(lower(text), '')) AS c
+      FROM documents
+    ), filt AS (
+      SELECT doc_id, source, c FROM ch WHERE c <> ''
+    ), cnt AS (
+      SELECT doc_id, source, c, COUNT(*) AS n
+      FROM filt GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT doc_id, SUM(n) AS t FROM cnt GROUP BY doc_id
+    ), ent AS (
+      SELECT c.doc_id, c.source,
+             CAST(SUM(CAST(ROUND(
+               -(c.n / CAST(t.t AS DOUBLE))
+                 * log2(c.n / CAST(t.t AS DOUBLE)), 12)
+               AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS h
+      FROM cnt c JOIN tot t USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(CAST(SUM(CAST(ROUND(CAST(CAST(h AS VARCHAR)
+                 AS DOUBLE), 6) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_char_entropy_bits
+    FROM ent GROUP BY source ORDER BY source
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean character-level Shannon entropy (bits) — the
+    compressibility proxy in most curation stacks: machine-generated
+    or repetitive text sits well below natural prose's ~4.1 bits,
+    random noise above it; pairs with text_unigram_surprisal's
+    token-level lens.
+
+    Scale shape: one explode to (doc, char) with map-side-combined
+    counts (alphabet ≤ a few hundred symbols per doc, so the
+    per-doc frame is tiny), per-doc entropy in rounded-DECIMAL
+    terms, then a per-source mean of per-doc entropies rounded to 6
+    before the final DECIMAL accumulation."""
+    ch = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), "")).alias("c"),
+    ).filter(F.col("c") != "")
+    cnt = ch.groupBy("doc_id", "source", "c").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t").cast("double")
+    ent = (
+        cnt.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.round(-p * F.log2(p), 12).cast("decimal(38,18)").alias("term"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.sum("term").alias("h"))
+    )
+    return (
+        ent.select(
+            "source",
+            F.round(F.col("h").cast("double"), 6)
+            .cast("decimal(38,6)")
+            .alias("h6"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("h6").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_char_entropy_bits"),
+        )
+        .orderBy("source")
+    )

@@ -559,3 +559,139 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(15)
     )
+
+
+# --------------------------------------- categorical mutual information
+
+
+@query(
+    "q_weekday_type_mutual_info",
+    oracle="""
+    WITH j AS (
+      SELECT dayname(CAST(date_trunc('day', ts) AS DATE)) AS wd,
+             event_type AS et, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT SUM(n) AS t FROM j
+    ), mx AS (
+      SELECT wd, SUM(n) AS nx FROM j GROUP BY wd
+    ), my AS (
+      SELECT et, SUM(n) AS ny FROM j GROUP BY et
+    ), terms AS (
+      SELECT j.wd, j.et,
+             CAST(ROUND((j.n / CAST(t.t AS DOUBLE))
+               * log2((j.n * CAST(t.t AS DOUBLE))
+                      / (CAST(mx.nx AS DOUBLE) * my.ny)), 12)
+               AS DECIMAL(38,18)) AS term
+      FROM j JOIN mx USING (wd) JOIN my USING (et) CROSS JOIN tot t
+    )
+    SELECT CAST((SELECT COUNT(*) FROM mx) AS BIGINT) AS n_weekdays,
+           CAST((SELECT COUNT(*) FROM my) AS BIGINT) AS n_types,
+           ROUND(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE), 6)
+             AS mutual_info_bits
+    FROM terms
+    """,
+)
+def q_weekday_type_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (bits) between day-of-week and event type —
+    the dependence test behind "does behaviour differ by weekday":
+    I(X;Y) = Σ p(x,y)·log₂(p(x,y)/(p(x)p(y))), near 0 when the event
+    mix is calendar-independent (pairs with q_weekday_seasonality's
+    volume lens and q_user_activity_entropy's per-user lens).
+
+    Scale shape: one (weekday, type) contingency count — at most
+    7×|types| cells regardless of corpus size — two marginal re-aggs
+    of that tiny table, DECIMAL-summed rounded terms."""
+    j = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(
+                F.date_trunc("day", F.col("ts")).cast("date"), "EEEE"
+            ).alias("wd"),
+            F.col("event_type").alias("et"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = j.agg(F.sum("n").alias("t"))
+    mx = j.groupBy("wd").agg(F.sum("n").alias("nx"))
+    my = j.groupBy("et").agg(F.sum("n").alias("ny"))
+    term = F.round(
+        (F.col("n") / F.col("t").cast("double"))
+        * F.log2(
+            (F.col("n") * F.col("t").cast("double"))
+            / (F.col("nx").cast("double") * F.col("ny"))
+        ),
+        12,
+    ).cast("decimal(38,18)")
+    terms = (
+        j.join(mx, "wd")
+        .join(my, "et")
+        .crossJoin(F.broadcast(tot))  # one row — the grand total
+        .select(term.alias("term"))
+    )
+    nx_cnt = mx.agg(F.count(F.lit(1)).alias("n_weekdays"))
+    ny_cnt = my.agg(F.count(F.lit(1)).alias("n_types"))
+    return (
+        terms.agg(
+            F.round(F.sum("term").cast("double"), 6).alias(
+                "mutual_info_bits"
+            )
+        )
+        .crossJoin(F.broadcast(nx_cnt))
+        .crossJoin(F.broadcast(ny_cnt))
+        .select(
+            F.col("n_weekdays").cast("bigint").alias("n_weekdays"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            "mutual_info_bits",
+        )
+    )
+
+
+# ------------------------------------------- order fulfillment latency
+
+
+@query(
+    "q_fulfillment_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+               AS month,
+             CAST(datediff('day', o.o_orderdate, l.l_shipdate)
+                  AS DOUBLE) AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           quantile_cont(days, 0.5) AS p50_days,
+           quantile_cont(days, 0.95) AS p95_days,
+           CAST(MAX(days) AS DOUBLE) AS max_days
+    FROM lat GROUP BY month ORDER BY month
+    """,
+)
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per order month — the SLA
+    dashboard number (p50/p95/max days from order placement to line
+    shipment). Exact interpolated percentiles (Spark `percentile` ≡
+    DuckDB `quantile_cont` on doubles, bit-identical); integer day
+    diffs make the interpolation arithmetic exact.
+
+    Scale shape: one key-pruned fact join (orderkey equi-join), one
+    month-keyed shuffle for the exact per-group percentile — the
+    approx_percentile sketch is the 100 TB path when months hold
+    billions of lines (q_approx_sketches)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.datediff("l_shipdate", "o_orderdate").cast("double").alias("days"),
+    )
+    return (
+        lat.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.expr("percentile(days, 0.5)").alias("p50_days"),
+            F.expr("percentile(days, 0.95)").alias("p95_days"),
+            F.max("days").alias("max_days"),
+        )
+        .orderBy("month")
+    )

@@ -486,6 +486,9 @@ _EXPECTED_FLAGS = {
     # bounded probe set broadcast against the corpus (exact-scan
     # audit; ANN index + label post-filter is the at-scale path)
     "embedding_hard_negatives": {"bnlj"},
+    # 1-row grand-total + two 1-row marginal-count broadcasts over the
+    # ≤ 7×|types|-cell contingency table
+    "q_weekday_type_mutual_info": {"bnlj", "single-partition"},
 }
 
 
