@@ -695,3 +695,131 @@ def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ------------------------------------------- supplier on-time shipping
+
+
+@query(
+    "q_supplier_otd",
+    oracle="""
+    WITH lat AS (
+      SELECT l.l_suppkey AS suppkey,
+             datediff('day', o.o_orderdate, l.l_shipdate) <= 30 AS on_time
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT s.s_name AS supplier,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN on_time THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_on_time,
+           ROUND(SUM(CASE WHEN on_time THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS otd_rate
+    FROM lat JOIN supplier s ON s.s_suppkey = lat.suppkey
+    GROUP BY s.s_name
+    ORDER BY otd_rate ASC, supplier LIMIT 20
+    """,
+)
+def q_supplier_otd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier on-time-shipping scoreboard: share of each supplier's
+    lines shipped within the 30-day SLA of order placement, worst 20
+    first — the vendor-performance ranking a procurement dashboard
+    leads with.
+
+    Scale shape: orderkey equi-join (the fact-to-fact join prunes to
+    two columns a side), flag ratio per supplier via one map-side-
+    combined count, small dim join for names, TakeOrdered top-k."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lat = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "l_suppkey",
+        (F.datediff("l_shipdate", "o_orderdate") <= 30).alias("on_time"),
+    )
+    return (
+        lat.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("on_time").cast("int")).cast("bigint").alias(
+                "n_on_time"
+            ),
+            F.round(
+                F.sum(F.col("on_time").cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("otd_rate"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_name").alias("supplier"),
+            "n_lines",
+            "n_on_time",
+            "otd_rate",
+        )
+        .orderBy(F.col("otd_rate").asc(), "supplier")
+        .limit(20)
+    )
+
+
+# ----------------------------------------------- DAU/MAU stickiness
+
+
+@query(
+    "q_stickiness_dau_mau",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             user_id
+      FROM events
+    ), dau AS (
+      SELECT month, day, COUNT(DISTINCT user_id) AS dau
+      FROM d GROUP BY 1, 2
+    ), mau AS (
+      SELECT month, COUNT(DISTINCT user_id) AS mau FROM d GROUP BY 1
+    )
+    SELECT a.month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(SUM(a.dau) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_dau,
+           CAST(ANY_VALUE(m.mau) AS BIGINT) AS mau,
+           ROUND((SUM(a.dau) / CAST(COUNT(*) AS DOUBLE))
+                 / ANY_VALUE(m.mau), 6) AS stickiness
+    FROM dau a JOIN mau m USING (month)
+    GROUP BY a.month ORDER BY a.month
+    """,
+)
+def q_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — mean daily active users over
+    monthly active users, the engagement ratio product dashboards
+    track (1.0 = every monthly user shows up daily).
+
+    Scale shape: two distinct-count aggregations keyed by (month,
+    day) and month — both map-side partial; the join runs on the
+    months-sized rollup. Integer counts, exact IEEE divisions."""
+    d = _t(spark, sf_dir, "events").select(
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "user_id",
+    )
+    dau = d.groupBy("month", "day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    mau = d.groupBy("month").agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "month")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.sum("dau") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_dau"),
+            F.any_value("mau").cast("bigint").alias("mau"),
+            F.round(
+                (F.sum("dau") / F.count(F.lit(1)).cast("double"))
+                / F.any_value("mau"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )

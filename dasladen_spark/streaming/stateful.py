@@ -305,3 +305,149 @@ def cusum_by_key(
             timeoutConf=timeout,
         )
     )
+
+
+P2_SCHEMA = "user_id bigint, n_events bigint, quantile double"
+_P2_STATE_SCHEMA = "cnt bigint, q array<double>, n array<bigint>"
+
+
+def _p2_step(q: list, n: list, x: float, p: float) -> None:
+    """One P² update (Jain & Chlamtac 1985): adjust the five markers
+    for a new observation ``x``. ``q`` heights and ``n`` positions
+    mutate in place; caller guarantees len(q) == len(n) == 5."""
+    if x < q[0]:
+        q[0] = x
+        k = 0
+    elif x >= q[4]:
+        q[4] = x
+        k = 3
+    else:
+        k = 0
+        for i in range(1, 4):
+            if x >= q[i]:
+                k = i
+    for i in range(k + 1, 5):
+        n[i] += 1
+    # desired positions after cnt observations: 1, 1+2p(c-1)/4... we
+    # track them incrementally via the standard dn' increments
+    dns = (0.0, p / 2.0, p, (1.0 + p) / 2.0, 1.0)
+    # n'_i lives implicitly: n'_i = 1 + dns[i] * (cnt - 1); compute
+    # from the running count tracked by the caller via n[4]
+    cnt = n[4]
+    for i in (1, 2, 3):
+        want = 1.0 + dns[i] * (cnt - 1)
+        d = want - n[i]
+        if (d >= 1.0 and n[i + 1] - n[i] > 1) or (
+            d <= -1.0 and n[i - 1] - n[i] < -1
+        ):
+            d = 1.0 if d >= 1.0 else -1.0
+            # parabolic (P²) interpolation, else linear
+            qi = q[i] + d / (n[i + 1] - n[i - 1]) * (
+                (n[i] - n[i - 1] + d)
+                * (q[i + 1] - q[i])
+                / (n[i + 1] - n[i])
+                + (n[i + 1] - n[i] - d)
+                * (q[i] - q[i - 1])
+                / (n[i] - n[i - 1])
+            )
+            if q[i - 1] < qi < q[i + 1]:
+                q[i] = qi
+            else:
+                j = i + (1 if d > 0 else -1)
+                q[i] = q[i] + d * (q[j] - q[i]) / (n[j] - n[i])
+            n[i] = int(n[i] + d)
+
+
+def _p2_estimate(cnt: int, q: list, p: float) -> float:
+    if cnt <= 5:
+        s = sorted(q[:cnt])
+        if not s:
+            return float("nan")
+        # nearest-rank on the raw retained values
+        idx = max(0, min(cnt - 1, int(p * cnt)))
+        return s[idx]
+    return q[2]
+
+
+def _make_p2_fn(p: float, timeout_ms: int | None):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            cnt, q, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "quantile": [_p2_estimate(cnt, list(q), p)],
+                }
+            )
+            return
+        cnt, q, n = (
+            state.get if state.exists else (0, [0.0] * 5, [0] * 5)
+        )
+        q, n = list(q), list(n)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for x in rows["value"].astype("float64"):
+            x = float(x)
+            if cnt < 5:
+                q[cnt] = x
+                cnt += 1
+                if cnt == 5:
+                    q.sort()
+                    n = [1, 2, 3, 4, 5]
+            else:
+                cnt += 1
+                # _p2_step increments the marker positions itself
+                # (n[4] always advances by 1 per observation)
+                _p2_step(q, n, x, p)
+        state.update((cnt, q, n))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "quantile": [_p2_estimate(cnt, q, p)],
+            }
+        )
+
+    return fn
+
+
+def p2_quantile_by_key(
+    events: DataFrame,
+    p: float = 0.5,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Per-user streaming quantile estimate via the P² algorithm —
+    FIVE markers of state per key regardless of history length, the
+    classic bounded-memory answer to "p95 latency per key over an
+    unbounded stream" (exact per-key percentiles would buffer every
+    observation; approx_percentile sketches don't run incrementally
+    per key inside a stateful operator). Estimates converge to the
+    true quantile as the stream grows; the first five observations
+    are exact (nearest-rank on the retained values). Input needs
+    (user_id, ts, event_id, value) columns. Deterministic given
+    micro-batch order: rows sort by (ts, event_id) per invocation,
+    so the differential test replays the identical sequence."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_p2_fn(p, timeout_ms),
+            outputStructType=P2_SCHEMA,
+            stateStructType=_P2_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

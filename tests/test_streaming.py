@@ -1028,3 +1028,114 @@ def test_cusum_by_key_matches_sequential_replay(spark, tmp_path):
     # user 2: 5 → 0; then 20 → 12 — drift
     n2, s2, drift2 = final[2]
     assert (n2, s2, drift2) == (2, replay([5.0, 20.0]), True)
+
+
+def _p2_replay(values, p):
+    """Independent sequential P² reference (list-based, no shared
+    code with the operator's vectorized path beyond the published
+    algorithm) for the differential test."""
+    vals = []
+    q, n = [0.0] * 5, [0] * 5
+    cnt = 0
+    for x in values:
+        x = float(x)
+        if cnt < 5:
+            q[cnt] = x
+            cnt += 1
+            if cnt == 5:
+                q.sort()
+                n = [1, 2, 3, 4, 5]
+            continue
+        cnt += 1
+        if x < q[0]:
+            q[0] = x
+            k = 0
+        elif x >= q[4]:
+            q[4] = x
+            k = 3
+        else:
+            k = max(i for i in range(4) if q[i] <= x)
+        for i in range(k + 1, 5):
+            n[i] += 1
+        dns = (0.0, p / 2.0, p, (1.0 + p) / 2.0, 1.0)
+        for i in (1, 2, 3):
+            d = (1.0 + dns[i] * (cnt - 1)) - n[i]
+            if (d >= 1.0 and n[i + 1] - n[i] > 1) or (
+                d <= -1.0 and n[i - 1] - n[i] < -1
+            ):
+                d = 1.0 if d >= 1.0 else -1.0
+                qi = q[i] + d / (n[i + 1] - n[i - 1]) * (
+                    (n[i] - n[i - 1] + d) * (q[i + 1] - q[i]) / (n[i + 1] - n[i])
+                    + (n[i + 1] - n[i] - d) * (q[i] - q[i - 1]) / (n[i] - n[i - 1])
+                )
+                if q[i - 1] < qi < q[i + 1]:
+                    q[i] = qi
+                else:
+                    j = i + (1 if d > 0 else -1)
+                    q[i] = q[i] + d * (q[j] - q[i]) / (n[j] - n[i])
+                n[i] = int(n[i] + d)
+    if cnt <= 5:
+        s = sorted(q[:cnt])
+        return s[max(0, min(cnt - 1, int(p * cnt)))]
+    return q[2]
+
+
+def test_p2_quantile_matches_replay_and_tracks_exact(spark, tmp_path):
+    """The stateful P² median across micro-batches equals an
+    independent sequential replay EXACTLY, and lands near the true
+    median of the replayed stream (the algorithm's accuracy
+    contract)."""
+    from dasladen_spark.streaming.stateful import p2_quantile_by_key
+
+    # deterministic pseudo-random-ish stream: 40 values per user from
+    # a fixed integer recurrence (no random module — replayable)
+    vals1 = [((i * 37) % 101) / 2.0 for i in range(40)]
+    vals2 = [float(i % 7) for i in range(25)]
+    src = tmp_path / "ev"
+    src.mkdir()
+    half = 20
+    for b, sl in ((0, slice(0, half)), (1, slice(half, None))):
+        lines = ["user_id;ts;event_id;value"]
+        off = sl.start or 0
+        for j, v in enumerate(vals1[sl]):
+            lines.append(f"1;2024-01-01 00:{(off+j)//60:02d}:{(off+j)%60:02d};{off+j};{v}")
+        if b == 0:
+            for j, v in enumerate(vals2):
+                lines.append(f"2;2024-01-01 00:00:{j:02d};{100+j};{v}")
+        f = src / f"b{b}.csv"
+        f.write_text("\n".join(lines) + "\n")
+        import os
+
+        os.utime(f, (1_700_000_000 + b, 1_700_000_000 + b))
+    schema = "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE"
+    final: dict[int, tuple] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r["user_id"]] = (r["n_events"], r["quantile"])
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("sep", ";")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        p2_quantile_by_key(s, p=0.5)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_p2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    n1, est1 = final[1]
+    assert n1 == 40
+    assert est1 == _p2_replay(vals1, 0.5)  # exact differential
+    exact = sorted(vals1)[20]
+    assert abs(est1 - exact) <= 6.0  # accuracy contract on this stream
+    n2, est2 = final[2]
+    assert n2 == 25
+    assert est2 == _p2_replay(vals2, 0.5)
