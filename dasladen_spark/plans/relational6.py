@@ -823,3 +823,158 @@ def q_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ------------------------------------------------- autocorrelation
+
+
+@query(
+    "q_autocorrelation",
+    oracle="""
+    WITH wk AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             COUNT(*) AS x
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT SUM(x) AS sx, SUM(x * x) AS sxx,
+             CAST(COUNT(*) AS BIGINT) AS n FROM wk
+    ), lagged AS (
+      SELECT l.j,
+             SUM(a.x * b.x) AS sxy,
+             CAST(COUNT(*) AS BIGINT) AS pairs
+      FROM wk a
+      JOIN (SELECT unnest(generate_series(1, 4)) AS j) l ON TRUE
+      JOIN wk b ON b.week = a.week + to_weeks(CAST(l.j AS INTEGER))
+      GROUP BY l.j
+    )
+    SELECT l.j AS lag_weeks, l.pairs,
+           ROUND((l.sxy / CAST(l.pairs AS DOUBLE)
+                  - (s.sx / CAST(s.n AS DOUBLE))
+                    * (s.sx / CAST(s.n AS DOUBLE)))
+                 / greatest(s.sxx / CAST(s.n AS DOUBLE)
+                            - (s.sx / CAST(s.n AS DOUBLE))
+                              * (s.sx / CAST(s.n AS DOUBLE)),
+                            0.000000000001), 6) AS acf
+    FROM lagged l CROSS JOIN stats s
+    ORDER BY lag_weeks
+    """,
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of weekly event volume at lags 1-4 — the
+    seasonality detector (an ACF spike at lag 1 means momentum, a
+    periodic spike means a cycle the forecasting/capacity models must
+    carry). Computed from sufficient statistics: ACF(j) ≈
+    (E[x·x₊ⱼ] − μ²)/σ², so the series never leaves its weekly rollup.
+
+    Scale shape: the fact table collapses to one row per week FIRST;
+    the lag pairing is a self-join of that calendar-bounded series
+    against a 4-row lag spine; moments are exact integer sums and
+    every ratio is one IEEE expression rounded once."""
+    wk = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("week", F.col("ts")).alias("week"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    stats = wk.agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    lags = spark.range(1, 5).select(F.col("id").cast("int").alias("j"))
+    a = wk.select(F.col("week").alias("wa"), F.col("x").alias("xa"))
+    b = wk.select(F.col("week").alias("wb"), F.col("x").alias("xb"))
+    lagged = (
+        a.crossJoin(F.broadcast(lags))  # 4-row lag spine
+        .join(
+            b,
+            F.col("wb")
+            == F.col("wa") + F.col("j") * F.expr("INTERVAL 7 DAYS"),
+        )
+        .groupBy("j")
+        .agg(
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.count(F.lit(1)).cast("bigint").alias("pairs"),
+        )
+    )
+    mean = F.col("sx") / F.col("n").cast("double")
+    var = F.greatest(
+        F.col("sxx") / F.col("n").cast("double") - mean * mean,
+        F.lit(1e-12),
+    )
+    return (
+        lagged.crossJoin(F.broadcast(stats))  # one row — the moments
+        .select(
+            F.col("j").alias("lag_weeks"),
+            "pairs",
+            F.round(
+                (F.col("sxy") / F.col("pairs").cast("double") - mean * mean)
+                / var,
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag_weeks")
+    )
+
+
+# --------------------------------------------- k-anonymity audit
+
+
+@query(
+    "q_k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT event_type,
+             dayname(CAST(date_trunc('day', ts) AS DATE)) AS weekday,
+             CAST(floor(value / 100.0) AS BIGINT) AS value_bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           ROUND(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+                 / CAST(SUM(n) AS DOUBLE), 6) AS at_risk_share
+    FROM qi
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (event_type,
+    weekday, value bucket): how many QI groups fall below k = 5, and
+    what share of rows sits in them — the re-identification risk
+    number a governance review asks for before a dataset leaves the
+    boundary (pairs with pii_redact: that removes direct
+    identifiers, this measures the indirect ones).
+
+    Scale shape: one map-side-combined QI group count; the audit is
+    a 1-row summary of that rollup — group cardinality, not corpus
+    size, bounds everything after the first aggregate."""
+    qi = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(
+                F.date_trunc("day", F.col("ts")).cast("date"), "EEEE"
+            ).alias("weekday"),
+            F.floor(F.col("value") / 100.0).cast("bigint").alias(
+                "value_bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    small = F.col("n") < 5
+    return qi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(small.cast("int")).cast("bigint").alias("n_small_groups"),
+        F.sum(F.when(small, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("n").cast("bigint").alias("min_group_size"),
+        F.round(
+            F.sum(F.when(small, F.col("n")).otherwise(0))
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("at_risk_share"),
+    )

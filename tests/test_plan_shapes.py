@@ -489,6 +489,11 @@ _EXPECTED_FLAGS = {
     # 1-row grand-total + two 1-row marginal-count broadcasts over the
     # ≤ 7×|types|-cell contingency table
     "q_weekday_type_mutual_info": {"bnlj", "single-partition"},
+    # 4-row lag spine + 1-row moments broadcast over the weeks-sized
+    # rollup
+    "q_autocorrelation": {"bnlj", "single-partition"},
+    # 1-row audit summary of the QI-group rollup
+    "q_k_anonymity_audit": {"single-partition"},
 }
 
 
