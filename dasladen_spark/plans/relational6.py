@@ -165,14 +165,22 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = d.agg(
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        # square in DECIMAL: long*long silently wraps at ~3e9-count
+        # days (the oracle's HUGEINT doesn't) — exact either way now
+        F.sum(
+            (
+                F.col("x").cast("decimal(19,0)")
+                * F.col("x").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("sxx"),
         F.count(F.lit(1)).alias("n"),
     )
     mean = F.col("sx") / F.col("n").cast("double")
     # greatest(var, 0): see the oracle comment — identical guard
     sig = F.sqrt(
         F.greatest(
-            F.col("sxx") / F.col("n").cast("double") - mean * mean,
+            F.col("sxx").cast("double") / F.col("n").cast("double")
+            - mean * mean,
             F.lit(0.0),
         )
     )
@@ -877,7 +885,14 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = wk.agg(
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        # DECIMAL squares: long*long wraps silently at weekly counts
+        # ≈ 3e9 while the oracle promotes to HUGEINT — keep both exact
+        F.sum(
+            (
+                F.col("x").cast("decimal(19,0)")
+                * F.col("x").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("sxx"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     lags = spark.range(1, 5).select(F.col("id").cast("int").alias("j"))
@@ -892,13 +907,19 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("j")
         .agg(
-            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.sum(
+                (
+                    F.col("xa").cast("decimal(19,0)")
+                    * F.col("xb").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            ).alias("sxy"),
             F.count(F.lit(1)).cast("bigint").alias("pairs"),
         )
     )
     mean = F.col("sx") / F.col("n").cast("double")
     var = F.greatest(
-        F.col("sxx") / F.col("n").cast("double") - mean * mean,
+        F.col("sxx").cast("double") / F.col("n").cast("double")
+        - mean * mean,
         F.lit(1e-12),
     )
     return (
@@ -907,7 +928,11 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").alias("lag_weeks"),
             "pairs",
             F.round(
-                (F.col("sxy") / F.col("pairs").cast("double") - mean * mean)
+                (
+                    F.col("sxy").cast("double")
+                    / F.col("pairs").cast("double")
+                    - mean * mean
+                )
                 / var,
                 6,
             ).alias("acf"),

@@ -363,8 +363,12 @@ def _p2_estimate(cnt: int, q: list, p: float) -> float:
         s = sorted(q[:cnt])
         if not s:
             return float("nan")
-        # nearest-rank on the raw retained values
-        idx = max(0, min(cnt - 1, int(p * cnt)))
+        # nearest-rank (ceil(p·n) − 1) on the raw retained values —
+        # int(p·n) would floor to the UPPER value for even counts at
+        # the median
+        import math
+
+        idx = max(0, min(cnt - 1, math.ceil(p * cnt) - 1))
         return s[idx]
     return q[2]
 

@@ -1031,9 +1031,13 @@ def test_cusum_by_key_matches_sequential_replay(spark, tmp_path):
 
 
 def _p2_replay(values, p):
-    """Independent sequential P² reference (list-based, no shared
-    code with the operator's vectorized path beyond the published
-    algorithm) for the differential test."""
+    """Sequential P² replay for the cross-micro-batch differential.
+    It re-implements the same published update rules rather than
+    importing the operator's helpers, so it verifies that STATE
+    survives micro-batch boundaries and checkpointing exactly — a
+    shared misreading of Jain & Chlamtac would pass both sides, which
+    is why the test also asserts the loose accuracy bound against the
+    true median."""
     vals = []
     q, n = [0.0] * 5, [0] * 5
     cnt = 0
@@ -1075,8 +1079,10 @@ def _p2_replay(values, p):
                     q[i] = q[i] + d * (q[j] - q[i]) / (n[j] - n[i])
                 n[i] = int(n[i] + d)
     if cnt <= 5:
+        import math
+
         s = sorted(q[:cnt])
-        return s[max(0, min(cnt - 1, int(p * cnt)))]
+        return s[max(0, min(cnt - 1, math.ceil(p * cnt) - 1))]
     return q[2]
 
 
