@@ -898,3 +898,158 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ----------------------------------- excess-loss mixture reweighting
+
+#: the lm-perplexity scoring CTEs, reused verbatim so both queries
+#: score the identical model (kept in one place via format)
+_LM_CE_CTE = """
+    WITH tk AS (
+      SELECT doc_id, doc_id % 5 = 0 AS is_test,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, is_test,
+             unnest(list_transform(
+               generate_series(2, len(toks)),
+               i -> toks[i-1] || ' ' || toks[i])) AS bg
+      FROM tk
+    ), cnt2 AS (
+      SELECT bg, COUNT(*) AS c2 FROM bg WHERE NOT is_test GROUP BY bg
+    ), cnt1 AS (
+      SELECT split_part(bg, ' ', 1) AS prev, COUNT(*) AS c1
+      FROM bg WHERE NOT is_test GROUP BY 1
+    ), voc AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(toks) AS tok FROM tk WHERE NOT is_test)
+    ), occ AS (
+      SELECT doc_id, bg, COUNT(*) AS n_occ
+      FROM bg WHERE is_test GROUP BY 1, 2
+    ), terms AS (
+      SELECT o.doc_id, o.n_occ,
+             CAST(o.n_occ * ROUND(ln(
+               (COALESCE(c2.c2, 0) + 1)
+               / CAST(COALESCE(c1.c1, 0) + (SELECT v FROM voc) AS DOUBLE)
+             ), 12) AS DECIMAL(38,18)) AS term
+      FROM occ o
+      LEFT JOIN cnt2 c2 ON c2.bg = o.bg
+      LEFT JOIN cnt1 c1 ON c1.prev = split_part(o.bg, ' ', 1)
+    ), ce AS (
+      SELECT doc_id,
+             ROUND(-CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+                   / CAST(SUM(n_occ) AS DOUBLE), 6) AS cross_entropy
+      FROM terms GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "corpus_mixture_excess_loss",
+    oracle=_LM_CE_CTE + """
+    , src AS (
+      SELECT d.source, COUNT(*) AS n,
+             ROUND(CAST(CAST(SUM(CAST(c.cross_entropy AS DECIMAL(38,6)))
+                   AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mean_ce
+      FROM ce c JOIN documents d USING (doc_id)
+      GROUP BY d.source
+    ), ov AS (
+      SELECT SUM(n) AS total,
+             ROUND(CAST(CAST(SUM(CAST(mean_ce * n AS DECIMAL(38,6)))
+                   AS VARCHAR) AS DOUBLE) / SUM(n), 6) AS overall_ce
+      FROM src
+    ), raw AS (
+      SELECT s.source, s.n, s.mean_ce,
+             ROUND(greatest(s.mean_ce - o.overall_ce, 0), 6) AS excess,
+             CAST(ROUND((s.n / CAST(o.total AS DOUBLE))
+                  * (1.0 + greatest(s.mean_ce - o.overall_ce, 0)), 12)
+               AS DECIMAL(38,12)) AS w_raw
+      FROM src s CROSS JOIN ov o
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs, mean_ce, excess,
+           ROUND(CAST(CAST(w_raw AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST((SELECT SUM(w_raw) FROM raw) AS VARCHAR)
+                        AS DOUBLE), 6) AS mixture_weight
+    FROM raw ORDER BY source
+    """,
+)
+def corpus_mixture_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored mixture reweighting: sources whose held-out
+    bigram-LM cross-entropy EXCEEDS the corpus average get upweighted
+    proportionally (weight ∝ natural share × (1 + excess)) — the
+    one-step, determinism-first form of excess-loss domain
+    reweighting (the multiplicative 1+x update stands in for exp(x),
+    which is not bit-reproducible across math libraries; for the
+    small excesses a mixture step sees they agree to first order).
+    Complements corpus_mixture_temperature's popularity-based
+    rebalance with a LOSS-based one.
+
+    Scale shape: rides text_lm_perplexity's per-doc scores (two
+    shuffle-joined model count tables), then everything is
+    per-source arithmetic on an S-row table with a 1-row total
+    broadcast."""
+    ce = text_lm_perplexity(spark, sf_dir).select("doc_id", "cross_entropy")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    src = (
+        ce.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    F.col("cross_entropy").cast("decimal(38,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_ce"),
+        )
+    )
+    overall = src.agg(
+        F.sum("n").alias("total"),
+        F.round(
+            F.sum(
+                (F.col("mean_ce") * F.col("n")).cast("decimal(38,6)")
+            ).cast("double")
+            / F.sum("n"),
+            6,
+        ).alias("overall_ce"),
+    )
+    excess = F.round(
+        F.greatest(F.col("mean_ce") - F.col("overall_ce"), F.lit(0.0)), 6
+    )
+    raw = (
+        src.crossJoin(F.broadcast(overall))  # one row — corpus totals
+        .select(
+            "source",
+            "n",
+            "mean_ce",
+            excess.alias("excess"),
+            F.round(
+                (F.col("n") / F.col("total").cast("double"))
+                * (
+                    1.0
+                    + F.greatest(
+                        F.col("mean_ce") - F.col("overall_ce"), F.lit(0.0)
+                    )
+                ),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("w_raw"),
+        )
+    )
+    wsum = raw.agg(F.sum("w_raw").alias("w_sum"))
+    return (
+        raw.crossJoin(F.broadcast(wsum))  # one row — the normalizer
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            "mean_ce",
+            "excess",
+            F.round(
+                F.col("w_raw").cast("double") / F.col("w_sum").cast("double"),
+                6,
+            ).alias("mixture_weight"),
+        )
+        .orderBy("source")
+    )

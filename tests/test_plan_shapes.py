@@ -494,6 +494,9 @@ _EXPECTED_FLAGS = {
     "q_autocorrelation": {"bnlj", "single-partition"},
     # 1-row audit summary of the QI-group rollup
     "q_k_anonymity_audit": {"single-partition"},
+    # inherits the LM scorer's 1-row vocab broadcast; corpus-total +
+    # weight-sum normalizers are 1-row broadcasts over the S-row table
+    "corpus_mixture_excess_loss": {"bnlj", "single-partition"},
 }
 
 
