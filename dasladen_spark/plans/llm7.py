@@ -1053,3 +1053,89 @@ def corpus_mixture_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- tokenizer fertility
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=r"""
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+| ?[0-9]+|[^A-Za-z0-9\s'']+'))
+               AS n_tok,
+             len(regexp_extract_all(text, '\S+')) AS n_words,
+             length(text) AS n_chars
+      FROM documents
+    ), per AS (
+      SELECT source,
+             CAST(ROUND(n_tok / CAST(greatest(n_words, 1) AS DOUBLE), 6)
+               AS DECIMAL(38,6)) AS fert,
+             CAST(ROUND(n_chars / CAST(greatest(n_tok, 1) AS DOUBLE), 6)
+               AS DECIMAL(38,6)) AS cpt
+      FROM d
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(CAST(SUM(fert) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_fertility,
+           ROUND(CAST(CAST(SUM(cpt) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_chars_per_token
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: BPE-ish pre-tokens per
+    whitespace word, plus chars per token — the tokenizer-fit audit
+    (fertility ≫ 1 on a source means the tokenizer fragments it
+    heavily, inflating its effective training cost and sequence
+    lengths; chars/token is the compression lens). Uses the same
+    RE2/Java-portable pre-tokenizer pattern as text_bpe_tokens, so
+    the budget numbers line up.
+
+    Scale shape: two regexp counts per doc in the scan projection,
+    per-doc ratios rounded before DECIMAL accumulation, one
+    map-side-combined per-source rollup."""
+    from dasladen_spark.functions.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        bpe_token_count(F.col("text")).alias("n_tok"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+        ).alias("n_words"),
+        F.length("text").alias("n_chars"),
+    )
+    per = d.select(
+        "source",
+        F.round(
+            F.col("n_tok") / F.greatest(F.col("n_words"), F.lit(1)).cast(
+                "double"
+            ),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("fert"),
+        F.round(
+            F.col("n_chars") / F.greatest(F.col("n_tok"), F.lit(1)).cast(
+                "double"
+            ),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("cpt"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("fert").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_fertility"),
+            F.round(
+                F.sum("cpt").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_chars_per_token"),
+        )
+        .orderBy("source")
+    )

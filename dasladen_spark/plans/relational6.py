@@ -1003,3 +1003,100 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("at_risk_share"),
     )
+
+
+# -------------------------------------- population stability index
+
+
+@query(
+    "q_population_stability",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(value / 100.0) AS BIGINT) AS bucket,
+             dayofmonth(ts) <= 15 AS is_ref
+      FROM events WHERE event_type = 'purchase'
+    ), cells AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur,
+             COUNT(*) AS n_buckets
+      FROM cells
+    ), terms AS (
+      -- Laplace(+1) smoothing so empty-on-one-side buckets stay
+      -- finite; proportions then use N + B in the denominator
+      SELECT CAST(ROUND(
+               ((c.n_ref + 1) / CAST(t.t_ref + t.n_buckets AS DOUBLE)
+                - (c.n_cur + 1) / CAST(t.t_cur + t.n_buckets AS DOUBLE))
+               * ln(((c.n_ref + 1)
+                     / CAST(t.t_ref + t.n_buckets AS DOUBLE))
+                    / ((c.n_cur + 1)
+                       / CAST(t.t_cur + t.n_buckets AS DOUBLE))), 12)
+               AS DECIMAL(38,18)) AS term
+      FROM cells c CROSS JOIN tot t
+    )
+    SELECT CAST((SELECT n_buckets FROM tot) AS BIGINT) AS n_buckets,
+           CAST((SELECT t_ref FROM tot) AS BIGINT) AS n_ref,
+           CAST((SELECT t_cur FROM tot) AS BIGINT) AS n_cur,
+           ROUND(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE), 6) AS psi,
+           ROUND(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE), 6) > 0.1
+             AS drifted
+    FROM terms
+    """,
+)
+def q_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of purchase values, first half of
+    the month (reference) vs second half (current) — THE tabular
+    drift score risk/ML teams gate models on (PSI < 0.1 stable,
+    > 0.25 action). Laplace-smoothed fixed-width value buckets keep
+    both engines' proportions exact; the standard quantile-bucket
+    variant swaps in the mergeable-histogram edges at scale.
+
+    Scale shape: one map-side-combined (bucket, half) count — bucket
+    cardinality, not event count, bounds everything after the first
+    aggregate; a 1-row totals broadcast and a DECIMAL-summed term
+    per bucket."""
+    b = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") / 100.0).cast("bigint").alias("bucket"),
+            (F.dayofmonth("ts") <= 15).alias("is_ref"),
+        )
+    )
+    cells = b.groupBy("bucket").agg(
+        F.sum(F.col("is_ref").cast("int")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("int")).alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    p_ref = (F.col("n_ref") + 1) / (
+        F.col("t_ref") + F.col("n_buckets")
+    ).cast("double")
+    p_cur = (F.col("n_cur") + 1) / (
+        F.col("t_cur") + F.col("n_buckets")
+    ).cast("double")
+    terms = (
+        cells.crossJoin(F.broadcast(tot))  # one row — the totals
+        .select(
+            F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 12)
+            .cast("decimal(38,18)")
+            .alias("term"),
+            "n_buckets",
+            "t_ref",
+            "t_cur",
+        )
+    )
+    psi = F.round(F.sum("term").cast("double"), 6)
+    return terms.agg(
+        F.any_value("n_buckets").cast("bigint").alias("n_buckets"),
+        F.any_value("t_ref").cast("bigint").alias("n_ref"),
+        F.any_value("t_cur").cast("bigint").alias("n_cur"),
+        psi.alias("psi"),
+        (psi > 0.1).alias("drifted"),
+    )

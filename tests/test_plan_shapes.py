@@ -497,6 +497,9 @@ _EXPECTED_FLAGS = {
     # inherits the LM scorer's 1-row vocab broadcast; corpus-total +
     # weight-sum normalizers are 1-row broadcasts over the S-row table
     "corpus_mixture_excess_loss": {"bnlj", "single-partition"},
+    # 1-row totals broadcast over the bucket-cardinality cells; the
+    # PSI itself is a 1-row summary
+    "q_population_stability": {"bnlj", "single-partition"},
 }
 
 
