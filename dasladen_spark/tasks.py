@@ -590,6 +590,49 @@ def run_classify(ctx: TaskContext, task: dict) -> None:
         pred.unpersist()
 
 
+def run_sample(ctx: TaskContext, task: dict) -> None:
+    """Sample task (beyond the reference): read any supported source,
+    keep a deterministic id-hash sample, write it to ``target`` — the
+    task-file spelling of the sampling operators, so a scheduled task
+    becomes a repeatable downsized extract (same rows on every run
+    and on any cluster size; operators/sampling).
+
+    - ``method: deterministic`` (default) — ``fraction`` of rows by
+      id hash
+    - ``method: stratified`` — per-stratum ``fractions`` map over
+      ``strata_field`` (unlisted strata get ``default_fraction``)
+    """
+    from dasladen_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    src = task["source"]
+    df = _read_source(ctx, {**task, "type": src.get("kind", "parquet") + "-x"})
+    df = _transformed(ctx, task, df)
+    id_field = task.get("id_field", df.columns[0])
+    method = task.get("method", "deterministic")
+    if method == "deterministic":
+        out = deterministic_sample(
+            df, float(task.get("fraction", 0.1)), id_field,
+            salt=int(task.get("salt", 42)),
+        )
+    elif method == "stratified":
+        out = stratified_sample(
+            df,
+            task["strata_field"],
+            {k: float(v) for k, v in task.get("fractions", {}).items()},
+            id_field,
+            default_fraction=float(task.get("default_fraction", 0.0)),
+            salt=int(task.get("salt", 42)),
+        )
+    else:
+        raise ValueError(f"unknown sample method {method!r}")
+    tgt = task["target"]
+    _write_sink(ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out)
+    ctx.log(f"task {task.get('name')}: sample written ({method})")
+
+
 def run_ann_index(ctx: TaskContext, task: dict) -> None:
     """ANN-index task (beyond the reference): the full index
     lifecycle from task files, the same way the dedup task covers the
@@ -709,6 +752,7 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "dedup": run_dedup,
     "classify": run_classify,
     "ann-index": run_ann_index,
+    "sample": run_sample,
 }
 
 # Beyond the reference's seven ETL shapes: the full source×sink matrix

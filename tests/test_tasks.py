@@ -954,3 +954,54 @@ def test_json_to_tar_shards_task(spark, workdir):
     assert got["2.txt"] == b"beta"
     assert got["3.txt"] == b"gamma"
     assert json.loads(got["1.json"]) == {"lang": "en"}
+
+
+def test_sample_task_deterministic_and_stratified(spark, workdir):
+    """The sample task keeps the SAME rows across runs (id-hash
+    membership) and honors per-stratum rates."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "id": range(200),
+            "grp": ["a" if i % 2 == 0 else "b" for i in range(200)],
+        }
+    ).to_parquet(workdir / "input" / "rows.parquet")
+    base = {
+        "source": {"kind": "parquet", "file": "rows.parquet"},
+        "target": {"kind": "parquet", "file": "s.parquet", "truncate": True},
+        "id_field": "id",
+    }
+    run_tasks(
+        spark,
+        workdir,
+        {"tasks": [{"name": "s1", "type": "sample",
+                    "fraction": 0.3, **base}]},
+    )
+    got1 = {r["id"] for r in
+            spark.read.parquet(str(workdir / "output" / "s.parquet")).collect()}
+    assert 30 <= len(got1) <= 90  # ~30% of 200, hash-noise tolerant
+    run_tasks(
+        spark,
+        workdir,
+        {"tasks": [{"name": "s2", "type": "sample",
+                    "fraction": 0.3, **base}]},
+    )
+    got2 = {r["id"] for r in
+            spark.read.parquet(str(workdir / "output" / "s.parquet")).collect()}
+    assert got1 == got2  # deterministic membership
+
+    run_tasks(
+        spark,
+        workdir,
+        {"tasks": [{
+            "name": "s3", "type": "sample", "method": "stratified",
+            "strata_field": "grp", "fractions": {"a": 1.0},
+            "default_fraction": 0.0, **base,
+        }]},
+    )
+    rows = spark.read.parquet(
+        str(workdir / "output" / "s.parquet")
+    ).collect()
+    assert {r["grp"] for r in rows} == {"a"}
+    assert len(rows) == 100
