@@ -1139,3 +1139,200 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------- filter threshold calibration
+
+
+@query(
+    "nb_threshold_calibration",
+    oracle=_NB_SCORED_CTE + """
+    , piv AS (
+      SELECT l.doc_id, ROUND(l.log_score - s.log_score, 6) AS margin
+      FROM scored l JOIN scored s USING (doc_id)
+      WHERE l.label = 'long' AND s.label = 'short'
+    ), truth AS (
+      SELECT doc_id, label = 'long' AS is_pos FROM lab WHERE is_test
+    ), m AS (
+      SELECT margin, CASE WHEN is_pos THEN 1 ELSE 0 END AS pos
+      FROM piv JOIN truth USING (doc_id)
+    ), cum AS (
+      -- accepting everything with margin >= t: cumulative from the top
+      SELECT margin,
+             SUM(SUM(pos)) OVER (ORDER BY margin DESC
+               ROWS UNBOUNDED PRECEDING) AS tp,
+             SUM(COUNT(*)) OVER (ORDER BY margin DESC
+               ROWS UNBOUNDED PRECEDING) AS accepted,
+             SUM(SUM(pos)) OVER () AS all_pos,
+             SUM(COUNT(*)) OVER () AS all_docs
+      FROM m GROUP BY margin
+    ), ok AS (
+      SELECT margin, tp, accepted, all_pos, all_docs
+      FROM cum WHERE tp * 10 >= accepted * 9   -- precision >= 0.9, exact
+    )
+    SELECT CAST(margin AS DOUBLE) AS threshold,
+           CAST(accepted AS BIGINT) AS n_accepted,
+           CAST(tp AS BIGINT) AS n_true_pos,
+           ROUND(tp / CAST(accepted AS DOUBLE), 6) AS precision_at_t,
+           ROUND(tp / CAST(all_pos AS DOUBLE), 6) AS recall_at_t,
+           ROUND(accepted / CAST(all_docs AS DOUBLE), 6) AS keep_rate
+    FROM ok ORDER BY accepted DESC, margin LIMIT 1
+    """,
+)
+def nb_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy-the-filter calibration: the LOOSEST NB-margin threshold
+    whose acceptance set still holds ≥ 0.9 precision on the eval
+    slice, with its recall and corpus keep-rate — the number that
+    turns a scored classifier into a production quality gate
+    (complements nb_quality_auc's threshold-free view). The
+    precision test is exact integer arithmetic (tp·10 ≥ accepted·9),
+    so no floating comparison picks the winner.
+
+    Scale shape: margins group to distinct values first; the
+    cumulative sweep windows over the margin-level frame only
+    (eval-audit bound, explicit single partition)."""
+    d = _t(spark, sf_dir, "documents")
+    truth = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", (F.col("n_chars") >= 300).cast("int").alias("pos")
+    )
+    m = (
+        text_nb_quality_score(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.round(F.col("score_long") - F.col("score_short"), 6).alias(
+                "margin"
+            ),
+        )
+        .join(truth, "doc_id")
+    )
+    g = m.groupBy("margin").agg(
+        F.sum("pos").alias("np"), F.count(F.lit(1)).alias("nd")
+    )
+    w = (
+        Window.partitionBy(bounded_window_key(F.col("nd")))
+        .orderBy(F.col("margin").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(bounded_window_key(F.col("nd")))
+    cum = g.select(
+        "margin",
+        F.sum("np").over(w).alias("tp"),
+        F.sum("nd").over(w).alias("accepted"),
+        F.sum("np").over(wall).alias("all_pos"),
+        F.sum("nd").over(wall).alias("all_docs"),
+    )
+    return (
+        cum.filter(F.col("tp") * 10 >= F.col("accepted") * 9)
+        .select(
+            F.col("margin").cast("double").alias("threshold"),
+            F.col("accepted").cast("bigint").alias("n_accepted"),
+            F.col("tp").cast("bigint").alias("n_true_pos"),
+            F.round(
+                F.col("tp") / F.col("accepted").cast("double"), 6
+            ).alias("precision_at_t"),
+            F.round(F.col("tp") / F.col("all_pos").cast("double"), 6).alias(
+                "recall_at_t"
+            ),
+            F.round(
+                F.col("accepted") / F.col("all_docs").cast("double"), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy(F.col("n_accepted").desc(), "threshold")
+        .limit(1)
+    )
+
+
+# --------------------------------------- quality-signal correlation
+
+
+@query(
+    "quality_signal_correlation",
+    oracle=_LM_CE_CTE + """
+    , q AS (
+      SELECT d.doc_id,
+             ROUND(
+               0.5 * (len(regexp_extract_all(d.text, '[A-Za-z]'))
+                      / greatest(length(d.text), 1))
+             + 0.25 * greatest(0.0,
+                 1.0 - (len(regexp_extract_all(d.text, '[A-Za-z]'))
+                          / greatest(len(regexp_extract_all(d.text, '\\S+')), 1)
+                        - 5.0)
+                      * (len(regexp_extract_all(d.text, '[A-Za-z]'))
+                           / greatest(len(regexp_extract_all(d.text, '\\S+')), 1)
+                         - 5.0) / 25.0)
+             + 0.25 * (len(list_distinct(string_split_regex(trim(d.text), '\\s+')))
+                       / CAST(greatest(len(regexp_extract_all(d.text, '\\S+')), 1)
+                              AS DOUBLE)),
+             4) AS quality
+      FROM documents d WHERE d.doc_id % 5 = 0
+    ), pair AS (
+      SELECT q.quality AS x, c.cross_entropy AS y
+      FROM q JOIN ce c USING (doc_id)
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,18)))
+                  AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(38,18)))
+                  AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,18)))
+                  AS VARCHAR) AS DOUBLE) AS sxy
+      FROM pair
+    )
+    SELECT n,
+           ROUND((sxy / n - (sx / n) * (sy / n))
+                 / greatest(sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0))
+                            * sqrt(greatest(syy / n - (sy / n) * (sy / n), 0)),
+                            0.000000000001), 6) AS corr_quality_ce
+    FROM s
+    """,
+)
+def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the quality signals agree? Pearson correlation between the
+    heuristic quality score and the LM cross-entropy on the held-out
+    slice — strongly negative means the cheap score and the learned
+    score rank documents the same way (run the cheap one at scale);
+    near zero means they measure different things and the curation
+    gate needs both.
+
+    Scale shape: per-doc signals join on doc_id once; the correlation
+    is five DECIMAL-accumulated sufficient statistics and one final
+    expression — no per-pair work beyond the join."""
+    from dasladen_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    q = d.select("doc_id", quality_score(F.col("text")).alias("x"))
+    ce = text_lm_perplexity(spark, sf_dir).select(
+        "doc_id", F.col("cross_entropy").alias("y")
+    )
+    pair = q.join(ce, "doc_id")
+    dec6, dec18 = "decimal(38,6)", "decimal(38,18)"
+    s = pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec6)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec6)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast(dec18))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 12).cast(dec18))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast(dec18))
+        .cast("double")
+        .alias("sxy"),
+    )
+    mean = lambda c: F.col(c) / F.col("n")  # noqa: E731
+    cov = F.col("sxy") / F.col("n") - mean("sx") * mean("sy")
+    vx = F.greatest(
+        F.col("sxx") / F.col("n") - mean("sx") * mean("sx"), F.lit(0.0)
+    )
+    vy = F.greatest(
+        F.col("syy") / F.col("n") - mean("sy") * mean("sy"), F.lit(0.0)
+    )
+    return s.select(
+        "n",
+        F.round(
+            cov / F.greatest(F.sqrt(vx) * F.sqrt(vy), F.lit(1e-12)), 6
+        ).alias("corr_quality_ce"),
+    )

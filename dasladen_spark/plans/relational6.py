@@ -1100,3 +1100,94 @@ def q_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         psi.alias("psi"),
         (psi > 0.1).alias("drifted"),
     )
+
+
+# --------------------------------------------- interarrival burstiness
+
+
+@query(
+    "q_interarrival_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(date_diff('second', LAG(ts) OVER w, ts) AS BIGINT) AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT user_id, gap FROM gaps WHERE gap IS NOT NULL
+    ), s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             SUM(gap) AS sg,
+             SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+               AS sgg
+      FROM g GROUP BY user_id HAVING COUNT(*) >= 5
+    )
+    SELECT user_id, n_gaps,
+           ROUND(sg / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_s,
+           ROUND(sqrt(greatest(CAST(sgg AS DOUBLE) / n_gaps
+                               - (sg / CAST(n_gaps AS DOUBLE))
+                                 * (sg / CAST(n_gaps AS DOUBLE)), 0))
+                 / greatest(sg / CAST(n_gaps AS DOUBLE), 0.000001), 6)
+             AS burstiness_cv
+    FROM s
+    ORDER BY burstiness_cv DESC, user_id LIMIT 20
+    """,
+)
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interarrival burstiness: coefficient of variation
+    (σ/μ) of the gaps between a user's consecutive events — CV ≈ 1
+    is Poisson-random, CV ≫ 1 is bursty (bot retries, scripted
+    scraping), CV ≪ 1 is metronomic (cron traffic). Top-20 burstiest
+    users with ≥ 5 gaps — the behavioral-anomaly shortlist.
+
+    Scale shape: one user-keyed window for the lag gaps (the same
+    shuffle sessionization uses), DECIMAL-exact moment sums per user
+    (long·long squares would wrap on year-long second gaps × huge
+    histories), TakeOrdered top-k."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            )
+            .cast("bigint")
+            .alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    s = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("gap").alias("sg"),
+            F.sum(
+                (
+                    F.col("gap").cast("decimal(19,0)")
+                    * F.col("gap").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            ).alias("sgg"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    mean = F.col("sg") / F.col("n_gaps").cast("double")
+    var = F.greatest(
+        F.col("sgg").cast("double") / F.col("n_gaps") - mean * mean,
+        F.lit(0.0),
+    )
+    return (
+        s.select(
+            "user_id",
+            "n_gaps",
+            F.round(mean, 6).alias("mean_gap_s"),
+            F.round(
+                F.sqrt(var) / F.greatest(mean, F.lit(1e-6)), 6
+            ).alias("burstiness_cv"),
+        )
+        .orderBy(F.col("burstiness_cv").desc(), "user_id")
+        .limit(20)
+    )

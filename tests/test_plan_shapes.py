@@ -500,6 +500,12 @@ _EXPECTED_FLAGS = {
     # 1-row totals broadcast over the bucket-cardinality cells; the
     # PSI itself is a 1-row summary
     "q_population_stability": {"bnlj", "single-partition"},
+    # inherits the NB scorer's label broadcast; cumulative sweep over
+    # the distinct-margin frame (eval-audit bound)
+    "nb_threshold_calibration": {"bnlj", "single-partition"},
+    # inherits the LM scorer's vocab broadcast; 1-row correlation
+    # summary of five sufficient statistics
+    "quality_signal_correlation": {"bnlj", "single-partition"},
 }
 
 
