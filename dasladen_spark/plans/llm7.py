@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 from dasladen_spark.functions.vectors import bounded_window_key
 from dasladen_spark.plans.llm import _cosine_sql
-from dasladen_spark.plans.llm6 import _NB_SCORED_CTE, text_nb_quality_score
+from dasladen_spark.plans.llm3 import _QUALITY_SQL
+from dasladen_spark.plans.llm6 import (
+    _NB_LONG,
+    _NB_SCORED_CTE,
+    text_nb_quality_score,
+)
 from dasladen_spark.plans.registry import query
 from dasladen_spark.session import load_table as _t
 
@@ -31,11 +36,19 @@ from dasladen_spark.session import load_table as _t
 _BG_SEP = " "
 
 
-@query(
-    "text_lm_perplexity",
-    oracle=f"""
+#: THE one DuckDB spelling of the bigram-LM scorer (train on the
+#: ~80% md5-hash slice, add-one smoothing, per-doc cross-entropy) —
+#: every LM-scoring oracle composes from this so the separator and
+#: rounding can never drift apart between them. The ``ce`` CTE ends
+#: with (doc_id, n_bigrams, cross_entropy).
+_LM_CE_CTE = f"""
     WITH tk AS (
-      SELECT doc_id, doc_id % 5 = 0 AS is_test,
+      -- md5 hash split (portable_sample_filter's predicate, ~20%):
+      -- a doc_id % 5 split correlates with the fixture's source
+      -- assignment and starves 16/20 sources of held-out docs
+      SELECT doc_id,
+             substr(md5('lm' || CAST(doc_id AS VARCHAR)), 1, 8)
+               < '33333333' AS is_test,
              regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
       FROM documents
     ), bg AS (
@@ -64,18 +77,27 @@ _BG_SEP = " "
       FROM occ o
       LEFT JOIN cnt2 c2 ON c2.bg = o.bg
       LEFT JOIN cnt1 c1 ON c1.prev = split_part(o.bg, '{_BG_SEP}', 1)
+    ), ce AS (
+      SELECT doc_id,
+             CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+             ROUND(-CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+                   / CAST(SUM(n_occ) AS DOUBLE), 6) AS cross_entropy
+      FROM terms GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
-           ROUND(-CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
-                 / CAST(SUM(n_occ) AS DOUBLE), 6) AS cross_entropy
-    FROM terms GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query(
+    "text_lm_perplexity",
+    oracle=_LM_CE_CTE + """
+    SELECT doc_id, n_bigrams, cross_entropy
+    FROM ce ORDER BY doc_id
     """,
 )
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality filter — the CCNet-style perplexity stage:
     fit an add-one-smoothed bigram language model on the training
-    slice (doc_id % 5 != 0), score each held-out doc's per-token
+    slice (~80%, by the portable md5 hash split), score each held-out doc's per-token
     cross-entropy H = −Σ n·ln P(cur|prev) / N. Low-H docs read like
     the training distribution; high-H docs are the boilerplate/noise
     a perplexity threshold would drop.
@@ -87,9 +109,15 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins distinct (doc, bigram) occurrence rows only. DECIMAL
     accumulation + the VARCHAR widening keeps every score
     bit-identical to the DuckDB replay."""
+    from dasladen_spark.operators.sampling import portable_sample_filter
+
     tk = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        (F.col("doc_id") % 5 == 0).alias("is_test"),
+        # md5 hash split, ~20% held out — source-uncorrelated (see
+        # the oracle comment; doc_id % 5 starved 16/20 sources)
+        portable_sample_filter(F.col("doc_id"), 0.2, salt="lm").alias(
+            "is_test"
+        ),
         F.regexp_extract_all(
             F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
         ).alias("toks"),
@@ -211,7 +239,7 @@ def nb_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     — an eval-audit bound, partitioned explicitly."""
     d = _t(spark, sf_dir, "documents")
     truth = d.filter(F.col("doc_id") % 5 == 0).select(
-        "doc_id", (F.col("n_chars") >= 300).alias("is_pos")
+        "doc_id", (F.col("n_chars") >= _NB_LONG).alias("is_pos")
     )
     m = (
         text_nb_quality_score(spark, sf_dir)
@@ -902,47 +930,6 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------- excess-loss mixture reweighting
 
-#: the lm-perplexity scoring CTEs, reused verbatim so both queries
-#: score the identical model (kept in one place via format)
-_LM_CE_CTE = """
-    WITH tk AS (
-      SELECT doc_id, doc_id % 5 = 0 AS is_test,
-             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-      FROM documents
-    ), bg AS (
-      SELECT doc_id, is_test,
-             unnest(list_transform(
-               generate_series(2, len(toks)),
-               i -> toks[i-1] || ' ' || toks[i])) AS bg
-      FROM tk
-    ), cnt2 AS (
-      SELECT bg, COUNT(*) AS c2 FROM bg WHERE NOT is_test GROUP BY bg
-    ), cnt1 AS (
-      SELECT split_part(bg, ' ', 1) AS prev, COUNT(*) AS c1
-      FROM bg WHERE NOT is_test GROUP BY 1
-    ), voc AS (
-      SELECT COUNT(DISTINCT tok) AS v
-      FROM (SELECT unnest(toks) AS tok FROM tk WHERE NOT is_test)
-    ), occ AS (
-      SELECT doc_id, bg, COUNT(*) AS n_occ
-      FROM bg WHERE is_test GROUP BY 1, 2
-    ), terms AS (
-      SELECT o.doc_id, o.n_occ,
-             CAST(o.n_occ * ROUND(ln(
-               (COALESCE(c2.c2, 0) + 1)
-               / CAST(COALESCE(c1.c1, 0) + (SELECT v FROM voc) AS DOUBLE)
-             ), 12) AS DECIMAL(38,18)) AS term
-      FROM occ o
-      LEFT JOIN cnt2 c2 ON c2.bg = o.bg
-      LEFT JOIN cnt1 c1 ON c1.prev = split_part(o.bg, ' ', 1)
-    ), ce AS (
-      SELECT doc_id,
-             ROUND(-CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
-                   / CAST(SUM(n_occ) AS DOUBLE), 6) AS cross_entropy
-      FROM terms GROUP BY doc_id
-    )
-"""
-
 
 @query(
     "corpus_mixture_excess_loss",
@@ -990,7 +977,7 @@ def corpus_mixture_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast."""
     ce = text_lm_perplexity(spark, sf_dir).select("doc_id", "cross_entropy")
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    src = (
+    src_lazy = (
         ce.join(d, "doc_id")
         .groupBy("source")
         .agg(
@@ -1003,6 +990,15 @@ def corpus_mixture_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mean_ce"),
         )
+    )
+    # materialize the S-row per-source table ONCE: the expensive LM
+    # scoring subtree would otherwise re-derive per plan branch (the
+    # review probe measured 20 scans / 51 exchanges — the same
+    # pathology ensure_nb_model fixed for NB). S is the number of
+    # SOURCES (dozens), so a driver round-trip is the scale-correct
+    # cut point, not a shortcut.
+    src = spark.createDataFrame(
+        src_lazy.collect(), "source STRING, n BIGINT, mean_ce DOUBLE"
     )
     overall = src.agg(
         F.sum("n").alias("total"),
@@ -1166,17 +1162,23 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(SUM(pos)) OVER () AS all_pos,
              SUM(COUNT(*)) OVER () AS all_docs
       FROM m GROUP BY margin
-    ), ok AS (
-      SELECT margin, tp, accepted, all_pos, all_docs
-      FROM cum WHERE tp * 10 >= accepted * 9   -- precision >= 0.9, exact
     )
+    -- pick the loosest threshold meeting the bar; when NO level
+    -- reaches 0.9 (small eval slices), fall back to the best
+    -- achievable precision so the report is never silently empty —
+    -- precision_at_t < 0.9 in the output IS the signal
     SELECT CAST(margin AS DOUBLE) AS threshold,
            CAST(accepted AS BIGINT) AS n_accepted,
            CAST(tp AS BIGINT) AS n_true_pos,
            ROUND(tp / CAST(accepted AS DOUBLE), 6) AS precision_at_t,
            ROUND(tp / CAST(all_pos AS DOUBLE), 6) AS recall_at_t,
            ROUND(accepted / CAST(all_docs AS DOUBLE), 6) AS keep_rate
-    FROM ok ORDER BY accepted DESC, margin LIMIT 1
+    FROM cum
+    ORDER BY (tp * 10 >= accepted * 9) DESC,
+             CASE WHEN tp * 10 >= accepted * 9 THEN accepted ELSE 0 END
+               DESC,
+             tp / CAST(accepted AS DOUBLE) DESC, margin
+    LIMIT 1
     """,
 )
 def nb_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1193,7 +1195,7 @@ def nb_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (eval-audit bound, explicit single partition)."""
     d = _t(spark, sf_dir, "documents")
     truth = d.filter(F.col("doc_id") % 5 == 0).select(
-        "doc_id", (F.col("n_chars") >= 300).cast("int").alias("pos")
+        "doc_id", (F.col("n_chars") >= _NB_LONG).cast("int").alias("pos")
     )
     m = (
         text_nb_quality_score(spark, sf_dir)
@@ -1221,9 +1223,9 @@ def nb_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("np").over(wall).alias("all_pos"),
         F.sum("nd").over(wall).alias("all_docs"),
     )
+    meets = F.col("tp") * 10 >= F.col("accepted") * 9
     return (
-        cum.filter(F.col("tp") * 10 >= F.col("accepted") * 9)
-        .select(
+        cum.select(
             F.col("margin").cast("double").alias("threshold"),
             F.col("accepted").cast("bigint").alias("n_accepted"),
             F.col("tp").cast("bigint").alias("n_true_pos"),
@@ -1236,9 +1238,21 @@ def nb_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("accepted") / F.col("all_docs").cast("double"), 6
             ).alias("keep_rate"),
+            meets.alias("_meets"),
+            (F.col("tp") / F.col("accepted").cast("double")).alias("_prec"),
         )
-        .orderBy(F.col("n_accepted").desc(), "threshold")
+        # same fallback rule as the oracle: loosest qualifying level,
+        # else the best-precision level — never an empty report
+        .orderBy(
+            F.col("_meets").desc(),
+            F.when(F.col("_meets"), F.col("n_accepted"))
+            .otherwise(F.lit(0))
+            .desc(),
+            F.col("_prec").desc(),
+            "threshold",
+        )
         .limit(1)
+        .drop("_meets", "_prec")
     )
 
 
@@ -1247,24 +1261,13 @@ def nb_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quality_signal_correlation",
-    oracle=_LM_CE_CTE + """
+    oracle=_LM_CE_CTE + f"""
     , q AS (
       SELECT d.doc_id,
-             ROUND(
-               0.5 * (len(regexp_extract_all(d.text, '[A-Za-z]'))
-                      / greatest(length(d.text), 1))
-             + 0.25 * greatest(0.0,
-                 1.0 - (len(regexp_extract_all(d.text, '[A-Za-z]'))
-                          / greatest(len(regexp_extract_all(d.text, '\\S+')), 1)
-                        - 5.0)
-                      * (len(regexp_extract_all(d.text, '[A-Za-z]'))
-                           / greatest(len(regexp_extract_all(d.text, '\\S+')), 1)
-                         - 5.0) / 25.0)
-             + 0.25 * (len(list_distinct(string_split_regex(trim(d.text), '\\s+')))
-                       / CAST(greatest(len(regexp_extract_all(d.text, '\\S+')), 1)
-                              AS DOUBLE)),
-             4) AS quality
-      FROM documents d WHERE d.doc_id % 5 = 0
+             {_QUALITY_SQL.format(t='d.text')} AS quality
+      FROM documents d
+      WHERE substr(md5('lm' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+              < '33333333'
     ), pair AS (
       SELECT q.quality AS x, c.cross_entropy AS y
       FROM q JOIN ce c USING (doc_id)
@@ -1300,8 +1303,11 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     is five DECIMAL-accumulated sufficient statistics and one final
     expression — no per-pair work beyond the join."""
     from dasladen_spark.functions.text import quality_score
+    from dasladen_spark.operators.sampling import portable_sample_filter
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    d = _t(spark, sf_dir, "documents").filter(
+        portable_sample_filter(F.col("doc_id"), 0.2, salt="lm")
+    )
     q = d.select("doc_id", quality_score(F.col("text")).alias("x"))
     ce = text_lm_perplexity(spark, sf_dir).select(
         "doc_id", F.col("cross_entropy").alias("y")

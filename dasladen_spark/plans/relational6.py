@@ -519,8 +519,6 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed shuffle; the path string builds from an in-group
     sorted array (JVM array_join over a bounded 5-slot prefix — no
     per-row UDF); path counting is map-side combinable."""
-    from pyspark.sql import Window
-
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = e.select(
@@ -1012,9 +1010,11 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_population_stability",
     oracle="""
     WITH b AS (
+      -- ts IS NOT NULL: a null timestamp belongs to neither half (a
+      -- null is_ref would count as 'current' here but drop in Spark)
       SELECT CAST(floor(value / 100.0) AS BIGINT) AS bucket,
              dayofmonth(ts) <= 15 AS is_ref
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     ), cells AS (
       SELECT bucket,
              SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
@@ -1060,7 +1060,9 @@ def q_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     per bucket."""
     b = (
         _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+        )
         .select(
             F.floor(F.col("value") / 100.0).cast("bigint").alias("bucket"),
             (F.dayofmonth("ts") <= 15).alias("is_ref"),
@@ -1144,8 +1146,6 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle sessionization uses), DECIMAL-exact moment sums per user
     (long·long squares would wrap on year-long second gaps × huge
     histories), TakeOrdered top-k."""
-    from pyspark.sql import Window
-
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = (
         _t(spark, sf_dir, "events")

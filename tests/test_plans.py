@@ -152,13 +152,20 @@ def test_lm_perplexity_survives_short_docs(spark, tmp_path):
     as the oracle's generate_series semantics."""
     from dasladen_spark.plans.llm7 import text_lm_perplexity
 
+    import hashlib
+
+    def is_test(i):  # the md5 hash split text_lm_perplexity uses
+        return hashlib.md5(f"lm{i}".encode()).hexdigest()[:8] < "33333333"
+
+    test_ids = [i for i in range(100) if is_test(i)]
+    train_ids = [i for i in range(100) if not is_test(i)][:3]
     rows = [
-        (0, "", "en", "s", 0),                      # test slice, empty
-        (5, "word", "en", "s", 4),                  # test slice, 1 token
-        (10, "alpha beta gamma alpha beta", "en", "s", 29),  # test
-        (1, "alpha beta gamma delta", "en", "s", 22),        # train
-        (2, "beta gamma alpha beta", "en", "s", 21),         # train
-        (3, "!", "en", "s", 1),                     # train, 0 tokens
+        (test_ids[0], "", "en", "s", 0),            # test slice, empty
+        (test_ids[1], "word", "en", "s", 4),        # test, 1 token
+        (test_ids[2], "alpha beta gamma alpha beta", "en", "s", 29),
+        (train_ids[0], "alpha beta gamma delta", "en", "s", 22),
+        (train_ids[1], "beta gamma alpha beta", "en", "s", 21),
+        (train_ids[2], "!", "en", "s", 1),          # train, 0 tokens
     ]
     spark.createDataFrame(
         rows, "doc_id LONG, text STRING, lang STRING, source STRING,"
@@ -169,5 +176,5 @@ def test_lm_perplexity_survives_short_docs(spark, tmp_path):
         for r in text_lm_perplexity(spark, str(tmp_path)).collect()
     }
     # token-less test docs simply have no bigram rows; the real doc does
-    assert 0 not in got and 5 not in got
-    assert got[10] == 4
+    assert test_ids[0] not in got and test_ids[1] not in got
+    assert got[test_ids[2]] == 4
