@@ -1191,3 +1191,100 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness_cv").desc(), "user_id")
         .limit(20)
     )
+
+
+# ------------------------------------------- session-level conversion
+
+
+@query(
+    "q_session_conversion",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ), marks AS (
+      SELECT user_id, session_idx,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS t_purchase
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_full_funnel,
+           ROUND(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click THEN 1 ELSE 0 END)
+                 / CAST(greatest(SUM(CASE WHEN t_view IS NOT NULL
+                                     THEN 1 ELSE 0 END), 1) AS DOUBLE), 6)
+             AS session_conversion
+    FROM marks
+    """,
+)
+def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-level funnel conversion: of sessions that saw a view,
+    how many progressed view → click → purchase IN ORDER within the
+    same 30-minute session — the intent-scoped complement of
+    q_funnel's user-lifetime funnel (a click a week after the view
+    counts there, not here).
+
+    Scale shape: the same single user-keyed sessionizer shuffle as
+    q_sessionize_events/q_session_paths, then one (user, session)
+    first-timestamp rollup and a 1-row summary; NULL-safe ordered
+    comparisons encode the strict ordering in both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    marks = sess.groupBy("user_id", "session_idx").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    saw_view = F.col("t_view").isNotNull()
+    clicked = saw_view & (F.col("t_click") > F.col("t_view"))
+    converted = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return marks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(saw_view.cast("int")).cast("bigint").alias("n_view"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("n_view_click"),
+        F.sum(converted.cast("int")).cast("bigint").alias("n_full_funnel"),
+        F.round(
+            F.sum(converted.cast("int"))
+            / F.greatest(F.sum(saw_view.cast("int")), F.lit(1)).cast(
+                "double"
+            ),
+            6,
+        ).alias("session_conversion"),
+    )

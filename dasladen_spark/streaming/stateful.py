@@ -455,3 +455,99 @@ def p2_quantile_by_key(
             timeoutConf=timeout,
         )
     )
+
+
+HOLT_SCHEMA = (
+    "user_id bigint, n_events bigint, level double, trend double,"
+    " forecast double"
+)
+_HOLT_STATE_SCHEMA = "n bigint, l double, b double"
+
+
+def _make_holt_fn(alpha: float, beta: float, timeout_ms: int | None):
+    """Per-key Holt double-exponential fold:
+    level ← α·x + (1−α)(level + trend); trend ← β·(level − level₋₁)
+    + (1−β)·trend. Rows sort by (ts, event_id) per invocation, so
+    the recursion is a pure function of the event sequence."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, lvl, b = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "level": [lvl],
+                    "trend": [b],
+                    "forecast": [lvl + b],
+                }
+            )
+            return
+        n, lvl, b = state.get if state.exists else (0, 0.0, 0.0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for x in rows["value"].astype("float64"):
+            x = float(x)
+            if n == 0:
+                lvl, b = x, 0.0
+            elif n == 1:
+                b = x - lvl
+                lvl = alpha * x + (1.0 - alpha) * (lvl + b)
+            else:
+                prev = lvl
+                lvl = alpha * x + (1.0 - alpha) * (lvl + b)
+                b = beta * (lvl - prev) + (1.0 - beta) * b
+            n += 1
+        state.update((n, lvl, b))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "level": [lvl],
+                "trend": [b],
+                "forecast": [lvl + b],
+            }
+        )
+
+    return fn
+
+
+def holt_by_key(
+    events: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Per-user Holt double-exponential smoothing across
+    micro-batches — level AND trend where ewma_by_key tracks level
+    only, so the emitted one-step ``forecast`` (level + trend)
+    anticipates drifting series instead of lagging them. State per
+    key is THREE numbers regardless of history length. Init follows
+    the standard convention: first value seeds the level, the first
+    difference seeds the trend. Input needs (user_id, ts, event_id,
+    value) columns; deterministic given micro-batch order (rows sort
+    by (ts, event_id) per invocation — the differential test replays
+    the identical sequence)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_holt_fn(alpha, beta, timeout_ms),
+            outputStructType=HOLT_SCHEMA,
+            stateStructType=_HOLT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

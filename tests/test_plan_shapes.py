@@ -506,6 +506,8 @@ _EXPECTED_FLAGS = {
     # inherits the LM scorer's vocab broadcast; 1-row correlation
     # summary of five sufficient statistics
     "quality_signal_correlation": {"bnlj", "single-partition"},
+    # 1-row funnel summary of the per-session marks rollup
+    "q_session_conversion": {"single-partition"},
 }
 
 

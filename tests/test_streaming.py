@@ -1145,3 +1145,71 @@ def test_p2_quantile_matches_replay_and_tracks_exact(spark, tmp_path):
     n2, est2 = final[2]
     assert n2 == 25
     assert est2 == _p2_replay(vals2, 0.5)
+
+
+def test_holt_by_key_matches_sequential_replay(spark, tmp_path):
+    """The stateful Holt recursion across micro-batches equals a
+    sequential replay, and on a linear ramp the one-step forecast
+    anticipates the next value far better than a flat EWMA would."""
+    import os
+
+    from dasladen_spark.streaming.stateful import holt_by_key
+
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    src = tmp_path / "ev"
+    src.mkdir()
+    for b in range(2):
+        rows = "".join(
+            f"1;2024-01-01 00:00:{3 * b + j:02d};{3 * b + j};"
+            f"{vals[3 * b + j]}\n"
+            for j in range(3)
+        )
+        f = src / f"b{b}.csv"
+        f.write_text("user_id;ts;event_id;value\n" + rows)
+        os.utime(f, (1_700_000_000 + b, 1_700_000_000 + b))
+    schema = "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE"
+    final = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r["user_id"]] = (
+                r["n_events"], r["level"], r["trend"], r["forecast"]
+            )
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("sep", ";")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        holt_by_key(s, alpha=0.3, beta=0.1)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_holt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # sequential replay with the same init convention
+    n, lvl, b = 0, 0.0, 0.0
+    for x in vals:
+        if n == 0:
+            lvl, b = x, 0.0
+        elif n == 1:
+            b = x - lvl
+            lvl = 0.3 * x + 0.7 * (lvl + b)
+        else:
+            prev = lvl
+            lvl = 0.3 * x + 0.7 * (lvl + b)
+            b = 0.1 * (lvl - prev) + 0.9 * b
+        n += 1
+    got_n, got_l, got_b, got_f = final[1]
+    assert got_n == 6
+    assert abs(got_l - lvl) < 1e-12 and abs(got_b - b) < 1e-12
+    assert got_f == got_l + got_b
+    # the ramp continues to 70: the trend-aware forecast must land
+    # materially closer than the trailing level alone
+    assert abs(got_f - 70.0) < abs(got_l - 70.0)
