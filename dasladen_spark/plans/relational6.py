@@ -1288,3 +1288,174 @@ def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("session_conversion"),
     )
+
+
+# -------------------------------------------- discount elasticity
+
+
+@query(
+    "q_discount_elasticity",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))
+                  AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(ROUND(l_discount * l_discount, 12)
+                  AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(ROUND(l_quantity * l_quantity, 12)
+                  AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(ROUND(l_discount * l_quantity, 12)
+                  AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT flag, n,
+           ROUND((sxy / n - (sx / n) * (sy / n))
+                 / greatest(sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0))
+                            * sqrt(greatest(syy / n - (sy / n) * (sy / n), 0)),
+                            0.000000000001), 6) AS corr_discount_qty,
+           ROUND((sxy / n - (sx / n) * (sy / n))
+                 / greatest(sxx / n - (sx / n) * (sx / n),
+                            0.000000000001), 6) AS ols_slope
+    FROM s ORDER BY flag
+    """,
+)
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does discounting move volume? Per return-flag correlation AND
+    OLS slope of quantity on discount — the pricing-analytics readout
+    (slope ≈ extra units per discount point; r near zero says the
+    discounts are ritual, not causal). Five sufficient statistics per
+    group, one scan.
+
+    Determinism: raw sums go through exact DECIMAL(18,2) (the values
+    are 2-decimal business numbers); squared/cross terms round at 12
+    before DECIMAL accumulation; every ratio is one IEEE expression
+    rounded once."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec2, dec18 = "decimal(18,2)", "decimal(38,18)"
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("l_discount").cast(dec2)).cast("double").alias("sx"),
+        F.sum(F.col("l_quantity").cast(dec2)).cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("l_discount") * F.col("l_discount"), 12).cast(dec18)
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.round(F.col("l_quantity") * F.col("l_quantity"), 12).cast(dec18)
+        )
+        .cast("double")
+        .alias("syy"),
+        F.sum(
+            F.round(F.col("l_discount") * F.col("l_quantity"), 12).cast(dec18)
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    mx = F.col("sx") / F.col("n")
+    my = F.col("sy") / F.col("n")
+    cov = F.col("sxy") / F.col("n") - mx * my
+    vx = F.greatest(F.col("sxx") / F.col("n") - mx * mx, F.lit(0.0))
+    vy = F.greatest(F.col("syy") / F.col("n") - my * my, F.lit(0.0))
+    return s.select(
+        "flag",
+        "n",
+        F.round(
+            cov / F.greatest(F.sqrt(vx) * F.sqrt(vy), F.lit(1e-12)), 6
+        ).alias("corr_discount_qty"),
+        F.round(cov / F.greatest(vx, F.lit(1e-12)), 6).alias("ols_slope"),
+    ).orderBy("flag")
+
+
+# ------------------------------------------ seasonal anomaly days
+
+
+@query(
+    "q_seasonal_anomaly_days",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             dayname(CAST(date_trunc('day', ts) AS DATE)) AS weekday,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ), wd AS (
+      SELECT weekday, CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(x) AS sx,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+               AS sxx
+      FROM d GROUP BY weekday
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day, d.weekday, d.x,
+           ROUND(w.sx / CAST(w.n_days AS DOUBLE), 6) AS weekday_mean,
+           ROUND((d.x - w.sx / CAST(w.n_days AS DOUBLE))
+                 / greatest(sqrt(greatest(
+                     CAST(w.sxx AS DOUBLE) / w.n_days
+                     - (w.sx / CAST(w.n_days AS DOUBLE))
+                       * (w.sx / CAST(w.n_days AS DOUBLE)), 0)),
+                     0.000001), 6) AS seasonal_z
+    FROM d JOIN wd w USING (weekday)
+    ORDER BY abs((d.x - w.sx / CAST(w.n_days AS DOUBLE))
+                 / greatest(sqrt(greatest(
+                     CAST(w.sxx AS DOUBLE) / w.n_days
+                     - (w.sx / CAST(w.n_days AS DOUBLE))
+                       * (w.sx / CAST(w.n_days AS DOUBLE)), 0)),
+                     0.000001)) DESC, day
+    LIMIT 10
+    """,
+)
+def q_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-AWARE daily anomalies: each day's volume z-scored
+    against ITS OWN weekday's mean and spread — a hot Saturday is
+    normal, a Saturday-sized Tuesday is not (the blind spot of a
+    global z-score; pairs with q_cusum_drift's sustained-shift lens
+    and q_weekday_seasonality's profile). Top-10 by |z|.
+
+    Scale shape: daily counts, a 7-row weekday-moments rollup joined
+    back (broadcast-sized), DECIMAL squares against count overflow,
+    TakeOrdered top-k."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.date_format(
+                F.date_trunc("day", F.col("ts")).cast("date"), "EEEE"
+            ).alias("weekday"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wd = d.groupBy("weekday").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(
+            (
+                F.col("x").cast("decimal(19,0)")
+                * F.col("x").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n_days").cast("double")
+    sig = F.greatest(
+        F.sqrt(
+            F.greatest(
+                F.col("sxx").cast("double") / F.col("n_days") - mean * mean,
+                F.lit(0.0),
+            )
+        ),
+        F.lit(1e-6),
+    )
+    z = (F.col("x") - mean) / sig
+    return (
+        d.join(F.broadcast(wd), "weekday")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "weekday",
+            "x",
+            F.round(mean, 6).alias("weekday_mean"),
+            F.round(z, 6).alias("seasonal_z"),
+        )
+        .orderBy(F.abs(F.col("seasonal_z")).desc(), "day")
+        .limit(10)
+    )
