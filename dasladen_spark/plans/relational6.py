@@ -87,34 +87,26 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = itm.select(F.col("item").alias("antecedent"), F.col("n_item").alias("n_a"))
     ic = itm.select(F.col("item").alias("consequent"), F.col("n_item").alias("n_c"))
-    try:
-        rows = (
-            pair.join(ia, "antecedent")
-            .join(ic, "consequent")
-            .crossJoin(F.broadcast(n))  # one row — the basket total
-            .select(
-                "antecedent",
-                "consequent",
-                "n_both",
-                F.round(
-                    F.col("n_both") / F.col("n_a").cast("double"), 6
-                ).alias("confidence"),
-                F.round(
-                    (F.col("n_both") * F.col("n_baskets"))
-                    / (F.col("n_a") * F.col("n_c")).cast("double"),
-                    6,
-                ).alias("lift"),
-            )
-            .orderBy(F.col("lift").desc(), "antecedent", "consequent")
-            .limit(20)
-            .collect()
+    b.count()  # materialize the cache once; the action below reads it
+    return (
+        pair.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(n))  # one row — the basket total
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_a").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_both") * F.col("n_baskets"))
+                / (F.col("n_a") * F.col("n_c")).cast("double"),
+                6,
+            ).alias("lift"),
         )
-    finally:
-        b.unpersist()
-    return spark.createDataFrame(
-        rows,
-        "antecedent BIGINT, consequent BIGINT, n_both BIGINT,"
-        " confidence DOUBLE, lift DOUBLE",
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(20)
     )
 
 
@@ -492,6 +484,34 @@ def q_duplicate_events_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sessionized(e: DataFrame) -> DataFrame:
+    """30-minute-gap sessionizer shared by the session queries in
+    this module (same rule as relational2.q_sessionize_events):
+    lag → break flag → running sum, ONE user-keyed shuffle. Returns
+    the events frame plus a ``session_idx`` column."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts") - F.lag("ts").over(w)
+                > F.expr("INTERVAL 30 MINUTES")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    return flagged.withColumn(
+        "session_idx",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("brk")
+
+
 # ------------------------------------------------- top session paths
 
 
@@ -534,25 +554,7 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed shuffle; the path string builds from an in-group
     sorted array (JVM array_join over a bounded 5-slot prefix — no
     per-row UDF); path counting is map-side combinable."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
-            1,
-        )
-        .otherwise(0)
-        .alias("brk"),
-    )
-    sess = flagged.withColumn(
-        "session_idx",
-        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = _sessionized(_t(spark, sf_dir, "events"))
     ws = Window.partitionBy("user_id", "session_idx").orderBy(
         "ts", "event_id"
     )
@@ -1260,25 +1262,7 @@ def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sessionize_events/q_session_paths, then one (user, session)
     first-timestamp rollup and a 1-row summary; NULL-safe ordered
     comparisons encode the strict ordering in both engines."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
-            1,
-        )
-        .otherwise(0)
-        .alias("brk"),
-    )
-    sess = flagged.withColumn(
-        "session_idx",
-        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = _sessionized(_t(spark, sf_dir, "events"))
     first_of = lambda t: F.min(  # noqa: E731
         F.when(F.col("event_type") == t, F.col("ts"))
     )
@@ -1290,16 +1274,18 @@ def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     saw_view = F.col("t_view").isNotNull()
     clicked = saw_view & (F.col("t_click") > F.col("t_view"))
     converted = clicked & (F.col("t_purchase") > F.col("t_click"))
+    # WHEN/OTHERWISE(0), not boolean casts: `clicked` is NULL (not
+    # false) for a view-only session, and SUM over all-NULL would
+    # return NULL where the oracle's CASE sums to 0
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
     return marks.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
-        F.sum(saw_view.cast("int")).cast("bigint").alias("n_view"),
-        F.sum(clicked.cast("int")).cast("bigint").alias("n_view_click"),
-        F.sum(converted.cast("int")).cast("bigint").alias("n_full_funnel"),
+        one_if(saw_view).cast("bigint").alias("n_view"),
+        one_if(clicked).cast("bigint").alias("n_view_click"),
+        one_if(converted).cast("bigint").alias("n_full_funnel"),
         F.round(
-            F.sum(converted.cast("int"))
-            / F.greatest(F.sum(saw_view.cast("int")), F.lit(1)).cast(
-                "double"
-            ),
+            one_if(converted)
+            / F.greatest(one_if(saw_view), F.lit(1)).cast("double"),
             6,
         ).alias("session_conversion"),
     )
@@ -1412,12 +1398,10 @@ def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * (w.sx / CAST(w.n_days AS DOUBLE)), 0)),
                      0.000001), 6) AS seasonal_z
     FROM d JOIN wd w USING (weekday)
-    ORDER BY abs((d.x - w.sx / CAST(w.n_days AS DOUBLE))
-                 / greatest(sqrt(greatest(
-                     CAST(w.sxx AS DOUBLE) / w.n_days
-                     - (w.sx / CAST(w.n_days AS DOUBLE))
-                       * (w.sx / CAST(w.n_days AS DOUBLE)), 0)),
-                     0.000001)) DESC, day
+    -- rank by the ROUNDED score (the alias), exactly as Spark does —
+    -- ordering by the raw z could pick a different rank-10 row when
+    -- two days differ only past the 6th decimal
+    ORDER BY abs(seasonal_z) DESC, day
     LIMIT 10
     """,
 )
