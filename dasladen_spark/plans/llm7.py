@@ -1342,3 +1342,67 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             cov / F.greatest(F.sqrt(vx) * F.sqrt(vy), F.lit(1e-12)), 6
         ).alias("corr_quality_ce"),
     )
+
+
+# ------------------------------------------------ ANN tuning curves
+
+
+@query("ann_tuning_curves")  # recall sweep — rows-only (it IS the audit)
+def ann_tuning_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 as a function of the tunable knob, per approximate
+    method: IVF swept over n_probe ∈ {1,2,4,8} and LSH over
+    num_tables ∈ {4,8,16} — the accept/reject CURVE behind choosing
+    an operating point (ann_recall_report shows the shipped
+    configurations; this shows the trade space around them, the
+    artifact a tuning review actually reads).
+
+    Scale shape: ONE persisted exact baseline (|probe|×corpus,
+    audit-bounded probe set) joined against each swept search;
+    every sweep point is the same (table,bucket)/(cell) equi-join
+    geometry as the shipped queries, so measured recall transfers."""
+    from dasladen_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = (
+        cosine_topk(q, emb, k=5).select("query_id", "neighbor_id").persist()
+    )
+    try:
+        n_exact = exact.count()
+        rows = []
+        for n_probe in (1, 2, 4, 8):
+            res = ivf_cosine_topk(
+                q, emb, k=5, n_centroids=16, n_probe=n_probe
+            )
+            hit = (
+                res.select("query_id", "neighbor_id")
+                .join(exact, ["query_id", "neighbor_id"])
+                .count()
+            )
+            rows.append(
+                ("ivf", "n_probe", n_probe,
+                 round(hit / float(n_exact), 4))
+            )
+        for n_tables in (4, 8, 16):
+            res = lsh_cosine_topk(
+                q, emb, k=5, dim=64, num_tables=n_tables
+            )
+            hit = (
+                res.select("query_id", "neighbor_id")
+                .join(exact, ["query_id", "neighbor_id"])
+                .count()
+            )
+            rows.append(
+                ("lsh", "num_tables", n_tables,
+                 round(hit / float(n_exact), 4))
+            )
+    finally:
+        exact.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "method STRING, knob STRING, value INT, recall_at_5 DOUBLE",
+    ).orderBy("method", "value")
