@@ -1458,3 +1458,83 @@ def q_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("seasonal_z")).desc(), "day")
         .limit(10)
     )
+
+
+# ------------------------------------------------- session quality
+
+
+@query(
+    "q_session_quality",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ), per AS (
+      SELECT user_id, session_idx,
+             COUNT(*) AS n_events,
+             CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+               AS dur_s
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate,
+           ROUND(SUM(n_events) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_events_per_session,
+           quantile_cont(CAST(dur_s AS DOUBLE), 0.5) AS p50_duration_s,
+           quantile_cont(CAST(dur_s AS DOUBLE), 0.95) AS p95_duration_s
+    FROM per
+    """,
+)
+def q_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-quality panel: bounce rate (single-event
+    sessions), mean events per session, and p50/p95 session duration
+    — the engagement vitals next to q_session_paths' shapes and
+    q_session_conversion's funnel, all from the same one-shuffle
+    sessionizer.
+
+    Scale shape: _sessionized's user-keyed window, a (user, session)
+    rollup, then a 1-row summary; exact interpolated percentiles on
+    integer second durations (percentile ≡ quantile_cont)."""
+    per = (
+        _sessionized(
+            _t(spark, sf_dir, "events").withColumn(
+                "event_type", F.lit("")
+            )
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.unix_timestamp(F.max("ts"))
+                - F.unix_timestamp(F.min("ts"))
+            )
+            .cast("bigint")
+            .alias("dur_s"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("bounce_rate"),
+        F.round(
+            F.sum("n_events") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_events_per_session"),
+        F.expr("percentile(CAST(dur_s AS DOUBLE), 0.5)").alias(
+            "p50_duration_s"
+        ),
+        F.expr("percentile(CAST(dur_s AS DOUBLE), 0.95)").alias(
+            "p95_duration_s"
+        ),
+    )

@@ -508,6 +508,8 @@ _EXPECTED_FLAGS = {
     "quality_signal_correlation": {"bnlj", "single-partition"},
     # 1-row funnel summary of the per-session marks rollup
     "q_session_conversion": {"single-partition"},
+    # 1-row vitals summary (exact percentile over per-session rows)
+    "q_session_quality": {"single-partition"},
 }
 
 
