@@ -169,7 +169,9 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
         .agg(F.count(F.lit(1)).alias("x"))
-    )
+        .persist()  # days-sized; feeds the moments AND the windows —
+    )                # one corpus scan, not two
+    d.count()
     s = d.agg(
         F.sum("x").alias("sx"),
         # square in DECIMAL: long*long silently wraps at ~3e9-count
@@ -264,7 +266,9 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weekday"),
         )
         .agg(F.count(F.lit(1)).alias("x"))
-    )
+        .persist()  # one-row-per-day; feeds totals AND the weekday
+    )                # rollup — one corpus scan
+    d.count()
     o = d.agg(F.sum("x").alias("tot"), F.count(F.lit(1)).alias("n_days_all"))
     avg_day = F.col("sum_x") / F.col("n_days").cast("double")
     return (
@@ -634,7 +638,9 @@ def q_weekday_type_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("et"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-    )
+        .persist()  # ≤ 7×|types| cells; feeds the total, both
+    )                # marginals, and the terms — one corpus scan
+    j.count()
     tot = j.agg(F.sum("n").alias("t"))
     mx = j.groupBy("wd").agg(F.sum("n").alias("nx"))
     my = j.groupBy("et").agg(F.sum("n").alias("ny"))
@@ -897,7 +903,9 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .groupBy(F.date_trunc("week", F.col("ts")).alias("week"))
         .agg(F.count(F.lit(1)).alias("x"))
-    )
+        .persist()  # weeks-sized; feeds moments + both lag-join
+    )                # sides — one corpus scan, not three
+    wk.count()
     stats = wk.agg(
         F.sum("x").alias("sx"),
         # DECIMAL squares: long*long wraps silently at weekly counts
@@ -1088,7 +1096,8 @@ def q_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = b.groupBy("bucket").agg(
         F.sum(F.col("is_ref").cast("int")).alias("n_ref"),
         F.sum((~F.col("is_ref")).cast("int")).alias("n_cur"),
-    )
+    ).persist()  # bucket-cardinality; feeds totals AND terms —
+    cells.count()  # one corpus scan
     tot = cells.agg(
         F.sum("n_ref").alias("t_ref"),
         F.sum("n_cur").alias("t_cur"),
@@ -1424,7 +1433,9 @@ def q_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weekday"),
         )
         .agg(F.count(F.lit(1)).alias("x"))
-    )
+        .persist()  # one-row-per-day; feeds the weekday moments AND
+    )                # the z-score join — one corpus scan
+    d.count()
     wd = d.groupBy("weekday").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum("x").alias("sx"),
