@@ -87,6 +87,88 @@ _LM_CE_CTE = f"""
 """
 
 
+def _lm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_test, bg) bigram stream — the shared front end of
+    the LM model build and the scoring side (md5 hash split; see the
+    oracle comment: doc_id %% 5 correlates with the fixture's source
+    assignment)."""
+    from dasladen_spark.operators.sampling import portable_sample_filter
+
+    tk = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        portable_sample_filter(F.col("doc_id"), 0.2, salt="lm").alias(
+            "is_test"
+        ),
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+        ).alias("toks"),
+    )
+    return tk.select(
+        "doc_id",
+        "is_test",
+        "toks",
+        # guard: Spark's sequence(2, n) DESCENDS for n < 2 (yielding
+        # out-of-range element_at indexes), so short docs must
+        # short-circuit to the empty array — the same semantics the
+        # oracle's generate_series gives for free
+        F.explode_outer(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(2, size(toks)),"
+                f" i -> concat(element_at(toks, i-1), '{_BG_SEP}',"
+                " element_at(toks, i)))"
+                " ELSE array() END"
+            )
+        ).alias("bg"),
+    ).filter(F.col("bg").isNotNull()).drop("toks")
+
+
+def _ensure_lm_model(spark: SparkSession, sf_dir: str) -> None:
+    """Train-once for the bigram LM: materialize lm_model_bg
+    (bg, c2), lm_model_prev (prev, c1 — DERIVED from the bigram
+    table, no second corpus pass), and lm_model_voc (1-row train
+    vocab size) as tagged catalog tables, skipped when the tag
+    (= corpus path) matches — the same idempotent pattern as
+    classify.ensure_nb_model / ann_index.ensure_ann_index."""
+    from dasladen_spark.operators.ann_index import _drop_orphan_location
+    from dasladen_spark.operators.sampling import portable_sample_filter
+
+    tables = ("lm_model_bg", "lm_model_prev", "lm_model_voc")
+    if spark.catalog.tableExists("lm_model_meta") and all(
+        spark.catalog.tableExists(t) for t in tables
+    ):
+        if (
+            spark.table("lm_model_meta").collect()[0]["tag"] == sf_dir
+        ):
+            return
+    for t in (*tables, "lm_model_meta"):
+        _drop_orphan_location(spark, t)
+    train_bg = _lm_bigrams(spark, sf_dir).filter(~F.col("is_test"))
+    cnt2 = train_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    cnt2.write.mode("overwrite").saveAsTable("lm_model_bg")
+    # prefix totals fold FROM the materialized bigram table: the
+    # prefix count is by construction the sum of its bigram counts
+    spark.table("lm_model_bg").select(
+        F.split_part(F.col("bg"), F.lit(_BG_SEP), F.lit(1)).alias("prev"),
+        "c2",
+    ).groupBy("prev").agg(F.sum("c2").alias("c1")).write.mode(
+        "overwrite"
+    ).saveAsTable("lm_model_prev")
+    d = _t(spark, sf_dir, "documents")
+    d.filter(~portable_sample_filter(F.col("doc_id"), 0.2, salt="lm")).select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+            )
+        ).alias("tok")
+    ).agg(F.count_distinct("tok").alias("v")).write.mode(
+        "overwrite"
+    ).saveAsTable("lm_model_voc")
+    spark.createDataFrame([(sf_dir,)], "tag STRING").write.mode(
+        "overwrite"
+    ).saveAsTable("lm_model_meta")
+
+
 @query(
     "text_lm_perplexity",
     oracle=_LM_CE_CTE + """
@@ -103,54 +185,24 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a perplexity threshold would drop.
 
     Scale shape: bigrams are built JVM-side from the token array
-    (one transform, no position self-join); the model is two
-    map-side-combined count tables keyed by bigram/prefix (joined
-    shuffle-side — a corpus-scale model never broadcasts); scoring
-    joins distinct (doc, bigram) occurrence rows only. DECIMAL
-    accumulation + the VARCHAR widening keeps every score
-    bit-identical to the DuckDB replay."""
-    from dasladen_spark.operators.sampling import portable_sample_filter
-
-    tk = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        # md5 hash split, ~20% held out — source-uncorrelated (see
-        # the oracle comment; doc_id % 5 starved 16/20 sources)
-        portable_sample_filter(F.col("doc_id"), 0.2, salt="lm").alias(
-            "is_test"
-        ),
-        F.regexp_extract_all(
-            F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
-        ).alias("toks"),
-    )
-    bg = tk.select(
-        "doc_id",
-        "is_test",
-        # guard: Spark's sequence(2, n) DESCENDS for n < 2 (yielding
-        # out-of-range element_at indexes), so short docs must
-        # short-circuit to the empty array — the same semantics the
-        # oracle's generate_series gives for free
-        F.explode(
-            F.expr(
-                "CASE WHEN size(toks) >= 2 THEN"
-                " transform(sequence(2, size(toks)),"
-                f" i -> concat(element_at(toks, i-1), '{_BG_SEP}',"
-                " element_at(toks, i)))"
-                " ELSE array() END"
-            )
-        ).alias("bg"),
-    )
-    train = bg.filter(~F.col("is_test"))
-    cnt2 = train.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
-    cnt1 = train.select(
-        F.split_part(F.col("bg"), F.lit(_BG_SEP), F.lit(1)).alias("prev")
-    ).groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
-    voc = (
-        tk.filter(~F.col("is_test"))
-        .select(F.explode("toks").alias("tok"))
-        .agg(F.count_distinct("tok").alias("v"))
-    )
+    (one transform, no position self-join); the model is TRAIN-ONCE
+    — ``_ensure_lm_model`` materializes the bigram counts, the
+    prefix counts (derived from the bigram table, not a second
+    corpus pass), and the vocab size as tagged catalog tables (the
+    ensure_nb_model pattern), so each scoring action reads the test
+    slice once plus two model tables instead of re-tokenizing the
+    corpus per plan branch. The model joins shuffle-side — a
+    corpus-scale vocabulary never broadcasts; scoring joins distinct
+    (doc, bigram) occurrence rows only. DECIMAL accumulation + the
+    VARCHAR widening keeps every score bit-identical to the DuckDB
+    replay."""
+    _ensure_lm_model(spark, sf_dir)
+    cnt2 = spark.table("lm_model_bg")
+    cnt1 = spark.table("lm_model_prev")
+    voc = spark.table("lm_model_voc")
     occ = (
-        bg.filter(F.col("is_test"))
+        _lm_bigrams(spark, sf_dir)
+        .filter(F.col("is_test"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
@@ -278,38 +330,36 @@ def nb_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_dispersion",
     oracle="""
-    WITH e AS (
-      SELECT CAST(label AS VARCHAR) AS label,
-             CAST(ROUND(list_sum(list_transform(
-               embedding::DOUBLE[], x -> x * x)), 12)
-               AS DECIMAL(38,18)) AS sq
-      FROM embeddings
-    ), per AS (
-      SELECT COALESCE(label, 'all') AS label,
-             COUNT(*) AS n,
-             CAST(CAST(SUM(sq) AS VARCHAR) AS DOUBLE) AS ss
-      FROM e GROUP BY GROUPING SETS ((label), ())
-    ), dims AS (
+    WITH dims AS (
       SELECT CAST(label AS VARCHAR) AS label, d.i AS dim,
              CAST(ROUND(embedding[d.i]::DOUBLE, 12) AS DECIMAL(38,18))
-               AS comp
+               AS comp,
+             CAST(ROUND(embedding[d.i]::DOUBLE
+                        * embedding[d.i]::DOUBLE, 12)
+               AS DECIMAL(38,18)) AS comp2
       FROM embeddings, LATERAL (
         SELECT unnest(generate_series(1, len(embedding))) AS i) d
     ), sums AS (
+      -- ONE pass carries both moments: per-dim component sums (for
+      -- the mean) and per-dim square sums (for E||x||^2 = their
+      -- cross-dim total)
       SELECT COALESCE(label, 'all') AS label, dim,
-             CAST(CAST(SUM(comp) AS VARCHAR) AS DOUBLE) AS sv
+             COUNT(*) AS n,
+             SUM(comp) AS sv,
+             SUM(comp2) AS svv
       FROM dims GROUP BY GROUPING SETS ((label, dim), (dim))
-    ), mu2 AS (
-      SELECT s.label,
+    ), per AS (
+      SELECT label, MAX(n) AS n,
+             CAST(CAST(SUM(svv) AS VARCHAR) AS DOUBLE) AS ss,
              CAST(CAST(SUM(CAST(ROUND(
-               (s.sv / p.n) * (s.sv / p.n), 12) AS DECIMAL(38,18)))
-               AS VARCHAR) AS DOUBLE) AS musq
-      FROM sums s JOIN per p USING (label) GROUP BY s.label
+               (CAST(CAST(sv AS VARCHAR) AS DOUBLE) / n)
+               * (CAST(CAST(sv AS VARCHAR) AS DOUBLE) / n), 12)
+               AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS musq
+      FROM sums GROUP BY label
     )
-    SELECT p.label, CAST(p.n AS BIGINT) AS n,
-           ROUND(2.0 * (p.ss / p.n - m.musq), 6) AS mean_sq_dist
-    FROM per p JOIN mu2 m USING (label)
-    ORDER BY label
+    SELECT label, CAST(n AS BIGINT) AS n,
+           ROUND(2.0 * (ss / n - musq), 6) AS mean_sq_dist
+    FROM per ORDER BY label
     """,
 )
 def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,8 +370,8 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·d) pass (per-row squared norms + per-dimension sums), never
     the O(n²) pair join a naive audit would run.
 
-    Determinism: each per-row norm and per-dim component rounds to 12
-    decimals before DECIMAL accumulation; per-dim means square
+    Determinism: each per-dim component and component-square rounds
+    to 12 decimals before DECIMAL accumulation; per-dim means square
     through the same rounded-double path in both engines."""
     e = _t(spark, sf_dir, "embeddings")
     with_all = e.select(
@@ -329,22 +379,10 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         e.select(F.lit("all").alias("label"), "embedding")
     )
-    per = with_all.select(
-        "label",
-        F.round(
-            F.aggregate(
-                F.col("embedding").cast("array<double>"),
-                F.lit(0.0),
-                lambda acc, x: acc + x * x,
-            ),
-            12,
-        )
-        .cast("decimal(38,18)")
-        .alias("sq"),
-    ).groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("sq").cast("double").alias("ss"),
-    )
+    # ONE corpus pass: the (label, dim) aggregation carries BOTH
+    # moments (component sums for the mean, square sums whose
+    # cross-dim total is E||x||²) — the earlier two-branch form
+    # exploded the corpus twice for the same numbers
     sums = (
         with_all.select(
             "label",
@@ -355,35 +393,35 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "dim",
-            F.round(F.col("comp"), 12).cast("decimal(38,18)").alias("comp"),
+            F.round(F.col("comp"), 12).cast("decimal(38,18)").alias("c"),
+            F.round(F.col("comp") * F.col("comp"), 12)
+            .cast("decimal(38,18)")
+            .alias("c2"),
         )
         .groupBy("label", "dim")
-        .agg(F.sum("comp").cast("double").alias("sv"))
-    )
-    mu2 = (
-        sums.join(per.select("label", "n"), "label")
-        .select(
-            "label",
-            F.round(
-                (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n")), 12
-            )
-            .cast("decimal(38,18)")
-            .alias("term"),
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sv"),
+            F.sum("c2").alias("svv"),
         )
-        .groupBy("label")
-        .agg(F.sum("term").cast("double").alias("musq"))
     )
-    return (
-        per.join(mu2, "label")
-        .select(
-            "label",
-            F.col("n").cast("bigint").alias("n"),
-            F.round(
-                2.0 * (F.col("ss") / F.col("n") - F.col("musq")), 6
-            ).alias("mean_sq_dist"),
-        )
-        .orderBy("label")
+    mu_term = F.round(
+        (F.col("sv").cast("double") / F.col("n"))
+        * (F.col("sv").cast("double") / F.col("n")),
+        12,
+    ).cast("decimal(38,18)")
+    per = sums.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.sum("svv").cast("double").alias("ss"),
+        F.sum(mu_term).cast("double").alias("musq"),
     )
+    return per.select(
+        "label",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            2.0 * (F.col("ss") / F.col("n") - F.col("musq")), 6
+        ).alias("mean_sq_dist"),
+    ).orderBy("label")
 
 
 # --------------------------------------------- hard-negative mining
@@ -699,7 +737,8 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         "n",
         F.round(F.col("sv") / F.col("n"), 12).alias("m"),
-    )
+    ).persist()  # (labels+1)×2×d rows; feeds both cohort branches —
+    mu.count()  # one corpus explode, not two
     r = mu.filter(F.col("cohort") == "ref").select(
         "label", "dim", F.col("n").alias("n_ref"), F.col("m").alias("mr")
     )
