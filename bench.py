@@ -78,6 +78,11 @@ HEADLINE = [
     # over a 1-row moments broadcast.
     "text_lm_perplexity",
     "q_association_rules",
+    # round 6b: position-local fingerprint dedup (JVM-only winnowing
+    # projection + hub-capped fp join) and blocked ER with transitive
+    # closure (block-bounded levenshtein pairs + iterative min-label)
+    "dedup_winnowing",
+    "er_customer_clusters",
     "q_cusum_drift",
 ]
 

@@ -15,6 +15,7 @@ from dasladen_spark.plans import relational3  # noqa: F401,E402
 from dasladen_spark.plans import relational4  # noqa: F401,E402
 from dasladen_spark.plans import relational5  # noqa: F401,E402
 from dasladen_spark.plans import relational6  # noqa: F401,E402
+from dasladen_spark.plans import relational7  # noqa: F401,E402
 from dasladen_spark.plans import llm  # noqa: F401,E402
 from dasladen_spark.plans import llm2  # noqa: F401,E402
 from dasladen_spark.plans import llm3  # noqa: F401,E402
@@ -22,4 +23,5 @@ from dasladen_spark.plans import llm4  # noqa: F401,E402
 from dasladen_spark.plans import llm5  # noqa: F401,E402
 from dasladen_spark.plans import llm6  # noqa: F401,E402
 from dasladen_spark.plans import llm7  # noqa: F401,E402
+from dasladen_spark.plans import llm8  # noqa: F401,E402
 from dasladen_spark.plans import transforms_parity  # noqa: F401,E402

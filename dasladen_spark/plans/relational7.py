@@ -1,0 +1,177 @@
+"""Relational/analytics queries, part 7: l-diversity privacy audit
+and blocked entity-resolution clustering with transitive closure.
+
+Beyond-reference operators (the reference delegates all query power to
+an RDBMS, /root/reference/dasladen/task.py:94-107). The ER oracle is
+a recursive CTE — the one query family where the DuckDB side, not the
+Spark side, is the hard part: Spark's iterative min-label propagation
+(operators/graph.py) is matched against SQL transitive closure, so
+cluster assignments are verified end-to-end, not just edge counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dasladen_spark.plans.registry import query
+from dasladen_spark.session import load_table as _t
+
+# --------------------------------------------- l-diversity audit
+
+
+@query(
+    "q_l_diversity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             COUNT(*) AS n,
+             COUNT(DISTINCT c_mktsegment) AS l_div
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity,
+           CAST(SUM(CASE WHEN l_div < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(l_div) AS BIGINT) AS min_diversity,
+           ROUND(SUM(CASE WHEN l_div < 3 THEN n ELSE 0 END)
+                 / CAST(SUM(n) AS DOUBLE), 6) AS at_risk_share
+    FROM qi
+    """,
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the quasi-identifier tuple (nation,
+    account-balance bucket) with c_mktsegment as the sensitive
+    attribute: a QI group can satisfy k-anonymity (many rows) yet
+    leak the sensitive value outright when every row in it shares ONE
+    segment — this counts groups with fewer than l = 3 distinct
+    sensitive values and the row mass exposed by them (the companion
+    number to q_k_anonymity_audit; governance reviews ask for both).
+
+    Scale shape: one map-side-combined group-by with a per-group
+    COUNT DISTINCT over a 5-value domain (the distinct expands to at
+    most 5 rows per group before the final fold); the audit itself is
+    a 1-row summary of that rollup."""
+    qi = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0)
+            .cast("bigint")
+            .alias("bal_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("c_mktsegment").alias("l_div"),
+        )
+    )
+    low = F.col("l_div") < 3
+    return qi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(low.cast("int")).cast("bigint").alias("n_low_diversity"),
+        F.sum(F.when(low, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("l_div").cast("bigint").alias("min_diversity"),
+        F.round(
+            F.sum(F.when(low, F.col("n")).otherwise(0))
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("at_risk_share"),
+    )
+
+
+# ------------------------------- entity-resolution cluster rollup
+
+
+@query(
+    "er_customer_clusters",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey AS k, c_name AS name,
+             substring(c_name, 1, length(c_name) - 2) AS blk
+      FROM customer
+    ), e AS (
+      SELECT a.k AS ka, b.k AS kb
+      FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k
+      WHERE levenshtein(a.name, b.name) <= 1
+    ), und AS (
+      SELECT ka AS a, kb AS b FROM e
+      UNION SELECT kb AS a, ka AS b FROM e
+    ), nodes AS (
+      SELECT DISTINCT a AS id FROM und
+    ), r(node, root) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT u.b, r.root FROM r JOIN und u ON u.a = r.node
+    ), lab AS (
+      SELECT node, MIN(root) AS component FROM r GROUP BY node
+    )
+    SELECT lab.component AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           cu.c_name AS rep_name
+    FROM lab JOIN customer cu ON cu.c_custkey = lab.component
+    GROUP BY lab.component, cu.c_name
+    HAVING COUNT(*) >= 2
+    ORDER BY cluster_id
+    """,
+)
+def er_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution clusters over customer names: blocked
+    candidate pairs (all-but-last-2-characters blocking key, the
+    q_fuzzy_name_match device that caps block size by construction),
+    levenshtein ≤ 1 match edges, then TRANSITIVE CLOSURE — A≈B and
+    B≈C put A and C in one cluster even at distance 2, which is what
+    separates entity resolution from pairwise fuzzy matching. Output:
+    one row per multi-member cluster with its representative (the
+    minimum key's name).
+
+    Scale shape: the candidate join is block-keyed with fan-out
+    bounded by the key design (≤ 100 names per block whatever the
+    table size); closure runs iterative min-label propagation
+    (operators/graph.py connected_components — neighbor-min agg per
+    round, localCheckpoint keeps lineage O(1), converges in
+    ~graph-diameter rounds and raises rather than return silently
+    split clusters). The oracle is a recursive CTE computing the same
+    closure, so cluster assignments are cross-engine verified."""
+    from dasladen_spark.operators.graph import connected_components
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    blk = F.expr("substring(c_name, 1, length(c_name) - 2)")
+    a = c.select(
+        F.col("c_custkey").alias("ka"),
+        F.col("c_name").alias("name_a"),
+        blk.alias("blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_name").alias("name_b"),
+        blk.alias("blk"),
+    )
+    edges = (
+        a.join(b, on=[a.blk == b.blk, F.col("ka") < F.col("kb")])
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select("ka", "kb")
+    )
+    labels = connected_components(edges, src="ka", dst="kb")
+    clusters = (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    reps = c.select(
+        F.col("c_custkey").alias("component"),
+        F.col("c_name").alias("rep_name"),
+    )
+    # the cluster rollup (≤ rows/2, in practice rows/block_size) is
+    # the small side — broadcast IT onto the customer scan, never the
+    # reverse
+    return (
+        reps.join(F.broadcast(clusters), "component")
+        .select(
+            F.col("component").alias("cluster_id"), "n_members", "rep_name"
+        )
+        .orderBy("cluster_id")
+    )

@@ -510,6 +510,10 @@ _EXPECTED_FLAGS = {
     "q_session_conversion": {"single-partition"},
     # 1-row vitals summary (exact percentile over per-session rows)
     "q_session_quality": {"single-partition"},
+    # 1-row quartile-bounds broadcast-crossed onto the doc scan
+    "train_curriculum_order": {"bnlj", "single-partition"},
+    # 1-row audit summary of the QI-group rollup (k-anonymity's twin)
+    "q_l_diversity_audit": {"single-partition"},
 }
 
 
