@@ -136,6 +136,19 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # per-query ceiling: a headline query whose MEDIAN exceeds this is
+    # flagged loudly — dedup_winnowing shipped at 183.7s in round 6
+    # because nothing in the intake path said "one query is 81% of the
+    # bench". The flag is advisory (exit stays 0 — the driver parses
+    # stdout), but it lands in both the stderr log and the JSON.
+    ceiling = float(os.environ.get("SPARK_GRAFT_BENCH_CEILING_S", "10"))
+    slow = {n: t for n, t in times.items() if t > ceiling}
+    for n, t in slow.items():
+        print(
+            f"# SLOW: {n} median {t}s exceeds the {ceiling}s per-query "
+            "ceiling — plan regression or missing persist?",
+            file=sys.stderr,
+        )
     full = {
         "metric": "headline_query_wall_time",
         "value": total,
@@ -145,6 +158,8 @@ def main() -> None:
         "reps": reps,
         "sf": sf,
         "cpus": cpus,
+        "ceiling_s": ceiling,
+        "slow": slow,
     }
     # Full payload (spread, reps, config) goes to a file; stdout gets a
     # COMPACT line (medians only) guaranteed to fit the driver's 2 kB

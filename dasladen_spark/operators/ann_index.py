@@ -290,12 +290,35 @@ _GEOMETRY_DEFAULTS = {
 }
 
 
+def _relevant_geometry(kwargs: dict) -> set[str]:
+    """The geometry knobs that actually shape an index built with
+    these kwargs: method/dim/n_buckets/compress always; LSH hashes
+    care about num_tables/bits_per_table, IVF about
+    n_centroids/lloyd_iters, PQ compression about pq_*. Comparing
+    only these means passing an IRRELEVANT knob (pq_m with
+    compress='none', n_centroids with method='lsh') that happens to
+    differ from the stored default never triggers a pointless full
+    rebuild."""
+    method = kwargs.get("method", _GEOMETRY_DEFAULTS["method"])
+    compress = kwargs.get("compress", _GEOMETRY_DEFAULTS["compress"])
+    params = {"method", "dim", "n_buckets", "compress"}
+    if method == "lsh":
+        params |= {"num_tables", "bits_per_table"}
+    elif method == "ivf":
+        params |= {"n_centroids", "lloyd_iters"}
+    if compress == "pq":
+        params |= {"pq_m", "pq_ksub", "pq_iters"}
+    return params
+
+
 def ensure_ann_index(corpus: DataFrame, table: str, tag: str, **kwargs) -> None:
     """Build the index only if absent, built from a different corpus
-    snapshot (``tag`` mismatch), or built with ANY different geometry
-    parameter — the idempotent entry point query code calls, so
-    repeated batches in one session (or a warm catalog) reuse the
-    materialized postings, and a changed knob always rebuilds."""
+    snapshot (``tag`` mismatch), or built with any different RELEVANT
+    geometry parameter — the idempotent entry point query code calls,
+    so repeated batches in one session (or a warm catalog) reuse the
+    materialized postings, and a changed knob that shapes the index
+    always rebuilds (knobs irrelevant to the requested
+    method/compress are ignored, see ``_relevant_geometry``)."""
     spark = corpus.sparkSession
     if spark.catalog.tableExists(f"{table}_meta") and spark.catalog.tableExists(
         table
@@ -306,8 +329,8 @@ def ensure_ann_index(corpus: DataFrame, table: str, tag: str, **kwargs) -> None:
             # (n_buckets/compress/pq_iters); .get(None) != default
             # treats it as a different index rather than letting
             # append/search die on the missing field later
-            row.get(param) == kwargs.get(param, default)
-            for param, default in _GEOMETRY_DEFAULTS.items()
+            row.get(param) == kwargs.get(param, _GEOMETRY_DEFAULTS[param])
+            for param in _relevant_geometry(kwargs)
         ):
             return
     build_ann_index(corpus, table, tag=tag, **kwargs)

@@ -322,7 +322,17 @@ def ngram_jaccard_pairs(
     docs = df.select(F.col(id_col).alias("id"), shingles.alias("sh")).withColumn(
         "n_sh", F.size("sh")
     )
-    inv = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    # explode_OUTER + null filter, not plain explode: explode over a
+    # staged attribute lets InferFiltersFromGenerate add size(sh) > 0,
+    # which PushDownPredicates re-inlines through the projection — a
+    # Filter that rebuilds the whole shingle array (split re-evaluated
+    # per lambda element, O(n²) in token count) just to test its size.
+    # The shingle array is never empty by construction (count >= 1),
+    # so the outer variant emits no extra rows and the null filter on
+    # the generate OUTPUT cannot be pushed below the Generate.
+    inv = docs.select(
+        "id", "n_sh", F.explode_outer("sh").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
     if max_df is not None:
         inv = (
             inv.withColumn(
@@ -353,6 +363,163 @@ def ngram_jaccard_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------- winnowing (MOSS)
+#
+# Position-local fingerprint dedup (Schleimer/Wilkerson/Aiken, SIGMOD
+# 2003): hash every k-token shingle, keep the minimum hash of each
+# w-window. Unlike MinHash (a random projection of the WHOLE doc),
+# any shared run of ≥ k+w-1 tokens is GUARANTEED to surface a shared
+# fingerprint — the guarantee plagiarism / license-contamination
+# audits need. Defaults shared with the dedup_winnowing query and its
+# DuckDB oracle (plans/llm8).
+
+WINNOW_K = 4  #: shingle width in tokens
+WINNOW_W = 4  #: winnowing window in hashes
+WINNOW_MAX_DF = 16  #: hub-fingerprint cap for the pair join
+WINNOW_MIN_SHARED = 3  #: pair-report floor
+
+
+def kgram_hashes(toks, k: int = WINNOW_K):
+    """Column expr: md5 hex of every k-token shingle of a token-array
+    Column — JVM-side only (sequence / transform / slice / md5)."""
+    n = F.size(toks)
+    # greatest(...) keeps sequence() ascending even when the guard
+    # branch is not taken (sequence(1, n) DESCENDS for n < 1)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def window_mins(hashes, w: int = WINNOW_W):
+    """Column expr: robust-winnowing selection over a hash-array
+    Column — the MIN md5 hex of each window of ``w`` consecutive
+    k-gram hashes, de-duplicated. Arrays with fewer hashes than one
+    window contribute their single overall min; empty arrays
+    contribute nothing. The md5-hex min is a pure string comparison —
+    identical in Spark and DuckDB."""
+    nh = F.size(hashes)
+    return F.when(
+        nh >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nh - w + 1, F.lit(1))),
+                lambda j: F.array_min(F.slice(hashes, j, w)),
+            )
+        ),
+    ).otherwise(
+        F.when(nh > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def winnow_fps_expr(text_col: str, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Column expr: winnowed fingerprint set (array<string>) of a
+    space-tokenized text column, as ONE nested expression. Fine for
+    unit tests and tiny frames; production paths must use
+    ``winnow_fingerprints`` instead — higher-order-function lambdas
+    get no codegen or common-subexpression elimination, so nesting
+    the k-gram transform inside the window-min lambda re-evaluates
+    the ENTIRE hash array at every window position (O(n²) md5s per
+    doc, the round-6 183s-bench lesson)."""
+    return window_mins(kgram_hashes(F.split(F.col(text_col), " "), k), w)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(id, text) frame → exploded (id, fp) winnowed-fingerprint
+    frame, with the token array, the k-gram hash array, and the
+    fingerprint set each materialized as a NAMED column in its own
+    projection. Each alias is multiply-referenced and non-cheap, so
+    Catalyst's CollapseProject keeps the stages separate and every
+    array is computed exactly once per row — O(n·k) md5s per doc,
+    versus O(n²·k) when the hash transform is re-inlined into the
+    window-min lambda (HOF lambdas get no subexpression
+    elimination).
+
+    The explode is the OUTER variant plus an explicit null filter
+    above the Generate: a plain ``explode`` over a staged attribute
+    lets InferFiltersFromGenerate add ``size(_fps) > 0`` which
+    PushDownPredicates then re-inlines through all three projections
+    — one giant per-row filter recomputing the whole O(n²) nested
+    expression, silently undoing the staging. ``explode_outer``
+    infers nothing, and a predicate on the generate OUTPUT column
+    can never be pushed below the Generate."""
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    hashed = toks.select(id_col, kgram_hashes(F.col("_toks"), k).alias("_hashes"))
+    fps = hashed.select(id_col, window_mins(F.col("_hashes"), w).alias("_fps"))
+    return fps.select(
+        id_col, F.explode_outer("_fps").alias("fp")
+    ).filter(F.col("fp").isNotNull())
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = WINNOW_MAX_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Near-duplicate pairs by winnowed fingerprints → (doc_a, doc_b,
+    shared_fps, containment) with doc_a < doc_b.
+
+    Scale shape: fingerprinting is one embarrassingly-parallel
+    JVM-only staged projection, subsampling shingles ~2/(w+1) before
+    anything shuffles; the pair join is fp-keyed with a ``max_df``
+    hub cap (a fingerprint shared by more docs than the cap is corpus
+    boilerplate, not a dup signal — the same stop-shingle device as
+    minhash_lsh_pairs), so join fan-out per key is bounded by
+    construction. Containment denominators use the PRE-cap
+    fingerprint counts, so a hub-capped pair can never report
+    inflated similarity. The exploded fingerprint frame feeds FOUR
+    plan branches (sizes, df, both join sides) — persisted so
+    fingerprinting runs once, not 7-8×."""
+    e = winnow_fingerprints(docs, id_col, text_col, k, w).persist()
+    sizes = e.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    df_ = e.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    good = (
+        e.join(df_, "fp")
+        .filter(F.col("n_docs") <= max_df)
+        .select(id_col, "fp")
+    )
+    a = good.select(F.col(id_col).alias("doc_a"), "fp")
+    b = good.select(F.col(id_col).alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, on=[a.fp == b.fp, F.col("doc_a") < F.col("doc_b")])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("fp_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("fp_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps") / F.least("fp_a", "fp_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
 
 
 # ------------------------------------------------- embedding near-dup

@@ -129,6 +129,55 @@ def append_to_index(
     write_bucketed(rows, table, "fp", n_buckets, sort_cols="fp", mode="append")
 
 
+def winnowed_novel_against_index(
+    spark: SparkSession,
+    table: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 3,
+    before_batch: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """NEAR-dup incremental intake: the same bucketed index
+    machinery, holding WINNOWED k-gram fingerprints (plans/llm8,
+    the MOSS position-local scheme) instead of one whole-document
+    hash — so a batch doc sharing any ≥ k+w-1-token run with history
+    can be caught, not just byte-identical ones.
+
+    A doc is dropped when ``min_shared`` or more of its winnowed
+    fingerprints already sit in the index (the dedup_winnowing pair
+    floor, applied batch-vs-history). Returns ``(novel_rows,
+    novel_fps)``: the admitted batch rows, and their (id, fp)
+    fingerprints — pass the latter to ``append_to_index`` so the next
+    batch dedups against everything this run admitted. The index
+    table must be dedicated to winnowed fps (one fp per DOC and many
+    fps per doc don't mix semantics).
+
+    Scale shape: fingerprinting is the staged JVM-only projection
+    (winnow_fingerprints); the history probe is a left-semi
+    sort-merge join reading the bucketed index IN PLACE (zero
+    history-side Exchange, only the batch's fps shuffle into the
+    bucket layout — the invariant test_plan_shapes pins for the exact
+    path); the hit count then aggregates batch-sized rows only."""
+    from dasladen_spark.operators.dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(batch, id_col=id_col, text_col=text_col)
+    hist = spark.table(table)
+    if before_batch is not None:
+        hist = hist.filter(F.col("batch_id") < before_batch)
+    hist = hist.select("fp").hint("merge")
+    hits = (
+        fps.join(hist, "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_hits"))
+        .filter(F.col("_n_hits") >= min_shared)
+        .select(id_col)
+    )
+    novel = batch.join(hits, id_col, "left_anti")
+    novel_fps = fps.join(hits, id_col, "left_anti")
+    return novel, novel_fps
+
+
 def compact_fingerprint_index(spark: SparkSession, table: str) -> None:
     """One file per bucket again after many per-batch appends (see
     sinks/bucketed.compact_bucketed for the swap semantics)."""

@@ -46,11 +46,20 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=False)  # sym feeds every round — cut
+        # the (possibly expensive) pair-generation lineage once
     )
+    # seed = least(id, min neighbor): exactly the result of round 1 of
+    # identity-seeded propagation, computed as ONE aggregate without
+    # the labels join — every run starts one round ahead
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        sym.groupBy("b")
+        .agg(F.min("a").alias("nmin"))
+        .select(
+            F.col("b").alias("id"),
+            F.least(F.col("b"), F.col("nmin")).alias("component"),
+        )
+        .localCheckpoint(eager=False)
     )
     changed = 0
     for _ in range(max_iter):
@@ -68,7 +77,10 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence count below is the action
+        # that materializes it, so each round costs ONE Spark job
+        # (eager=True would run a separate materialization job first)
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -312,5 +324,9 @@ def kcore(
         raise ConvergenceError(
             f"k-core peel did not stabilize in {max_iters} rounds"
         )
-    # peeled to the empty graph: no k-core exists
-    return und.sparkSession.createDataFrame([], "id LONG, degree BIGINT")
+    # peeled to the empty graph: no k-core exists — derive the empty
+    # frame's id type from the input so string/int node ids keep the
+    # same schema as the populated path (unions downstream)
+    return und.select(
+        F.col("u").alias("id"), F.lit(0).cast("long").alias("degree")
+    ).limit(0)

@@ -19,53 +19,24 @@ from dasladen_spark.session import load_table as _t
 
 # --------------------------------------------- winnowing fingerprints
 #
-# Parameters shared by the Spark plan and the DuckDB oracle. k = the
+# The operator lives in operators/dedup (winnow_fingerprints /
+# winnowing_pairs — shared with the `dedup` task's winnowing method
+# and the fingerprint-index intake path); this module binds it to the
+# documents table and carries the cross-engine DuckDB oracle. k = the
 # shingle width in TOKENS, w = the winnowing window in hashes (every
 # substring match of at least k + w - 1 tokens is guaranteed to share
 # a fingerprint — the winnowing coverage theorem), MAX_DF caps hub
 # fingerprints, MIN_SHARED is the pair-report floor.
 
-_WIN_K = 4
-_WIN_W = 4
-_WIN_MAX_DF = 16
-_WIN_MIN_SHARED = 3
-
-
-def _winnow_fps(text_col: str):
-    """Column expr: winnowed fingerprint set (array<string>) of a
-    space-tokenized text column — JVM-side only (split / transform /
-    slice / md5 / array_min), no Python in the row path.
-
-    Selection rule (robust winnowing): the MIN md5 hex of each window
-    of ``_WIN_W`` consecutive k-gram hashes, de-duplicated. Docs with
-    fewer hashes than one window contribute their single overall min;
-    docs shorter than k tokens contribute nothing. The md5-hex min is
-    a pure string comparison — identical in Spark and DuckDB."""
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    # greatest(...) keeps sequence() ascending even when the guard
-    # branch is not taken (sequence(1, n) DESCENDS for n < 1)
-    hashes = F.when(
-        n >= _WIN_K,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - _WIN_K + 1, F.lit(1))),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _WIN_K))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    nh = F.size(hashes)
-    return F.when(
-        nh >= _WIN_W,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(nh - _WIN_W + 1, F.lit(1))),
-                lambda j: F.array_min(F.slice(hashes, j, _WIN_W)),
-            )
-        ),
-    ).otherwise(
-        F.when(nh > 0, F.array(F.array_min(hashes))).otherwise(
-            F.array().cast("array<string>")
-        )
-    )
+from dasladen_spark.operators.dedup import (  # noqa: F401  (re-exports:
+    WINNOW_K as _WIN_K,  # tests and task code import these names)
+    WINNOW_MAX_DF as _WIN_MAX_DF,
+    WINNOW_MIN_SHARED as _WIN_MIN_SHARED,
+    WINNOW_W as _WIN_W,
+    winnow_fingerprints,
+    winnowing_pairs,
+)
+from dasladen_spark.operators.dedup import winnow_fps_expr as _winnow_fps  # noqa: F401
 
 
 @query(
@@ -135,41 +106,14 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     same stop-shingle device as dedup_minhash_lsh), so the join
     fan-out per key is bounded by construction. Containment
     denominators use the PRE-cap fingerprint counts, so a hub-capped
-    pair can never report inflated similarity."""
+    pair can never report inflated similarity. The exploded
+    fingerprint frame feeds FOUR plan branches (sizes, df, both join
+    sides) — persisted inside winnowing_pairs so fingerprinting runs
+    once, not 7-8× (the rollup-persist discipline of the multi-branch
+    relational6 queries)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    e = docs.select(
-        "doc_id", F.explode(_winnow_fps("text")).alias("fp")
-    )
-    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    df_ = e.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
-    good = (
-        e.join(df_, "fp")
-        .filter(F.col("n_docs") <= _WIN_MAX_DF)
-        .select("doc_id", "fp")
-    )
-    a = good.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = good.select(F.col("doc_id").alias("doc_b"), "fp")
-    pairs = (
-        a.join(b, on=[a.fp == b.fp, F.col("doc_a") < F.col("doc_b")])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
-        .filter(F.col("shared_fps") >= _WIN_MIN_SHARED)
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("fp_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("fp_b"))
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "shared_fps",
-            F.round(
-                F.col("shared_fps")
-                / F.least("fp_a", "fp_b").cast("double"),
-                6,
-            ).alias("containment"),
-        )
+        winnowing_pairs(docs)
         .orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
         .limit(50)
     )

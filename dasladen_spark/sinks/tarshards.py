@@ -54,20 +54,23 @@ def write_tar_shards(
     ``path`` must be a filesystem shared between executors and the
     driver (local disk only on single-node; NFS/FUSE-mounted object
     store on a cluster — tarfile needs a real file handle, so a raw
-    s3:// URI won't do). Each shard writes to a ``.tmp`` name and
-    atomically renames, so a retried or speculative task can never
-    leave a truncated tar; stale ``shard-*.tar`` from a previous
-    export under the same path are removed first so the directory
-    always holds exactly this export. Keys must be non-null (the
-    task fails with a pointed error otherwise); duplicate keys write
-    duplicate member names, which WebDataset loaders treat as one
-    sample — dedupe upstream."""
+    s3:// URI won't do). Each shard writes to a tmp name UNIQUE to
+    the task attempt and atomically renames: concurrent attempts of
+    the same shard (Spark speculation, a zombie first attempt on a
+    shared FS) can never interleave writes into one file — last
+    complete attempt wins the rename, leftover attempt tmps are
+    swept at the next export. Rows stream straight from the sorted
+    shuffle into the tar (sortWithinPartitions groups each shard's
+    rows key-ordered), so task memory is O(one row), not O(shard).
+    Keys must be non-null (the task fails with a pointed error
+    otherwise); duplicate keys write duplicate member names, which
+    WebDataset loaders treat as one sample — dedupe upstream."""
     os.makedirs(path, exist_ok=True)
     # a re-export with fewer shards (or different data) must not leave
-    # last run's files mixed into the directory
+    # last run's files — or dead attempts' tmps — mixed in
     for f in os.listdir(path):
         if f.startswith("shard-") and (
-            f.endswith(".tar") or f.endswith(".tar.tmp")
+            f.endswith(".tar") or ".tar.tmp" in f
         ):
             os.remove(os.path.join(path, f))
     meta_cols = list(meta_cols or [])
@@ -83,52 +86,80 @@ def write_tar_shards(
         shard.alias("_shard"),
         *[F.col(c) for c in meta_cols],
     ]
-    rows = df.select(*cols).repartition(n_shards, "_shard")
+    # hash-repartitioning on the shard id does NOT guarantee one shard
+    # per partition (two ids can hash to the same task); the sort
+    # groups each shard's rows contiguously AND key-orders them, so
+    # the writer below streams row-at-a-time with no per-shard buffer
+    rows = (
+        df.select(*cols)
+        .repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "_key")
+    )
 
     def write_partition(it):
-        # hash-repartitioning on the shard id does NOT guarantee one
-        # shard per partition (two ids can hash to the same task), so
-        # group within the partition; members sort by key for
-        # byte-stable output
-        by_shard: dict[int, list] = {}
-        for r in it:
-            if r["_shard"] is None:
-                raise ValueError(
-                    "tar-shard export requires non-null keys; got a "
-                    f"null {key_col!r} (payload row dropped nowhere — "
-                    "filter or fix upstream)"
-                )
-            by_shard.setdefault(r["_shard"], []).append(r)
-        for shard_id, buf in by_shard.items():
-            buf.sort(key=lambda r: r["_key"])
-            final = os.path.join(path, f"shard-{shard_id:05d}.tar")
-            tmp = final + ".tmp"
-            with tarfile.open(tmp, "w") as tf:
-                for r in buf:
-                    raw = r["_payload"]
-                    # accept a STRING payload column too (text corpora)
-                    payload = (
-                        raw.encode("utf-8")
-                        if isinstance(raw, str)
-                        else bytes(raw or b"")
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = (
+            str(ctx.taskAttemptId()) if ctx is not None else uuid.uuid4().hex
+        )
+        tf = None
+        cur = tmp = final = None
+
+        def publish():
+            nonlocal tf
+            if tf is not None:
+                tf.close()
+                # atomic: a complete file replaces, never interleaves
+                os.replace(tmp, final)
+                tf = None
+
+        try:
+            for r in it:
+                if r["_shard"] is None:
+                    raise ValueError(
+                        "tar-shard export requires non-null keys; got a "
+                        f"null {key_col!r} (payload row dropped nowhere — "
+                        "filter or fix upstream)"
                     )
-                    info = tarfile.TarInfo(name=f"{r['_key']}.{ext}")
-                    info.size = len(payload)
-                    info.mtime = 0  # fixed time → byte-identical re-runs
-                    tf.addfile(info, io.BytesIO(payload))
-                    if meta_cols:
-                        meta = json.dumps(
-                            {c: r[c] for c in meta_cols},
-                            sort_keys=True,
-                            default=str,
-                        ).encode("utf-8")
-                        mi = tarfile.TarInfo(name=f"{r['_key']}.json")
-                        mi.size = len(meta)
-                        mi.mtime = 0
-                        tf.addfile(mi, io.BytesIO(meta))
-            # atomic publish: a retried/speculative attempt replaces,
-            # never interleaves with, a half-written file
-            os.replace(tmp, final)
+                if r["_shard"] != cur:
+                    publish()
+                    cur = r["_shard"]
+                    final = os.path.join(path, f"shard-{cur:05d}.tar")
+                    tmp = f"{final}.tmp-{attempt}"
+                    tf = tarfile.open(tmp, "w")
+                raw = r["_payload"]
+                # accept a STRING payload column too (text corpora)
+                payload = (
+                    raw.encode("utf-8")
+                    if isinstance(raw, str)
+                    else bytes(raw or b"")
+                )
+                info = tarfile.TarInfo(name=f"{r['_key']}.{ext}")
+                info.size = len(payload)
+                info.mtime = 0  # fixed time → byte-identical re-runs
+                tf.addfile(info, io.BytesIO(payload))
+                if meta_cols:
+                    meta = json.dumps(
+                        {c: r[c] for c in meta_cols},
+                        sort_keys=True,
+                        default=str,
+                    ).encode("utf-8")
+                    mi = tarfile.TarInfo(name=f"{r['_key']}.json")
+                    mi.size = len(meta)
+                    mi.mtime = 0
+                    tf.addfile(mi, io.BytesIO(meta))
+            publish()
+        finally:
+            # failed attempt: drop the half-written tmp so it cannot
+            # be confused for live output (the sweep above also
+            # catches tmps orphaned by a hard kill)
+            if tf is not None:
+                tf.close()
+                if tmp and os.path.exists(tmp):
+                    os.remove(tmp)
 
     rows.foreachPartition(write_partition)
     return sorted(

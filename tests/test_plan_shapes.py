@@ -539,6 +539,57 @@ def test_no_query_has_unexpected_scale_red_flags(spark):
     assert not bad, f"unexpected scale red flags: {bad}"
 
 
+#: function tokens whose re-evaluation per array element is the
+#: O(n²)-per-row signature (md5-per-kgram was the round-6
+#: dedup_winnowing 183s lesson)
+_EXPENSIVE_FN = (
+    "md5(",
+    "sha2(",
+    "levenshtein(",
+    "regexp_extract_all(",
+    "regexp_replace(",
+    "regexp_count(",
+)
+
+_NODE_KIND = re.compile(r"^[\s:+|-]*([A-Za-z]+)")
+
+
+def test_no_expensive_expression_reinlined_into_lambdas_or_filters(spark):
+    """Sweep EVERY registered query's OPTIMIZED plan for the two
+    re-inlining shapes the structural red-flag sweep cannot see —
+    exactly how dedup_winnowing shipped 46× slow in round 6:
+
+    - *nested-hof*: an expensive function inside ≥2 nested
+      ``lambdafunction`` bodies on one plan node. Higher-order
+      function lambdas get no codegen or common-subexpression
+      elimination, so an inner ``transform(... md5 ...)`` re-runs at
+      EVERY outer window position — O(n²) md5s per row. (A flat
+      Project repeating md5 N times is fine: whole-stage codegen CSE
+      dedups it — e.g. text_lang_id's 35 regexp_counts fold to 5.)
+    - *filter-hof*: a Filter node computing an array ``transform`` —
+      the InferFiltersFromGenerate size-guard pushed through a staged
+      projection, rebuilding the whole array (and re-running split
+      per lambda element) just to test its size. Cure: explode_outer
+      + an isNotNull filter on the generate OUTPUT column.
+    """
+    bad = {}
+    for name, fn in sorted(QUERIES.items()):
+        plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        flags = set()
+        for line in plan.splitlines():
+            m = _NODE_KIND.match(line)
+            kind = m.group(1) if m else ""
+            n_lam = line.count("lambdafunction(")
+            n_exp = sum(line.count(t) for t in _EXPENSIVE_FN)
+            if n_lam >= 2 and n_exp >= 2:
+                flags.add("nested-hof")
+            if kind == "Filter" and "transform(" in line:
+                flags.add("filter-hof")
+        if flags:
+            bad[name] = sorted(flags)
+    assert not bad, f"expensive expressions re-inlined: {bad}"
+
+
 def test_mixture_sample_broadcasts_rates(spark):
     """The S-row rate table must broadcast onto the corpus scan — a
     sort-merge join here would shuffle the whole corpus to apply a

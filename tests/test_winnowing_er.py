@@ -53,6 +53,58 @@ def test_winnowing_short_doc_boundaries(spark):
     assert fps[2] == set()
 
 
+def test_winnowing_real_document_lengths_density_and_linearity(spark):
+    """The sf fixtures' ≤100-token docs barely exercise the k-gram
+    explosion — this drives ``winnow_fingerprints`` (the production
+    staged-projection path) at REAL document lengths:
+
+    - density: distinct fingerprints per k-gram hash ≈ 2/(w+1), the
+      Schleimer et al. expected winnowing density for random hashes;
+    - linearity: quadrupling tokens-per-doc must scale wall time with
+      slope < 1.2 (log-time over log-size) — the round-6 re-inlined
+      plan was O(n²) per doc and would show slope ≈ 2 here.
+    """
+    import random
+    import time
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+
+    def corpus(n_docs, n_tok):
+        return spark.createDataFrame(
+            [
+                (i, " ".join(rng.choice(vocab) for _ in range(n_tok)))
+                for i in range(n_docs)
+            ],
+            "doc_id LONG, text STRING",
+        )
+
+    from dasladen_spark.plans.llm8 import winnow_fingerprints
+
+    # density at a real length (one doc is enough — the ratio is per-doc)
+    n_tok = 5000
+    d = corpus(4, n_tok)
+    n_fps = winnow_fingerprints(d).count() / 4
+    n_hashes = n_tok - _WIN_K + 1
+    density = n_fps / n_hashes
+    expected = 2.0 / (_WIN_W + 1)
+    assert 0.6 * expected <= density <= 1.4 * expected, density
+
+    # linearity: same doc count, 4× tokens per doc
+    small, big = corpus(24, 2500), corpus(24, 10000)
+    winnow_fingerprints(small).count()  # codegen/JIT warmup
+    t0 = time.time()
+    winnow_fingerprints(small).count()
+    t_small = time.time() - t0
+    t0 = time.time()
+    winnow_fingerprints(big).count()
+    t_big = time.time() - t0
+    import math
+
+    slope = math.log(max(t_big, 1e-3) / max(t_small, 1e-3)) / math.log(4.0)
+    assert slope < 1.2, (t_small, t_big, slope)
+
+
 def test_er_clusters_are_transitive(spark, tmp_path):
     """A≈B and B≈C (each levenshtein 1) must land in ONE cluster with
     the min-key representative, even though A→C is distance 2; an
