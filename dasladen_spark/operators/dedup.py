@@ -474,6 +474,7 @@ def winnowing_pairs(
     w: int = WINNOW_W,
     max_df: int = WINNOW_MAX_DF,
     min_shared: int = WINNOW_MIN_SHARED,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by winnowed fingerprints → (doc_a, doc_b,
     shared_fps, containment) with doc_a < doc_b.
@@ -488,8 +489,13 @@ def winnowing_pairs(
     fingerprint counts, so a hub-capped pair can never report
     inflated similarity. The exploded fingerprint frame feeds FOUR
     plan branches (sizes, df, both join sides) — persisted so
-    fingerprinting runs once, not 7-8×."""
+    fingerprinting runs once, not 7-8×. Long-lived callers that run
+    the result eagerly (streaming micro-batch sinks) should pass a
+    ``scratch`` list and unpersist its entries after their actions,
+    or each micro-batch leaks one cached fingerprint frame."""
     e = winnow_fingerprints(docs, id_col, text_col, k, w).persist()
+    if scratch is not None:
+        scratch.append(e)
     sizes = e.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     df_ = e.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
     good = (

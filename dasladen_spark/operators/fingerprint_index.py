@@ -129,6 +129,38 @@ def append_to_index(
     write_bucketed(rows, table, "fp", n_buckets, sort_cols="fp", mode="append")
 
 
+def build_winnowed_fingerprint_index(
+    history: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+    tag: str = "",
+) -> None:
+    """One-time build of a WINNOWED fingerprint index: every history
+    document contributes its winnowed k-gram fingerprints (many per
+    doc — operators/dedup winnow_fingerprints), distinct, persisted
+    in the same bucketed+sorted layout as the exact index so
+    ``winnowed_novel_against_index`` / ``append_to_index`` work
+    unchanged. Keep winnowed and whole-doc indexes in separate
+    tables — the fp semantics differ."""
+    from dasladen_spark.operators.dedup import winnow_fingerprints
+
+    spark = history.sparkSession
+    for suffix in ("", "_meta"):
+        _drop_orphan_location(spark, table + suffix)
+    fps = (
+        winnow_fingerprints(history, id_col=id_col, text_col=text_col)
+        .select("fp")
+        .distinct()
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+    )
+    write_bucketed(fps, table, "fp", n_buckets, sort_cols="fp")
+    spark.createDataFrame(
+        [(tag, n_buckets)], "tag STRING, n_buckets INT"
+    ).write.mode("overwrite").saveAsTable(f"{table}_meta")
+
+
 def winnowed_novel_against_index(
     spark: SparkSession,
     table: str,

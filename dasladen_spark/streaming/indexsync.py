@@ -50,11 +50,21 @@ def run_streaming_dedup_intake(
     text_col: str = "text",
     id_col: str = "doc_id",
     available_now: bool = True,
+    method: str = "exact",
+    min_shared: int = 3,
 ):
     """Start the intake query. ``index_table`` must exist (built once
     from history via build_fingerprint_index; an empty history frame
     works for a cold start). Accepted novel docs appear under
-    ``accept_path/batch=N`` as parquet."""
+    ``accept_path/batch=N`` as parquet.
+
+    ``method="winnowing"`` switches to NEAR-dup intake: within-batch
+    winnowed-fingerprint clusters collapse to their min-id survivor,
+    then docs sharing ``min_shared``+ winnowed fingerprints with the
+    index are dropped and the admitted docs' fingerprints appended —
+    the streaming sibling of the `dedup` task's winnowing method
+    (same index layout, same batch-id replay discipline; an index
+    table holds either whole-doc or winnowed fps, never both)."""
     os.makedirs(accept_path, exist_ok=True)
     marker = os.path.join(accept_path, "_last_batch")
     # foreachBatch runs in a CLONED session whose writes don't refresh
@@ -63,9 +73,7 @@ def run_streaming_dedup_intake(
     # keep seeing the pre-append snapshot
     orig = docs.sparkSession
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _last_applied(marker):
-            return
+    def sink_exact(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         b = batch_df.withColumn("fp", fingerprint(F.col(text_col)))
         # a crawler batch can contain its own duplicates: keep the
@@ -81,6 +89,52 @@ def run_streaming_dedup_intake(
             append_to_index(spark, index_table, novel, batch_id=batch_id)
         finally:
             novel.unpersist()
+
+    def sink_winnowing(batch_df: DataFrame, batch_id: int) -> None:
+        from dasladen_spark.operators.dedup import winnowing_pairs
+        from dasladen_spark.operators.fingerprint_index import (
+            winnowed_novel_against_index,
+        )
+        from dasladen_spark.operators.graph import dedup_clusters
+
+        spark = batch_df.sparkSession
+        scratch: list = []
+        pairs = winnowing_pairs(
+            batch_df, id_col=id_col, text_col=text_col,
+            min_shared=min_shared, scratch=scratch,
+        )
+        drop = (
+            dedup_clusters(pairs, "doc_a", "doc_b")
+            .filter(F.col("member") != F.col("survivor"))
+            .select(F.col("member").alias(id_col))
+        )
+        surv = batch_df.join(drop, id_col, "left_anti")
+        novel, novel_fps = winnowed_novel_against_index(
+            spark, index_table, surv,
+            id_col=id_col, text_col=text_col,
+            min_shared=min_shared, before_batch=batch_id,
+        )
+        novel = novel.persist()
+        novel_fps = novel_fps.persist()
+        try:
+            novel.write.mode("overwrite").parquet(
+                f"{accept_path}/batch={batch_id}"
+            )
+            append_to_index(
+                spark, index_table, novel_fps, batch_id=batch_id
+            )
+        finally:
+            novel.unpersist()
+            novel_fps.unpersist()
+            for c in scratch:
+                c.unpersist()
+
+    inner = sink_winnowing if method == "winnowing" else sink_exact
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_applied(marker):
+            return
+        inner(batch_df, batch_id)
         orig.catalog.refreshTable(index_table)
         with open(marker, "w") as fh:
             fh.write(str(batch_id))

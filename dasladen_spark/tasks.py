@@ -473,7 +473,17 @@ def run_dedup(ctx: TaskContext, task: dict) -> None:
     appended, so the next run of the same task file dedups against
     everything this run admitted: scheduled task-file runs become an
     incremental intake pipeline with per-run cost O(batch). A missing
-    index table cold-starts empty."""
+    index table cold-starts empty.
+
+    ``method: "winnowing"`` switches from exact (one whole-document
+    hash) to NEAR-dup semantics: winnowed k-gram fingerprints
+    (operators/dedup winnowing_pairs — the MOSS position-local
+    scheme), within-batch clusters collapsed to their min-id
+    survivor, and — with ``index`` — docs sharing ``min_shared`` or
+    more fingerprints with history dropped, admitted docs' winnowed
+    fingerprints appended to the same bucketed index layout. An
+    index table holds either whole-doc or winnowed fingerprints,
+    never both — point each method at its own table."""
     from pyspark.sql import functions as F
 
     from dasladen_spark.functions.text import fingerprint
@@ -489,6 +499,8 @@ def run_dedup(ctx: TaskContext, task: dict) -> None:
     df = _transformed(ctx, task, df)
     text_field = task.get("text_field", "text")
     id_field = task.get("id_field", df.columns[0])
+    if task.get("method", "exact") == "winnowing":
+        return _run_dedup_winnowing(ctx, task, df, text_field, id_field)
     b = df.withColumn("fp", fingerprint(F.col(text_field)))
     b = exact_dedup(b, ["fp"], id_field)
     index = task.get("index")
@@ -531,6 +543,158 @@ def run_dedup(ctx: TaskContext, task: dict) -> None:
         finally:
             out.unpersist()
     ctx.log(f"task {task.get('name')}: {n_out} novel rows out")
+
+
+def _run_dedup_winnowing(
+    ctx: TaskContext, task: dict, df, text_field: str, id_field: str
+) -> None:
+    """The dedup task's near-dup arm: within-batch winnowing pairs →
+    connected components → min-id survivor per cluster, then the
+    optional winnowed-fingerprint history index (see run_dedup)."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.dedup import (
+        WINNOW_MIN_SHARED,
+        winnowing_pairs,
+    )
+    from dasladen_spark.operators.fingerprint_index import (
+        append_to_index,
+        build_fingerprint_index,
+        winnowed_novel_against_index,
+    )
+    from dasladen_spark.operators.graph import dedup_clusters
+
+    min_shared = int(task.get("min_shared", WINNOW_MIN_SHARED))
+    pairs = winnowing_pairs(
+        df, id_col=id_field, text_col=text_field, min_shared=min_shared
+    )
+    drop = (
+        dedup_clusters(pairs, "doc_a", "doc_b")
+        .filter(F.col("member") != F.col("survivor"))
+        .select(F.col("member").alias(id_field))
+    )
+    surv = df.join(drop, id_field, "left_anti")
+    index = task.get("index")
+    tgt = task["target"]
+    if index:
+        # meta too: a build that crashed between the postings write
+        # and the meta write must rebuild (same guard as the exact arm)
+        if not (
+            ctx.spark.catalog.tableExists(index)
+            and ctx.spark.catalog.tableExists(f"{index}_meta")
+        ):
+            empty = ctx.spark.createDataFrame([], f"{text_field} STRING")
+            build_fingerprint_index(
+                empty, index, text_col=text_field,
+                n_buckets=int(task.get("n_buckets", 16)), tag="cold-start",
+            )
+        novel, novel_fps = winnowed_novel_against_index(
+            ctx.spark, index, surv,
+            id_col=id_field, text_col=text_field, min_shared=min_shared,
+        )
+        # persist + sink BEFORE the index append: the join is lazy,
+        # and appending first would put this batch's own fingerprints
+        # into the index it is still being filtered against
+        novel = novel.persist()
+        novel_fps = novel_fps.persist()
+        try:
+            _write_sink(
+                ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, novel
+            )
+            n_out = novel.count()
+            if task.get("update_index", True):
+                append_to_index(ctx.spark, index, novel_fps)
+        finally:
+            novel.unpersist()
+            novel_fps.unpersist()
+    else:
+        out = surv.persist()
+        try:
+            _write_sink(
+                ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out
+            )
+            n_out = out.count()
+        finally:
+            out.unpersist()
+    ctx.log(f"task {task.get('name')}: {n_out} novel rows out (winnowing)")
+
+
+def run_er(ctx: TaskContext, task: dict) -> None:
+    """Entity-resolution task (beyond the reference): blocked
+    candidate pairs over ``name_field`` (``block_expr`` SQL
+    expression, default all-but-last-2-characters — the device that
+    caps block size by construction), edit-distance match edges
+    (``max_distance``, default 1), TRANSITIVE closure via iterative
+    min-label propagation (operators/graph), and a full member →
+    cluster mapping written to ``target``: (member, member_name,
+    cluster_id, rep_name), singletons mapped to themselves — the
+    task-file spelling of er_customer_clusters, producing the merge
+    map a downstream golden-record join applies.
+
+    Scale shape: the candidate join is block-keyed (never all-pairs);
+    closure is one neighbor-min aggregate per round with O(1) lineage
+    and a convergence raise — never silently split clusters."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.graph import connected_components
+
+    src = task["source"]
+    df = _read_source(ctx, {**task, "type": src.get("kind", "parquet") + "-x"})
+    df = _transformed(ctx, task, df)
+    name_field = task.get("name_field", "name")
+    key_field = task.get("key_field") or task.get("id_field", df.columns[0])
+    max_distance = int(task.get("max_distance", 1))
+    block = F.expr(
+        task.get(
+            "block_expr",
+            f"substring({name_field}, 1, length({name_field}) - 2)",
+        )
+    )
+    a = df.select(
+        F.col(key_field).alias("ka"),
+        F.col(name_field).alias("name_a"),
+        block.alias("blk"),
+    )
+    b = df.select(
+        F.col(key_field).alias("kb"),
+        F.col(name_field).alias("name_b"),
+        block.alias("blk"),
+    )
+    edges = (
+        a.join(b, on=[a.blk == b.blk, F.col("ka") < F.col("kb")])
+        .filter(F.levenshtein("name_a", "name_b") <= max_distance)
+        .select("ka", "kb")
+    )
+    labels = connected_components(
+        edges, src="ka", dst="kb",
+        max_iter=int(task.get("max_iter", 20)),
+    )
+    mapping = (
+        df.select(
+            F.col(key_field).alias("member"),
+            F.col(name_field).alias("member_name"),
+        )
+        .join(
+            labels.select(
+                F.col("id").alias("member"),
+                F.col("component").alias("cluster_id"),
+            ),
+            "member",
+            "left",
+        )
+        # a key in no match edge is its own (singleton) cluster
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("member")))
+    )
+    reps = df.select(
+        F.col(key_field).alias("cluster_id"),
+        F.col(name_field).alias("rep_name"),
+    )
+    out = mapping.join(reps, "cluster_id", "left").select(
+        "member", "member_name", "cluster_id", "rep_name"
+    )
+    tgt = task["target"]
+    _write_sink(ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out)
+    ctx.log(f"task {task.get('name')}: er merge map written")
 
 
 def run_classify(ctx: TaskContext, task: dict) -> None:
@@ -750,6 +914,7 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "profile": run_profile,
     "validate": run_validate,
     "dedup": run_dedup,
+    "er": run_er,
     "classify": run_classify,
     "ann-index": run_ann_index,
     "sample": run_sample,

@@ -690,6 +690,74 @@ def test_streaming_dedup_intake_maintains_index(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_streaming_winnowed_intake_near_dup_across_batches(spark, tmp_path):
+    """Winnowing-method intake (the near-dup sibling of the exact
+    test above): a doc sharing a long token run with HISTORY is
+    dropped, a within-batch near-dup pair collapses to its min id,
+    a later batch's near-dup of an earlier batch's ADMITTED doc is
+    dropped (the index grew), and a re-drain adds nothing."""
+    import json
+
+    from dasladen_spark.operators.fingerprint_index import (
+        build_winnowed_fingerprint_index,
+    )
+    from dasladen_spark.streaming.indexsync import run_streaming_dedup_intake
+    from dasladen_spark.streaming.intake import stream_document_folder
+
+    for t in ("t_stream_winidx", "t_stream_winidx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    hist_run = " ".join(f"hist{i}" for i in range(25))
+    novel_run = " ".join(f"nov{i}" for i in range(25))
+    hist = spark.createDataFrame(
+        [(100, "archive copy " + hist_run)], ["doc_id", "text"]
+    )
+    build_winnowed_fingerprint_index(
+        hist, "t_stream_winidx", n_buckets=4, tag="h0"
+    )
+
+    src = tmp_path / "wdrops"
+    src.mkdir()
+    batch1 = [
+        # near-dup of history (same 25-token run, new framing)
+        {"doc_id": 1, "text": "fresh intro " + hist_run, "lang": "en", "source": "s"},
+        {"doc_id": 2, "text": "lead one " + novel_run, "lang": "en", "source": "s"},
+        # within-batch near-dup of 2
+        {"doc_id": 3, "text": "other lead " + novel_run, "lang": "en", "source": "s"},
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(d) for d in batch1))
+    acc, ckpt = str(tmp_path / "waccept"), str(tmp_path / "wck")
+
+    q = run_streaming_dedup_intake(
+        stream_document_folder(spark, str(src)), "t_stream_winidx",
+        acc, ckpt, method="winnowing",
+    )
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {2}
+
+    batch2 = [
+        # near-dup of batch1's admitted doc 2
+        {"doc_id": 4, "text": "yet more " + novel_run + " tail", "lang": "en", "source": "s"},
+        {"doc_id": 5, "text": " ".join(f"beta{i}" for i in range(25)), "lang": "en", "source": "s"},
+    ]
+    (src / "b.jsonl").write_text("\n".join(json.dumps(d) for d in batch2))
+    q2 = run_streaming_dedup_intake(
+        stream_document_folder(spark, str(src)), "t_stream_winidx",
+        acc, ckpt, method="winnowing",
+    )
+    q2.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {2, 5}
+
+    # re-drain with the same checkpoint: nothing changes
+    q3 = run_streaming_dedup_intake(
+        stream_document_folder(spark, str(src)), "t_stream_winidx",
+        acc, ckpt, method="winnowing",
+    )
+    q3.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {2, 5}
+    for t in ("t_stream_winidx", "t_stream_winidx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_streaming_ann_sync_new_vectors_searchable(spark, tmp_path, sf_dir):
     """New embeddings streamed into a materialized ANN index become
     searchable without a rebuild: a planted duplicate of an existing

@@ -1005,3 +1005,114 @@ def test_sample_task_deterministic_and_stratified(spark, workdir):
     ).collect()
     assert {r["grp"] for r in rows} == {"a"}
     assert len(rows) == 100
+
+
+def test_dedup_task_winnowing_incremental_across_runs(spark, workdir):
+    """'dedup' task with method=winnowing: a NEAR-dup (shared long
+    token run, different surroundings) collapses within the batch,
+    and with an `index` configured, a second run drops docs that
+    share >= min_shared winnowed fingerprints with what run 1
+    admitted — the task-file surface of the winnowed fingerprint
+    index intake (the near-dup sibling of
+    test_dedup_task_incremental_across_runs)."""
+    for t in ("t_task_winidx", "t_task_winidx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    run = " ".join(f"shared{i}" for i in range(25))
+    other = " ".join(f"left{i}" for i in range(25))
+    rows1 = [
+        {"doc_id": 1, "text": "intro one two " + run},
+        # near-dup of 1: same 25-token run, different lead-in
+        {"doc_id": 2, "text": "totally different prefix " + run},
+        {"doc_id": 3, "text": other},
+    ]
+    with open(workdir / "input" / "w1.json", "w", encoding="utf-8") as f:
+        for r in rows1:
+            f.write(json.dumps(r) + "\n")
+    task = {
+        "name": "wd",
+        "type": "dedup",
+        "method": "winnowing",
+        "index": "t_task_winidx",
+        "id_field": "doc_id",
+        "source": {
+            "kind": "json",
+            "file": "w1.json",
+            "schema": "doc_id BIGINT, text STRING",
+        },
+        "target": {"kind": "parquet", "file": "wnovel1.parquet", "truncate": True},
+    }
+    run_tasks(spark, workdir, {"tasks": [task]})
+    got1 = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            str(workdir / "output" / "wnovel1.parquet")
+        ).collect()
+    }
+    assert got1 == {1, 3}
+
+    rows2 = [
+        # shares the 25-token run with doc 1 (admitted in run 1)
+        {"doc_id": 10, "text": "yet another framing " + run + " coda"},
+        {"doc_id": 11, "text": " ".join(f"fresh{i}" for i in range(25))},
+    ]
+    with open(workdir / "input" / "w2.json", "w", encoding="utf-8") as f:
+        for r in rows2:
+            f.write(json.dumps(r) + "\n")
+    task2 = {
+        **task,
+        "source": {**task["source"], "file": "w2.json"},
+        "target": {"kind": "parquet", "file": "wnovel2.parquet", "truncate": True},
+    }
+    run_tasks(spark, workdir, {"tasks": [task2]})
+    got2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            str(workdir / "output" / "wnovel2.parquet")
+        ).collect()
+    }
+    assert got2 == {11}
+    for t in ("t_task_winidx", "t_task_winidx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_er_task_writes_transitive_merge_map(spark, workdir):
+    """'er' task: blocked levenshtein edges + transitive closure
+    written as a full member -> cluster merge map — A~B~C in one
+    cluster at distance 2, singletons mapped to themselves."""
+    rows = [
+        {"ck": 1, "nm": "Chain#X00"},
+        {"ck": 2, "nm": "Chain#X01"},  # dist 1 from X00 and X11
+        {"ck": 3, "nm": "Chain#X11"},  # dist 2 from X00
+        {"ck": 9, "nm": "Alone#Z99"},
+    ]
+    with open(workdir / "input" / "er.json", "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    run_tasks(
+        spark,
+        workdir,
+        {"tasks": [{
+            "name": "er1",
+            "type": "er",
+            "key_field": "ck",
+            "name_field": "nm",
+            "source": {
+                "kind": "json",
+                "file": "er.json",
+                "schema": "ck BIGINT, nm STRING",
+            },
+            "target": {"kind": "parquet", "file": "er.parquet", "truncate": True},
+        }]},
+    )
+    got = {
+        r["member"]: (r["cluster_id"], r["rep_name"])
+        for r in spark.read.parquet(
+            str(workdir / "output" / "er.parquet")
+        ).collect()
+    }
+    assert got == {
+        1: (1, "Chain#X00"),
+        2: (1, "Chain#X00"),
+        3: (1, "Chain#X00"),
+        9: (9, "Alone#Z99"),
+    }
