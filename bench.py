@@ -84,6 +84,10 @@ HEADLINE = [
     "dedup_winnowing",
     "er_customer_clusters",
     "q_cusum_drift",
+    # round 7: distribution-drift testing (exact two-sample KS over
+    # the full ECDFs) and the weekly cohort-retention triangle
+    "quality_ks_drift",
+    "q_cohort_retention",
 ]
 
 

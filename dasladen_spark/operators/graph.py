@@ -103,6 +103,62 @@ def connected_components(
     return labels
 
 
+def partitioned_components(
+    edges: DataFrame,
+    part_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Connected components of a graph whose EVERY edge lies inside
+    one ``part_col`` block — the blocked-candidate shape every
+    blocking-keyed ER/dedup pipeline produces (an edge exists only
+    between rows sharing the block key, so components can never span
+    blocks). Returns (id, component) with component = the smallest
+    node id in the component, identical to ``connected_components``
+    on the same edges.
+
+    Because blocks are independent, the closure needs NO iteration:
+    one shuffle groups each block's edges onto a task and a
+    union-find runs per block in an Arrow batch — total cost one
+    exchange + O(edges α(n)) work, versus ~diameter Spark jobs for
+    label propagation. Use this whenever the edge generator was a
+    block-keyed self-join; keep ``connected_components`` for pair
+    lists that genuinely span arbitrary rows (MinHash/winnowing
+    bucket pairs). Block sizes are bounded by the blocking-key design
+    (the same invariant the candidate join already relies on), so a
+    per-block batch always fits a task."""
+    id_type = edges.schema[src].dataType.simpleString()
+    out_schema = f"id {id_type}, component {id_type}"
+
+    def uf(pdf):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf[src], pdf[dst]):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the representative
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = list(parent)
+        return pd.DataFrame(
+            {"id": nodes, "component": [find(n) for n in nodes]}
+        )
+
+    return edges.groupBy(part_col).applyInPandas(uf, out_schema)
+
+
 def dedup_clusters(
     edges: DataFrame,
     src: str = "id_a",

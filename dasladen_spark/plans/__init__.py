@@ -24,4 +24,5 @@ from dasladen_spark.plans import llm5  # noqa: F401,E402
 from dasladen_spark.plans import llm6  # noqa: F401,E402
 from dasladen_spark.plans import llm7  # noqa: F401,E402
 from dasladen_spark.plans import llm8  # noqa: F401,E402
+from dasladen_spark.plans import llm9  # noqa: F401,E402
 from dasladen_spark.plans import transforms_parity  # noqa: F401,E402

@@ -39,9 +39,12 @@ from dasladen_spark.operators.dedup import (  # noqa: F401  (re-exports:
 from dasladen_spark.operators.dedup import winnow_fps_expr as _winnow_fps  # noqa: F401
 
 
-@query(
-    "dedup_winnowing",
-    oracle=f"""
+#: shared DuckDB CTE for every winnowing-family oracle: winnowed
+#: fingerprints per doc (f), exploded (e), per-doc counts (sizes),
+#: fingerprint document frequency (df), hub-capped postings (good),
+#: and candidate pairs with shared-fp counts (pairs — min_shared is
+#: applied by each consumer).
+_WINNOW_CTE = f"""
     WITH f AS (
       SELECT doc_id,
         CASE
@@ -77,6 +80,12 @@ from dasladen_spark.operators.dedup import winnow_fps_expr as _winnow_fps  # noq
         ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
+"""
+
+
+@query(
+    "dedup_winnowing",
+    oracle=_WINNOW_CTE + f"""
     SELECT p.doc_a, p.doc_b, p.shared_fps,
            ROUND(p.shared_fps
                  / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE), 6)

@@ -911,10 +911,13 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerates every row into ONE block and the join goes quadratic
     (observed at sf0.1: 15k names → 112M levenshtein pairs). The
     all-but-last-2 key caps blocks at 100 candidates whatever the
-    table size, so candidate count grows linearly with rows."""
+    table size, so candidate count grows linearly with rows. The
+    stream side of the broadcast join is repartitioned first — a
+    dimension-sized table scans as one task, which would serialize
+    every block's pair expansion × levenshtein on a single core."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     blk = F.expr("substring(c_name, 1, length(c_name) - 2)")
-    a = c.select(
+    a = c.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("c_custkey").alias("key_a"),
         F.col("c_name").alias("name_a"),
         blk.alias("blk"),

@@ -130,17 +130,25 @@ def er_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the candidate join is block-keyed with fan-out
     bounded by the key design (≤ 100 names per block whatever the
-    table size); closure runs iterative min-label propagation
-    (operators/graph.py connected_components — neighbor-min agg per
-    round, localCheckpoint keeps lineage O(1), converges in
-    ~graph-diameter rounds and raises rather than return silently
-    split clusters). The oracle is a recursive CTE computing the same
-    closure, so cluster assignments are cross-engine verified."""
-    from dasladen_spark.operators.graph import connected_components
+    table size); and because every match edge lies INSIDE one block
+    (the join requires equal block keys), components can never span
+    blocks — so the closure is partitioned_components
+    (operators/graph.py): one shuffle grouping each block's edges,
+    union-find per block in an Arrow batch, NO iterative jobs.
+    connected_components (iterative label propagation) remains the
+    tool for pair lists that span arbitrary rows. The stream side of
+    the broadcast candidate join is explicitly repartitioned first:
+    a dimension-sized table scans as ONE task, and without the
+    spread every block's pair expansion × levenshtein would run on a
+    single core (the _spread lesson from operators/dedup — per-row
+    heavy compute after a small scan must be forced wide). The
+    oracle is a recursive CTE computing the same closure, so cluster
+    assignments are cross-engine verified."""
+    from dasladen_spark.operators.graph import partitioned_components
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     blk = F.expr("substring(c_name, 1, length(c_name) - 2)")
-    a = c.select(
+    a = c.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("c_custkey").alias("ka"),
         F.col("c_name").alias("name_a"),
         blk.alias("blk"),
@@ -153,9 +161,9 @@ def er_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         a.join(b, on=[a.blk == b.blk, F.col("ka") < F.col("kb")])
         .filter(F.levenshtein("name_a", "name_b") <= 1)
-        .select("ka", "kb")
+        .select("ka", "kb", a.blk)
     )
-    labels = connected_components(edges, src="ka", dst="kb")
+    labels = partitioned_components(edges, "blk", src="ka", dst="kb")
     clusters = (
         labels.groupBy("component")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
@@ -174,4 +182,75 @@ def er_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("component").alias("cluster_id"), "n_members", "rep_name"
         )
         .orderBy("cluster_id")
+    )
+
+
+# --------------------------------------------- cohort retention
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ), cw AS (
+      SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY user_id
+    ), act AS (
+      SELECT c.cohort_week,
+             date_diff('day', c.cohort_week, u.wk) // 7 AS week_offset,
+             COUNT(*) AS n_active
+      FROM uw u JOIN cw c ON c.user_id = u.user_id
+      GROUP BY 1, 2
+    ), sz AS (
+      SELECT cohort_week, COUNT(*) AS n_cohort FROM cw GROUP BY cohort_week
+    )
+    SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(a.week_offset AS BIGINT) AS week_offset,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           ROUND(a.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+    FROM act a JOIN sz s ON s.cohort_week = a.cohort_week
+    ORDER BY a.cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users grouped by the week of
+    their FIRST event; for each cohort and week offset, the share of
+    the cohort still active — the standard survival/retention report
+    behind churn analysis (row (c, 0) is 100% by construction; decay
+    down each cohort row is the retention curve).
+
+    Scale shape: one distinct on (user, week) — the only corpus-sized
+    shuffle; cohorts are a per-user min (map-side combinable); the
+    activity rollup is (weeks × offsets)-bounded and the cohort-size
+    join is a broadcast onto that bounded frame. The retention
+    division is the single double expression, rounded once."""
+    e = _t(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    cw = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    act = (
+        uw.join(cw, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(wk, cohort_week) div 7").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sz = cw.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        act.join(F.broadcast(sz), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.col("week_offset").cast("bigint").alias("week_offset"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_cohort").cast("bigint").alias("n_cohort"),
+            F.round(
+                F.col("n_active") / F.col("n_cohort").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
     )

@@ -624,19 +624,21 @@ def run_er(ctx: TaskContext, task: dict) -> None:
     candidate pairs over ``name_field`` (``block_expr`` SQL
     expression, default all-but-last-2-characters — the device that
     caps block size by construction), edit-distance match edges
-    (``max_distance``, default 1), TRANSITIVE closure via iterative
-    min-label propagation (operators/graph), and a full member →
-    cluster mapping written to ``target``: (member, member_name,
+    (``max_distance``, default 1), TRANSITIVE closure via per-block
+    union-find (operators/graph partitioned_components — every edge
+    lies inside one block, so no iteration is needed), and a full
+    member → cluster mapping written to ``target``: (member, member_name,
     cluster_id, rep_name), singletons mapped to themselves — the
     task-file spelling of er_customer_clusters, producing the merge
     map a downstream golden-record join applies.
 
-    Scale shape: the candidate join is block-keyed (never all-pairs);
-    closure is one neighbor-min aggregate per round with O(1) lineage
-    and a convergence raise — never silently split clusters."""
+    Scale shape: the candidate join is block-keyed (never all-pairs),
+    and since every edge lies inside one block, closure is
+    partitioned_components — one shuffle + union-find per block in an
+    Arrow batch, no iterative jobs."""
     from pyspark.sql import functions as F
 
-    from dasladen_spark.operators.graph import connected_components
+    from dasladen_spark.operators.graph import partitioned_components
 
     src = task["source"]
     df = _read_source(ctx, {**task, "type": src.get("kind", "parquet") + "-x"})
@@ -650,7 +652,10 @@ def run_er(ctx: TaskContext, task: dict) -> None:
             f"substring({name_field}, 1, length({name_field}) - 2)",
         )
     )
-    a = df.select(
+    # spread the stream side of the broadcast candidate join: a
+    # dimension-sized source scans as one task, and the pair
+    # expansion × levenshtein would otherwise run on a single core
+    a = df.repartition(ctx.spark.sparkContext.defaultParallelism).select(
         F.col(key_field).alias("ka"),
         F.col(name_field).alias("name_a"),
         block.alias("blk"),
@@ -663,12 +668,9 @@ def run_er(ctx: TaskContext, task: dict) -> None:
     edges = (
         a.join(b, on=[a.blk == b.blk, F.col("ka") < F.col("kb")])
         .filter(F.levenshtein("name_a", "name_b") <= max_distance)
-        .select("ka", "kb")
+        .select("ka", "kb", a.blk)
     )
-    labels = connected_components(
-        edges, src="ka", dst="kb",
-        max_iter=int(task.get("max_iter", 20)),
-    )
+    labels = partitioned_components(edges, "blk", src="ka", dst="kb")
     mapping = (
         df.select(
             F.col(key_field).alias("member"),

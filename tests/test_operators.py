@@ -477,6 +477,52 @@ def test_connected_components_known_graph(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_partitioned_components_matches_iterative_closure(spark):
+    """Per-block union-find must produce EXACTLY the labels iterative
+    label propagation produces on the same edges — on a randomized
+    blocked graph (chains, triangles, singleton pairs per block) and
+    on string node ids."""
+    import random
+
+    from dasladen_spark.operators.graph import (
+        connected_components,
+        partitioned_components,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for blk in range(12):
+        base = blk * 100
+        ids = list(range(base, base + rng.randint(2, 9)))
+        # random spanning structure + extra edges within the block
+        for i in range(1, len(ids)):
+            rows.append((ids[rng.randrange(i)], ids[i], f"b{blk}"))
+        for _ in range(rng.randint(0, 3)):
+            a, b = rng.sample(ids, 2)
+            rows.append((min(a, b), max(a, b), f"b{blk}"))
+    edges = spark.createDataFrame(rows, ["id_a", "id_b", "blk"])
+    got = {
+        r["id"]: r["component"]
+        for r in partitioned_components(edges, "blk").collect()
+    }
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(edges.select("id_a", "id_b")).collect()
+    }
+    assert got == want
+
+    s_edges = spark.createDataFrame(
+        [("x1", "x2", "bx"), ("x2", "x3", "bx"), ("y1", "y2", "by")],
+        ["id_a", "id_b", "blk"],
+    )
+    got_s = {
+        r["id"]: r["component"]
+        for r in partitioned_components(s_edges, "blk").collect()
+    }
+    assert got_s == {"x1": "x1", "x2": "x1", "x3": "x1",
+                     "y1": "y1", "y2": "y1"}
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """A path graph with diameter > max_iter must NOT silently return
     split clusters: default mode raises, warn mode warns and returns

@@ -514,6 +514,9 @@ _EXPECTED_FLAGS = {
     "train_curriculum_order": {"bnlj", "single-partition"},
     # 1-row audit summary of the QI-group rollup (k-anonymity's twin)
     "q_l_diversity_audit": {"single-partition"},
+    # ECDF sweep over the distinct ROUNDED scores (≤ 10⁴ rows by
+    # construction) + 1-row cohort-total broadcast cross
+    "quality_ks_drift": {"bnlj", "single-partition"},
 }
 
 
