@@ -85,9 +85,12 @@ HEADLINE = [
     "er_customer_clusters",
     "q_cusum_drift",
     # round 7: distribution-drift testing (exact two-sample KS over
-    # the full ECDFs) and the weekly cohort-retention triangle
+    # the full ECDFs), the weekly cohort-retention triangle, and
+    # DSIR importance weighting (one corpus tokenization feeding the
+    # occurrence rollup, the unigram models, and the scoring join)
     "quality_ks_drift",
     "q_cohort_retention",
+    "corpus_dsir_weights",
 ]
 
 

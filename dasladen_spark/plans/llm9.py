@@ -261,3 +261,139 @@ def dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ------------------------------------- DSIR importance weighting
+
+
+@query(
+    "corpus_dsir_weights",
+    oracle="""
+    WITH tk AS (
+      -- portable_sample_filter's predicate: 0.125 × 16^8 = 0x20000000
+      SELECT doc_id,
+             substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8)
+               < '20000000' AS is_target,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, is_target, unnest(toks) AS tok FROM tk
+    ), occ AS (
+      SELECT doc_id, is_target, tok, COUNT(*) AS n
+      FROM ex GROUP BY 1, 2, 3
+    ), model AS (
+      SELECT tok,
+             SUM(CASE WHEN is_target THEN n ELSE 0 END) AS ct,
+             SUM(CASE WHEN is_target THEN 0 ELSE n END) AS cr
+      FROM occ GROUP BY tok
+    ), tot AS (
+      SELECT SUM(ct) AS big_t, SUM(cr) AS big_r, COUNT(*) AS v
+      FROM model
+    ), lam AS (
+      SELECT m.tok,
+             ROUND(ln((m.ct + 1) / CAST(t.big_t + t.v AS DOUBLE))
+                   - ln((m.cr + 1) / CAST(t.big_r + t.v AS DOUBLE)),
+                   12) AS lam
+      FROM model m, tot t
+    ), w AS (
+      SELECT o.doc_id,
+             CAST(SUM(o.n) AS BIGINT) AS n_tokens,
+             SUM(CAST(o.n * l.lam AS DECIMAL(38,18))) AS wsum
+      FROM occ o JOIN lam l ON l.tok = o.tok
+      WHERE NOT o.is_target
+      GROUP BY o.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(CAST(wsum AS VARCHAR) AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 6) AS weight_per_token
+    FROM w
+    ORDER BY weight_per_token DESC, doc_id
+    LIMIT 100
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every RAW-pool document by
+    how much more likely its tokens are under the TARGET sample's
+    unigram model than under the raw pool's — the log-likelihood
+    ratio Σ n_w·(ln p̂_t(w) − ln p̂_r(w)), add-one smoothed, reported
+    per token so long docs don't win by length. The head of this
+    ranking is what importance RESAMPLING would draw first: the raw
+    docs that look most like the curated target. Target membership is
+    the portable md5 split (~12.5%), so the slice is identical in
+    both engines and uncorrelated with the fixture's source column.
+
+    Scale shape: ONE corpus tokenization feeds everything — the
+    (doc, token) occurrence rollup is the only corpus-sized shuffle,
+    the unigram model folds FROM it (token-keyed, map-side
+    combinable), totals are a 1-row broadcast, and scoring joins the
+    occurrence rows against the vocabulary-sized λ table
+    shuffle-side (a corpus-scale vocabulary never broadcasts — the
+    text_lm_perplexity discipline). λ rounds to 12 decimals before
+    DECIMAL(38,18) accumulation; one rounded division at the end."""
+    from dasladen_spark.operators.sampling import portable_sample_filter
+
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        portable_sample_filter(F.col("doc_id"), 0.125, salt="dsir").alias(
+            "is_target"
+        ),
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+        ).alias("toks"),
+    )
+    occ = (
+        tk.select(
+            "doc_id", "is_target", F.explode_outer("toks").alias("tok")
+        )
+        .filter(F.col("tok").isNotNull())
+        .groupBy("doc_id", "is_target", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    model = occ.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("n"))).alias("cr"),
+    )
+    tot = model.agg(
+        F.sum("ct").alias("big_t"),
+        F.sum("cr").alias("big_r"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lam = model.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.log(
+                (F.col("ct") + 1)
+                / (F.col("big_t") + F.col("v")).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + 1)
+                / (F.col("big_r") + F.col("v")).cast("double")
+            ),
+            12,
+        ).alias("lam"),
+    )
+    w = (
+        occ.filter(~F.col("is_target"))
+        .join(lam, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum((F.col("n") * F.col("lam")).cast("decimal(38,18)")).alias(
+                "wsum"
+            ),
+        )
+    )
+    return (
+        w.select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("wsum").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("weight_per_token"),
+        )
+        .orderBy(F.col("weight_per_token").desc(), "doc_id")
+        .limit(100)
+    )

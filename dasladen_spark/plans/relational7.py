@@ -254,3 +254,121 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------- A/B conversion z-test
+
+
+@query(
+    "q_ab_conversion_ztest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8)
+               < '80000000' AS in_a,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN in_a THEN converted ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE converted END) AS BIGINT)
+               AS conv_b
+      FROM u
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           CASE WHEN n_a = 0 OR n_b = 0
+                  OR conv_a + conv_b = 0
+                  OR conv_a + conv_b = n_a + n_b
+             THEN NULL
+             ELSE ROUND(
+               (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+               / sqrt(
+                   ((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+                 ),
+               6) END AS z_score
+    FROM s
+    """,
+)
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users split 50/50
+    by the portable md5 hash (never user_id parity — modulo splits
+    correlate with fixture assignment rules), conversion = the user
+    purchased at least once, and the pooled-variance z statistic that
+    decides whether the variants' conversion rates differ beyond
+    noise — the readout every experimentation pipeline ends with.
+
+    Scale shape: one user-keyed rollup (map-side combinable MAX) then
+    a 1-row fold of four exact integer counts; the z formula is a
+    single double expression written IDENTICALLY in both engines over
+    those exact counts, rounded once."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id",
+        (
+            F.substring(
+                F.md5(F.concat(F.lit("ab"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            )
+            < "80000000"
+        ).alias("in_a"),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(F.col("converted")))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    rate_a = F.col("conv_a") / F.col("n_a").cast("double")
+    rate_b = F.col("conv_b") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        # degenerate designs (an empty variant, zero or universal
+        # conversion) have no finite z — NULL in both engines, and
+        # the guard also keeps ANSI mode from raising on the division
+        F.when(
+            (F.col("n_a") == 0)
+            | (F.col("n_b") == 0)
+            | (F.col("conv_a") + F.col("conv_b") == 0)
+            | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (rate_a - rate_b)
+                / F.sqrt(
+                    pooled
+                    * (F.lit(1.0) - pooled)
+                    * (
+                        F.lit(1.0) / F.col("n_a").cast("double")
+                        + F.lit(1.0) / F.col("n_b").cast("double")
+                    )
+                ),
+                6,
+            )
+        )
+        .alias("z_score"),
+    )

@@ -517,6 +517,10 @@ _EXPECTED_FLAGS = {
     # ECDF sweep over the distinct ROUNDED scores (≤ 10⁴ rows by
     # construction) + 1-row cohort-total broadcast cross
     "quality_ks_drift": {"bnlj", "single-partition"},
+    # 1-row corpus-totals broadcast over the vocabulary-sized λ table
+    "corpus_dsir_weights": {"bnlj", "single-partition"},
+    # 1-row fold of four exact counts (the z-test inputs)
+    "q_ab_conversion_ztest": {"single-partition"},
 }
 
 
