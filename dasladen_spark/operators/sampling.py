@@ -130,3 +130,83 @@ def priority_sample_without_replacement(
         .orderBy("priority", id_col)
         .limit(k)
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): per RAW document (``target_col``
+    false), the add-one-smoothed target-vs-raw unigram
+    log-likelihood ratio Σ n_w·(ln p̂_t(w) − ln p̂_r(w)), reported per
+    token so length doesn't dominate. Input is ONE tagged frame —
+    callers with separate exemplar/raw sources union them with the
+    tag (exemplar rows may carry a NULL id; only raw rows are
+    scored) — so a split of a single table still costs one scan.
+    Returns (id, n_tokens, weight_per_token) for raw docs only.
+
+    Scale shape: the (doc, token) occurrence rollup is the only
+    corpus-sized shuffle; both unigram models fold FROM it
+    (token-keyed, map-side combinable); corpus totals broadcast as
+    one row; scoring joins occurrence rows against the
+    vocabulary-sized λ table shuffle-side (a corpus-scale vocabulary
+    never broadcasts). λ rounds to 12 decimals before DECIMAL(38,18)
+    accumulation — the bit-identical-replay discipline of the
+    bigram-LM scorer — and the per-token division rounds once."""
+    occ = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(target_col).alias("_t"),
+            F.explode_outer(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+                )
+            ).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .groupBy("_id", "_t", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    model = occ.groupBy("tok").agg(
+        F.sum(F.when(F.col("_t"), F.col("n")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("_t"), 0).otherwise(F.col("n"))).alias("cr"),
+    )
+    tot = model.agg(
+        F.sum("ct").alias("big_t"),
+        F.sum("cr").alias("big_r"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lam = model.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.log(
+                (F.col("ct") + 1) / (F.col("big_t") + F.col("v")).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + 1) / (F.col("big_r") + F.col("v")).cast("double")
+            ),
+            12,
+        ).alias("lam"),
+    )
+    return (
+        occ.filter(~F.col("_t"))
+        .join(lam, "tok")
+        .groupBy("_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum((F.col("n") * F.col("lam")).cast("decimal(38,18)")).alias(
+                "_wsum"
+            ),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.round(
+                F.col("_wsum").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("weight_per_token"),
+        )
+    )

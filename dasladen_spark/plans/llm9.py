@@ -331,69 +331,20 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-side (a corpus-scale vocabulary never broadcasts — the
     text_lm_perplexity discipline). λ rounds to 12 decimals before
     DECIMAL(38,18) accumulation; one rounded division at the end."""
-    from dasladen_spark.operators.sampling import portable_sample_filter
+    from dasladen_spark.operators.sampling import (
+        dsir_weights,
+        portable_sample_filter,
+    )
 
-    d = _t(spark, sf_dir, "documents")
-    tk = d.select(
+    d = _t(spark, sf_dir, "documents").select(
         "doc_id",
+        "text",
         portable_sample_filter(F.col("doc_id"), 0.125, salt="dsir").alias(
             "is_target"
         ),
-        F.regexp_extract_all(
-            F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
-        ).alias("toks"),
-    )
-    occ = (
-        tk.select(
-            "doc_id", "is_target", F.explode_outer("toks").alias("tok")
-        )
-        .filter(F.col("tok").isNotNull())
-        .groupBy("doc_id", "is_target", "tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    model = occ.groupBy("tok").agg(
-        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("n"))).alias("cr"),
-    )
-    tot = model.agg(
-        F.sum("ct").alias("big_t"),
-        F.sum("cr").alias("big_r"),
-        F.count(F.lit(1)).alias("v"),
-    )
-    lam = model.crossJoin(F.broadcast(tot)).select(
-        "tok",
-        F.round(
-            F.log(
-                (F.col("ct") + 1)
-                / (F.col("big_t") + F.col("v")).cast("double")
-            )
-            - F.log(
-                (F.col("cr") + 1)
-                / (F.col("big_r") + F.col("v")).cast("double")
-            ),
-            12,
-        ).alias("lam"),
-    )
-    w = (
-        occ.filter(~F.col("is_target"))
-        .join(lam, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n").cast("bigint").alias("n_tokens"),
-            F.sum((F.col("n") * F.col("lam")).cast("decimal(38,18)")).alias(
-                "wsum"
-            ),
-        )
     )
     return (
-        w.select(
-            "doc_id",
-            "n_tokens",
-            F.round(
-                F.col("wsum").cast("double") / F.col("n_tokens").cast("double"),
-                6,
-            ).alias("weight_per_token"),
-        )
+        dsir_weights(d, "is_target")
         .orderBy(F.col("weight_per_token").desc(), "doc_id")
         .limit(100)
     )

@@ -767,9 +767,17 @@ def run_sample(ctx: TaskContext, task: dict) -> None:
       id hash
     - ``method: stratified`` — per-stratum ``fractions`` map over
       ``strata_field`` (unlisted strata get ``default_fraction``)
+    - ``method: dsir`` — importance-resampling selection: score each
+      source row by the DSIR target-vs-raw unigram log-likelihood
+      ratio against the ``train`` source's exemplar docs
+      (operators/sampling.dsir_weights) and keep the top
+      ``keep_fraction`` by per-token weight (exact-percentile
+      threshold, ties kept) — the task-file spelling of
+      quality-targeted corpus selection
     """
     from dasladen_spark.operators.sampling import (
         deterministic_sample,
+        dsir_weights,
         stratified_sample,
     )
 
@@ -778,6 +786,43 @@ def run_sample(ctx: TaskContext, task: dict) -> None:
     df = _transformed(ctx, task, df)
     id_field = task.get("id_field", df.columns[0])
     method = task.get("method", "deterministic")
+    if method == "dsir":
+        from pyspark.sql import functions as F
+
+        text_field = task.get("text_field", "text")
+        train_src = task["train"]
+        train = _read_source(
+            ctx, {**task, "source": train_src,
+                  "type": train_src.get("kind", "parquet") + "-x"}
+        )
+        tagged = df.select(
+            F.col(id_field).alias("_did"),
+            F.col(text_field).alias("_txt"),
+            F.lit(False).alias("_t"),
+        ).unionByName(
+            train.select(
+                F.lit(None).cast(df.schema[id_field].dataType).alias("_did"),
+                F.col(text_field).alias("_txt"),
+                F.lit(True).alias("_t"),
+            )
+        )
+        w = dsir_weights(tagged, "_t", id_col="_did", text_col="_txt")
+        keep_fraction = float(task.get("keep_fraction", 0.25))
+        thr = w.agg(
+            F.percentile("weight_per_token", F.lit(1.0 - keep_fraction)).alias(
+                "thr"
+            )
+        )
+        keep = (
+            w.crossJoin(F.broadcast(thr))
+            .filter(F.col("weight_per_token") >= F.col("thr"))
+            .select(F.col("_did").alias(id_field), "weight_per_token")
+        )
+        out = df.join(keep, id_field)
+        tgt = task["target"]
+        _write_sink(ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out)
+        ctx.log(f"task {task.get('name')}: sample written (dsir)")
+        return
     if method == "deterministic":
         out = deterministic_sample(
             df, float(task.get("fraction", 0.1)), id_field,

@@ -1116,3 +1116,54 @@ def test_er_task_writes_transitive_merge_map(spark, workdir):
         3: (1, "Chain#X00"),
         9: (9, "Alone#Z99"),
     }
+
+
+def test_sample_task_dsir_selects_target_like_docs(spark, workdir):
+    """'sample' task with method=dsir: source docs sharing the
+    exemplar set's vocabulary must outrank docs drawn from a
+    disjoint vocabulary, and exactly the top keep_fraction (with
+    their dsir weight column) reach the target."""
+    target_vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    noise_vocab = ["zero", "one", "two", "three", "four"]
+    train_rows = [
+        {"doc_id": 100 + i, "text": " ".join(target_vocab * 4)}
+        for i in range(3)
+    ]
+    src_rows = [
+        # 2 target-like docs, 6 noise docs
+        {"doc_id": 1, "text": " ".join(target_vocab * 5)},
+        {"doc_id": 2, "text": " ".join((target_vocab * 4) + noise_vocab)},
+    ] + [
+        {"doc_id": 10 + i, "text": " ".join(noise_vocab * 5)}
+        for i in range(6)
+    ]
+    for fname, rows in (("dsir_train.json", train_rows), ("dsir_src.json", src_rows)):
+        with open(workdir / "input" / fname, "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    run_tasks(
+        spark,
+        workdir,
+        {"tasks": [{
+            "name": "ds",
+            "type": "sample",
+            "method": "dsir",
+            "id_field": "doc_id",
+            "keep_fraction": 0.25,
+            "train": {
+                "kind": "json",
+                "file": "dsir_train.json",
+                "schema": "doc_id BIGINT, text STRING",
+            },
+            "source": {
+                "kind": "json",
+                "file": "dsir_src.json",
+                "schema": "doc_id BIGINT, text STRING",
+            },
+            "target": {"kind": "parquet", "file": "dsir.parquet", "truncate": True},
+        }]},
+    )
+    got = spark.read.parquet(str(workdir / "output" / "dsir.parquet"))
+    kept = {r["doc_id"] for r in got.collect()}
+    assert kept == {1, 2}
+    assert "weight_per_token" in got.columns
