@@ -91,6 +91,17 @@ HEADLINE = [
     "quality_ks_drift",
     "q_cohort_retention",
     "corpus_dsir_weights",
+    # round 7b: two-stage bloom-then-verify decontamination (the
+    # broadcast is the int position set, not the gram strings),
+    # cross-source quantile normalization (inverse-CDF merge over
+    # distinct rounded scores), Bradley–Terry preference ratings
+    # (one per-user lag window + a |types|²-table fixed point), and
+    # the z-order locality audit (pure JVM bit arithmetic)
+    "decontaminate_bloom_prefilter",
+    "quality_quantile_normalize",
+    "pref_bradley_terry",
+    "q_zorder_locality",
+    "q_kaplan_meier",
 ]
 
 

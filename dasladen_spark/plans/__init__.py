@@ -16,6 +16,7 @@ from dasladen_spark.plans import relational4  # noqa: F401,E402
 from dasladen_spark.plans import relational5  # noqa: F401,E402
 from dasladen_spark.plans import relational6  # noqa: F401,E402
 from dasladen_spark.plans import relational7  # noqa: F401,E402
+from dasladen_spark.plans import relational8  # noqa: F401,E402
 from dasladen_spark.plans import llm  # noqa: F401,E402
 from dasladen_spark.plans import llm2  # noqa: F401,E402
 from dasladen_spark.plans import llm3  # noqa: F401,E402
@@ -25,4 +26,5 @@ from dasladen_spark.plans import llm6  # noqa: F401,E402
 from dasladen_spark.plans import llm7  # noqa: F401,E402
 from dasladen_spark.plans import llm8  # noqa: F401,E402
 from dasladen_spark.plans import llm9  # noqa: F401,E402
+from dasladen_spark.plans import llm10  # noqa: F401,E402
 from dasladen_spark.plans import transforms_parity  # noqa: F401,E402

@@ -1,0 +1,575 @@
+"""LLM-data-pipeline queries, part 10: bloom-prefiltered
+decontamination, classifier reliability (calibration) bins,
+cross-source quantile normalization of quality scores, and
+Bradley–Terry preference ratings.
+
+Beyond-reference operators (the reference delegates all query power
+to an RDBMS, /root/reference/dasladen/task.py:94-107). Determinism
+discipline as in llm3+: exact integer/decimal arithmetic everywhere a
+comparison, maximum, or fold is taken; one ROUND(DECIMAL(38,12), 6)
+division per output column; engine-portable md5 hashing (the
+portable_sample_filter recipe) wherever a hash decides membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dasladen_spark.plans.llm import _Q_SQL
+from dasladen_spark.plans.llm2 import _NGRAM
+from dasladen_spark.plans.llm6 import _NB_SCORED_CTE
+from dasladen_spark.plans.registry import query
+from dasladen_spark.session import load_table as _t
+
+# ------------------------------------- bloom-prefiltered decontamination
+
+_BLOOM_BITS = 1 << 20  # m: position space (a 128 KiB bitmap at scale)
+_BLOOM_SALTS = ("b0:", "b1:")  # k = 2 independent md5-derived probes
+
+
+def _bloom_pos(col: F.Column, salt: str) -> F.Column:
+    """Engine-portable bloom probe position: the first 8 hex chars of
+    md5(salt || gram) as an integer, mod the bitmap size. Identical
+    SQL exists on any engine with md5 (DuckDB: ('0x' || substr(...))
+    cast), so the candidate set — not just the verified set — is
+    oracle-checkable."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8), 16, 10)
+        .cast("bigint")
+        % _BLOOM_BITS
+    )
+
+
+@query(
+    "decontaminate_bloom_prefilter",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(words) - {_NGRAM - 1}, 0)),
+               i -> array_to_string(words[i:i + {_NGRAM - 1}], ' '))) AS ng
+      FROM w
+    ), bench AS (
+      SELECT DISTINCT ng FROM g WHERE doc_id % 7 = 0
+    ), train AS (
+      SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % 7 <> 0
+    ), pos AS (
+      SELECT DISTINCT p FROM (
+        SELECT CAST(('0x' || substr(md5('{_BLOOM_SALTS[0]}' || ng), 1, 8))
+                    AS BIGINT) % {_BLOOM_BITS} AS p FROM bench
+        UNION ALL
+        SELECT CAST(('0x' || substr(md5('{_BLOOM_SALTS[1]}' || ng), 1, 8))
+                    AS BIGINT) % {_BLOOM_BITS} FROM bench
+      )
+    ), cand AS (
+      SELECT t.doc_id, t.ng FROM train t
+      WHERE CAST(('0x' || substr(md5('{_BLOOM_SALTS[0]}' || t.ng), 1, 8))
+                 AS BIGINT) % {_BLOOM_BITS} IN (SELECT p FROM pos)
+        AND CAST(('0x' || substr(md5('{_BLOOM_SALTS[1]}' || t.ng), 1, 8))
+                 AS BIGINT) % {_BLOOM_BITS} IN (SELECT p FROM pos)
+    ), hit AS (
+      SELECT c.doc_id,
+             CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END AS h
+      FROM cand c LEFT JOIN bench b USING (ng)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_candidates,
+           CAST(SUM(h) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) - SUM(h) AS BIGINT) AS n_false_pos
+    FROM hit GROUP BY doc_id
+    """,
+)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage benchmark decontamination: a bloom-style membership
+    prefilter on {_NGRAM}-gram md5 positions admits candidate grams,
+    then an exact gram join verifies them — per training doc, the
+    candidate count, the verified hit count, and the bloom
+    false-positive count (the audit that sizes the bitmap before a
+    full-corpus run). The verified hits equal the exact
+    decontaminate_ngrams join by construction, so the whole pipeline
+    — including the probabilistic stage — is oracle-exact.
+
+    Scale shape (the reason this exists next to the exact join): the
+    broadcast object is the distinct POSITION SET — k·|bench| ints,
+    a bitmap's worth of data, ~1000× smaller than the bench gram
+    strings — so the train side is filtered by two broadcast
+    semi-joins on 8-byte keys before any string ever shuffles; only
+    surviving candidates (benchmarks are MBs, so a vanishing
+    fraction at 100 TB) reach the string-keyed verify join. Grams
+    are distinct-per-doc before hashing, bounding md5 work at
+    |distinct grams|, not |occurrences|."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    grams = F.when(
+        F.size("words") >= _NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - (_NGRAM - 1)),
+            lambda i: F.array_join(F.slice(F.col("words"), i, _NGRAM), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = w.select("doc_id", F.explode(grams).alias("ng"))
+    bench = g.filter(F.col("doc_id") % 7 == 0).select("ng").distinct()
+    train = g.filter(F.col("doc_id") % 7 != 0).distinct()
+    pos = (
+        bench.select(_bloom_pos(F.col("ng"), _BLOOM_SALTS[0]).alias("p"))
+        .unionAll(
+            bench.select(_bloom_pos(F.col("ng"), _BLOOM_SALTS[1]).alias("p"))
+        )
+        .distinct()
+    )
+    cand = (
+        train.join(
+            F.broadcast(pos.withColumnRenamed("p", "p0")),
+            _bloom_pos(F.col("ng"), _BLOOM_SALTS[0]) == F.col("p0"),
+            "leftsemi",
+        )
+        .join(
+            F.broadcast(pos.withColumnRenamed("p", "p1")),
+            _bloom_pos(F.col("ng"), _BLOOM_SALTS[1]) == F.col("p1"),
+            "leftsemi",
+        )
+    )
+    hit = cand.join(
+        F.broadcast(bench.withColumn("h", F.lit(1))), "ng", "left"
+    ).select("doc_id", F.coalesce(F.col("h"), F.lit(0)).alias("h"))
+    return hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("h").cast("bigint").alias("n_hits"),
+        (F.count(F.lit(1)) - F.sum("h")).cast("bigint").alias("n_false_pos"),
+    )
+
+
+# --------------------------------------- classifier reliability bins
+
+
+@query(
+    "nb_reliability_bins",
+    oracle=_NB_SCORED_CTE + """
+    , piv AS (
+      SELECT l.doc_id, ROUND(l.log_score - s.log_score, 6) AS margin
+      FROM scored l JOIN scored s USING (doc_id)
+      WHERE l.label = 'long' AND s.label = 'short'
+    ), truth AS (
+      SELECT doc_id, CASE WHEN label = 'long' THEN 1 ELSE 0 END AS pos
+      FROM lab WHERE is_test
+    ), m AS (
+      SELECT p.doc_id, p.margin, t.pos,
+             NTILE(10) OVER (ORDER BY p.margin DESC, p.doc_id) AS bin
+      FROM piv p JOIN truth t USING (doc_id)
+    )
+    SELECT bin,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(CAST(SUM(CAST(margin AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,12)), 6)
+             AS mean_margin,
+           ROUND(CAST(CAST(SUM(pos) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,12)), 6)
+             AS pos_rate
+    FROM m GROUP BY bin
+    """,
+)
+def nb_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) table for the NB quality filter:
+    eval docs bucketed into 10 confidence deciles by NB margin, each
+    bin reporting its size, mean margin, and OBSERVED positive rate —
+    the curve that says whether "high margin" actually means "more
+    likely long-form". A monotone pos_rate over bins is the
+    calibration evidence nb_threshold_calibration's single cut-point
+    assumes; a flat or inverted stretch localizes where the
+    classifier's confidence lies.
+
+    Scale shape: scoring reuses the materialized NB model
+    (classify.ensure_nb_model — no retrain); the NTILE ranking
+    windows over the EVAL SLICE only (a fixed doc_id % 5 sample,
+    audit-bound by construction), then a 10-group aggregate. Margins
+    sum in exact DECIMAL, one rounded division per output column."""
+    from dasladen_spark.functions.vectors import bounded_window_key
+    from dasladen_spark.plans.llm7 import _NB_LONG, text_nb_quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    truth = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", (F.col("n_chars") >= _NB_LONG).cast("int").alias("pos")
+    )
+    m = (
+        text_nb_quality_score(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.round(F.col("score_long") - F.col("score_short"), 6).alias(
+                "margin"
+            ),
+        )
+        .join(truth, "doc_id")
+    )
+    w = Window.partitionBy(bounded_window_key(F.col("pos"))).orderBy(
+        F.col("margin").desc(), F.col("doc_id")
+    )
+    binned = m.withColumn("bin", F.ntile(10).over(w))
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            (
+                F.sum(F.col("margin").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast("decimal(38,12)"),
+            6,
+        ).alias("mean_margin"),
+        F.round(
+            (
+                F.sum("pos").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast("decimal(38,12)"),
+            6,
+        ).alias("pos_rate"),
+    )
+
+
+# ------------------------------ cross-source quantile normalization
+
+
+@query(
+    "quality_quantile_normalize",
+    oracle=f"""
+    WITH q AS ({_Q_SQL}),
+    dq AS (
+      SELECT q.doc_id, d.source, q.quality
+      FROM q JOIN documents d USING (doc_id)
+    ), g AS (
+      SELECT quality, COUNT(*) AS c FROM dq GROUP BY quality
+    ), gc AS (
+      SELECT quality,
+             SUM(c) OVER (ORDER BY quality ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT COUNT(*) FROM dq) AS n
+      FROM g
+    ), s AS (
+      SELECT source, quality, COUNT(*) AS c FROM dq GROUP BY source, quality
+    ), sc AS (
+      SELECT source, quality,
+             SUM(c) OVER (PARTITION BY source ORDER BY quality
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY source) AS ns
+      FROM s
+    ), u AS (
+      SELECT CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) AS f,
+             1 AS kind, quality AS gq,
+             CAST(NULL AS VARCHAR) AS source, CAST(NULL AS DOUBLE) AS q
+      FROM gc
+      UNION ALL
+      SELECT CAST(cum AS DOUBLE) / CAST(ns AS DOUBLE), 0, NULL,
+             source, quality
+      FROM sc
+    ), m AS (
+      SELECT source, q,
+             MIN(CASE WHEN kind = 1 THEN gq END) OVER (
+               ORDER BY f, kind
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nq
+      FROM u
+    ), per AS (
+      SELECT dq.source, dq.quality, m.nq
+      FROM dq JOIN m ON dq.source = m.source AND dq.quality = m.q
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(CAST(SUM(CAST(quality AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,12)), 6)
+             AS mean_raw,
+           ROUND(CAST(CAST(SUM(CAST(nq AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,12)), 6)
+             AS mean_normalized,
+           ROUND(CAST(CAST(SUM(CAST(ROUND(abs(quality - nq), 12)
+                   AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,12)), 6)
+             AS mean_abs_shift
+    FROM per GROUP BY source
+    """,
+)
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of quality scores (the
+    CCNet-style fix for "source A's 0.6 means something different
+    than source B's 0.6"): each document's score maps to the GLOBAL
+    score at the same within-source CDF position (exact inverse-CDF,
+    >= convention), and the per-source report shows raw vs
+    normalized means and the mean absolute shift — how much each
+    source's scale disagreed with the corpus.
+
+    Scale shape: everything runs on DISTINCT (source, quality) pairs,
+    and quality is rounded to 4 decimals, so both ECDF frames are
+    bounded at ~10⁴ rows per source REGARDLESS of corpus size — the
+    inverse-CDF is a single merge-sorted window over ≤ (sources+1)·10⁴
+    rows (query points and global points interleaved by CDF fraction;
+    the first following global point IS the >=-quantile because both
+    axes are monotone), then the tiny mapping broadcasts back onto
+    the corpus. Equal rationals divide to equal doubles (IEEE
+    round-to-nearest of the true quotient), so the f ordering and
+    the >= boundary are engine-exact; means go through the
+    ROUND(DECIMAL(38,12), 6) recipe."""
+    from dasladen_spark.functions.text import quality_score
+    from dasladen_spark.functions.vectors import bounded_window_key
+
+    d = _t(spark, sf_dir, "documents")
+    dq = d.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    g = dq.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = dq.agg(F.count(F.lit(1)).alias("n"))
+    wg = (
+        Window.partitionBy(bounded_window_key(F.col("c")))
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gc = (
+        g.select("quality", F.sum("c").over(wg).alias("cum"))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    s = dq.groupBy("source", "quality").agg(F.count(F.lit(1)).alias("c"))
+    ws = (
+        Window.partitionBy("source")
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wst = Window.partitionBy("source")
+    sc = s.select(
+        "source",
+        "quality",
+        F.sum("c").over(ws).alias("cum"),
+        F.sum("c").over(wst).alias("ns"),
+    )
+    u = (
+        gc.select(
+            (F.col("cum").cast("double") / F.col("n").cast("double")).alias(
+                "f"
+            ),
+            F.lit(1).alias("kind"),
+            F.col("quality").alias("gq"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("double").alias("q"),
+        )
+        .unionAll(
+            sc.select(
+                (
+                    F.col("cum").cast("double") / F.col("ns").cast("double")
+                ).alias("f"),
+                F.lit(0).alias("kind"),
+                F.lit(None).cast("double").alias("gq"),
+                "source",
+                F.col("quality").alias("q"),
+            )
+        )
+    )
+    wm = (
+        Window.partitionBy(bounded_window_key(F.col("kind")))
+        .orderBy("f", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    mapping = (
+        u.select(
+            "source",
+            "q",
+            F.min(F.when(F.col("kind") == 1, F.col("gq"))).over(wm).alias(
+                "nq"
+            ),
+        )
+        .filter(F.col("source").isNotNull())
+    )
+    per = dq.join(
+        F.broadcast(mapping),
+        (dq.source == mapping.source) & (dq.quality == mapping.q),
+    ).select(dq.source, dq.quality, mapping.nq)
+    cnt = F.count(F.lit(1))
+    return per.groupBy("source").agg(
+        cnt.alias("n_docs"),
+        F.round(
+            (
+                F.sum(F.col("quality").cast("decimal(38,12)")).cast("double")
+                / cnt.cast("double")
+            ).cast("decimal(38,12)"),
+            6,
+        ).alias("mean_raw"),
+        F.round(
+            (
+                F.sum(F.col("nq").cast("decimal(38,12)")).cast("double")
+                / cnt.cast("double")
+            ).cast("decimal(38,12)"),
+            6,
+        ).alias("mean_normalized"),
+        F.round(
+            (
+                F.sum(
+                    F.round(F.abs(F.col("quality") - F.col("nq")), 12).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double")
+                / cnt.cast("double")
+            ).cast("decimal(38,12)"),
+            6,
+        ).alias("mean_abs_shift"),
+    )
+
+
+# ------------------------------------ Bradley–Terry preference ratings
+
+
+@query(
+    "pref_bradley_terry",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             lag(event_type) OVER w AS p_type,
+             lag(value) OVER w AS p_val
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+      SELECT CASE WHEN event_type < p_type THEN event_type ELSE p_type END
+               AS a,
+             CASE WHEN event_type < p_type THEN p_type ELSE event_type END
+               AS b,
+             CASE
+               WHEN value > p_val THEN event_type
+               WHEN value < p_val THEN p_type
+               WHEN event_type < p_type THEN event_type
+               ELSE p_type
+             END AS winner
+      FROM e WHERE p_type IS NOT NULL AND p_type <> event_type
+    ), pair AS (
+      SELECT a, b, COUNT(*) AS n,
+             SUM(CASE WHEN winner = a THEN 1 ELSE 0 END) AS wa
+      FROM m GROUP BY a, b
+    ), item AS (
+      SELECT t, CAST(SUM(n) AS BIGINT) AS games,
+             CAST(SUM(w) AS BIGINT) AS wins
+      FROM (
+        SELECT a AS t, n, wa AS w FROM pair
+        UNION ALL
+        SELECT b, n, n - wa FROM pair
+      ) GROUP BY t
+    ), p1 AS (
+      SELECT t, games, wins,
+             CAST(ROUND(CAST(2 * wins AS DOUBLE) / CAST(games AS DOUBLE),
+                        12) AS DECIMAL(38,12)) AS p
+      FROM item
+    ), opp AS (
+      SELECT x.t, x.n, p1.p AS p_opp
+      FROM (
+        SELECT a AS t, b AS o, n FROM pair
+        UNION ALL
+        SELECT b, a, n FROM pair
+      ) x JOIN p1 ON p1.t = x.o
+    ), den AS (
+      SELECT o.t,
+             SUM(CAST(ROUND(CAST(o.n AS DOUBLE)
+                   / CAST(me.p + o.p_opp AS DOUBLE), 12)
+                 AS DECIMAL(38,18))) AS d
+      FROM opp o JOIN p1 me ON me.t = o.t
+      GROUP BY o.t
+    )
+    SELECT p1.t AS event_type, p1.games AS n_games, p1.wins AS n_wins,
+           ROUND(CAST(p1.p AS DOUBLE), 6) AS rating_iter1,
+           ROUND(CAST(CAST(p1.wins AS DOUBLE) / CAST(den.d AS DOUBLE)
+                 AS DECIMAL(38,12)), 6) AS rating_iter2
+    FROM p1 JOIN den ON den.t = p1.t
+    """,
+)
+def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry strength ratings over pairwise preferences — the
+    estimator behind RLHF preference-data quality checks (are the
+    comparisons consistent? which option dominates?). Matches are
+    deterministic: each user's consecutive event pairs (by ts,
+    event_id) with differing types form one comparison, higher value
+    wins, exact ties go to the lexicographically smaller type. Two
+    fixed-point iterations from the uniform start: iteration 1
+    reduces to 2·wins/games in closed form; iteration 2 is
+    w_i / Σ_j n_ij/(p_i+p_j) over the pair table.
+
+    Scale shape: the only corpus-sized work is one per-user lag
+    window (partitioned by user, the sessionize shape) and one
+    pair-key aggregate; everything after runs on the |types|² pair
+    table (tiny — broadcast-sized at any corpus scale). The
+    fixed-point terms are per-pair doubles rounded to 12 then summed
+    in exact DECIMAL, so the iteration is partition-order-proof."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("p_type"),
+        F.lag("value").over(w).alias("p_val"),
+    ).filter(
+        F.col("p_type").isNotNull() & (F.col("p_type") != F.col("event_type"))
+    )
+    m = e.select(
+        F.least("event_type", "p_type").alias("a"),
+        F.greatest("event_type", "p_type").alias("b"),
+        F.when(F.col("value") > F.col("p_val"), F.col("event_type"))
+        .when(F.col("value") < F.col("p_val"), F.col("p_type"))
+        .otherwise(F.least("event_type", "p_type"))
+        .alias("winner"),
+    )
+    pair = m.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("winner") == F.col("a")).cast("int")).alias("wa"),
+    )
+    sides = pair.select(
+        F.col("a").alias("t"), F.col("b").alias("o"), "n", F.col("wa").alias("w")
+    ).unionAll(
+        pair.select(
+            F.col("b").alias("t"),
+            F.col("a").alias("o"),
+            "n",
+            (F.col("n") - F.col("wa")).alias("w"),
+        )
+    )
+    item = sides.groupBy("t").agg(
+        F.sum("n").cast("bigint").alias("games"),
+        F.sum("w").cast("bigint").alias("wins"),
+    )
+    p1 = item.select(
+        "t",
+        "games",
+        "wins",
+        F.round(
+            (2 * F.col("wins")).cast("double") / F.col("games").cast("double"),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("p"),
+    )
+    opp = sides.select("t", "o", "n").join(
+        F.broadcast(p1.select(F.col("t").alias("o"), F.col("p").alias("p_opp"))),
+        "o",
+    )
+    den = (
+        opp.join(F.broadcast(p1.select("t", "p")), "t")
+        .select(
+            "t",
+            F.round(
+                F.col("n").cast("double")
+                / (F.col("p") + F.col("p_opp")).cast("double"),
+                12,
+            )
+            .cast("decimal(38,18)")
+            .alias("term"),
+        )
+        .groupBy("t")
+        .agg(F.sum("term").alias("d"))
+    )
+    return (
+        p1.join(F.broadcast(den), "t")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("games").alias("n_games"),
+            F.col("wins").alias("n_wins"),
+            F.round(F.col("p").cast("double"), 6).alias("rating_iter1"),
+            F.round(
+                (F.col("wins").cast("double") / F.col("d").cast("double")).cast(
+                    "decimal(38,12)"
+                ),
+                6,
+            ).alias("rating_iter2"),
+        )
+    )

@@ -154,10 +154,23 @@ def _write_sink(ctx: TaskContext, task: dict, df: DataFrame) -> None:
             .json(_tgt_path(ctx, tgt))
         )
     elif kind == "parquet":
-        w = df.write.mode("overwrite" if tgt.get("truncate") else "append")
-        if tgt.get("partition_by"):
-            w = w.partitionBy(*tgt["partition_by"])
-        w.parquet(_tgt_path(ctx, tgt))
+        if tgt.get("zorder"):
+            # two-column Morton-clustered layout (sinks/zorder) —
+            # file-level min/max skipping on BOTH columns
+            from dasladen_spark.sinks.zorder import write_zordered
+
+            write_zordered(
+                df,
+                _tgt_path(ctx, tgt),
+                tuple(tgt["zorder"]),
+                n_files=int(tgt.get("n_files", 8)),
+                mode="overwrite" if tgt.get("truncate") else "append",
+            )
+        else:
+            w = df.write.mode("overwrite" if tgt.get("truncate") else "append")
+            if tgt.get("partition_by"):
+                w = w.partitionBy(*tgt["partition_by"])
+            w.parquet(_tgt_path(ctx, tgt))
     elif kind == "orc":
         w = df.write.mode("overwrite" if tgt.get("truncate") else "append")
         if tgt.get("partition_by"):

@@ -521,6 +521,19 @@ _EXPECTED_FLAGS = {
     "corpus_dsir_weights": {"bnlj", "single-partition"},
     # 1-row fold of four exact counts (the z-test inputs)
     "q_ab_conversion_ztest": {"single-partition"},
+    # inherits the NB scorer's label broadcast; decile ranking windows
+    # over the eval slice only (doc_id % 5 audit sample)
+    "nb_reliability_bins": {"bnlj", "single-partition"},
+    # 1-row observation-cutoff broadcast; survival fold runs on the
+    # duration-bucket frame (calendar-bounded, ≤ ~100 rows)
+    "q_kaplan_meier": {"bnlj", "single-partition"},
+    # 1-row global min/max bounds broadcast onto the scan; the cell
+    # rollup itself hash-partitions over ≤ 2^10 cells
+    "q_zorder_locality": {"bnlj", "single-partition"},
+    # 1-row corpus-total broadcast; the inverse-CDF merge windows over
+    # DISTINCT rounded scores (≤ 10⁴ rows by construction, the
+    # quality_ks_drift bound) before broadcasting the mapping back
+    "quality_quantile_normalize": {"bnlj", "single-partition"},
 }
 
 

