@@ -112,6 +112,11 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = w.select("doc_id", F.explode(grams).alias("ng"))
+    # the fixture carves the benchmark slice out of the corpus, so the
+    # three bench consumers (two probe-position projections, the exact
+    # verify) re-tokenize that slice — at deployment the benchmark is a
+    # SEPARATE MBs-sized table and those are three scans of a tiny
+    # input (same accepted shape as decontaminate_ngrams/containment)
     bench = g.filter(F.col("doc_id") % 7 == 0).select("ng").distinct()
     train = g.filter(F.col("doc_id") % 7 != 0).distinct()
     pos = (
@@ -510,10 +515,21 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.least("event_type", "p_type"))
         .alias("winner"),
     )
-    pair = m.groupBy("a", "b").agg(
+    pair_agg = m.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("winner") == F.col("a")).cast("int")).alias("wa"),
     )
+    # |types|² rows by construction (the kmeans-centroid pattern):
+    # fetch the tiny pair table once so the four downstream consumers
+    # (both union orientations, the opponent join, the final join)
+    # never re-execute the corpus lag-window — a diamond DAG re-scans
+    # its shared subtree per path unless materialized, and caching the
+    # window subtree pins its shuffles to fixed partitioning (no AQE).
+    # Rebuild through pandas+Arrow: that lands as a LocalRelation
+    # (pure JVM downstream), where createDataFrame(rows) would be a
+    # Python-RDD-backed frame paying a Python worker round-trip per
+    # task per consumer. Values are exact integers; nothing is lost.
+    pair = spark.createDataFrame(pair_agg.toPandas(), pair_agg.schema)
     sides = pair.select(
         F.col("a").alias("t"), F.col("b").alias("o"), "n", F.col("wa").alias("w")
     ).unionAll(
