@@ -102,6 +102,11 @@ HEADLINE = [
     "pref_bradley_terry",
     "q_zorder_locality",
     "q_kaplan_meier",
+    # round 7c: forecast backtesting (leakage-free one-step EWMA
+    # errors on the calendar-sized series) and the XmR control chart
+    # (exact-decimal limit comparisons on the day series)
+    "q_forecast_backtest",
+    "q_xmr_control_limits",
 ]
 
 

@@ -246,3 +246,270 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bbox_area"),
     )
+
+
+# ------------------------------------------ forecast backtesting
+
+_BT_WIN_DAYS_LO = 7  # strictly-prior weeks only: no target leakage
+_BT_WIN_DAYS_HI = 84  # 12-week EWMA window, shifted one week back
+
+
+@query(
+    "q_forecast_backtest",
+    oracle="""
+    WITH wk AS (
+      SELECT n.n_name AS nation,
+             CAST(date_trunc('week', o.o_orderdate) AS TIMESTAMP) AS week,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(24,6)))
+                  AS DECIMAL(24,6)) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ), wts AS (
+      SELECT unnest(generate_series(0, 11)) AS j,
+             unnest([CAST('1' AS DECIMAL(13,11)), CAST('0.8' AS DECIMAL(13,11)), CAST('0.64' AS DECIMAL(13,11)), CAST('0.512' AS DECIMAL(13,11)), CAST('0.4096' AS DECIMAL(13,11)), CAST('0.32768' AS DECIMAL(13,11)), CAST('0.262144' AS DECIMAL(13,11)), CAST('0.2097152' AS DECIMAL(13,11)), CAST('0.16777216' AS DECIMAL(13,11)), CAST('0.134217728' AS DECIMAL(13,11)), CAST('0.1073741824' AS DECIMAL(13,11)), CAST('0.08589934592' AS DECIMAL(13,11))]) AS wt
+    ), pairs AS (
+      SELECT a.nation, a.week, a.rev,
+             CAST(b.rev * w.wt AS DECIMAL(38,17)) AS term,
+             CAST(w.wt AS DECIMAL(38,11)) AS wt
+      FROM wk a
+      JOIN wk b ON b.nation = a.nation
+       AND datediff('day', b.week, a.week) BETWEEN 7 AND 84
+      JOIN wts w ON w.j = datediff('day', b.week, a.week) // 7 - 1
+    ), f AS (
+      SELECT nation, week, ANY_VALUE(rev) AS rev,
+             CAST(ROUND(CAST(
+               CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(wt) AS VARCHAR) AS DOUBLE)
+             AS DECIMAL(38,12)), 6) AS DOUBLE) AS forecast
+      FROM pairs GROUP BY nation, week
+    ), e AS (
+      SELECT nation,
+             ROUND(CAST(rev AS DOUBLE) - forecast, 6) AS err,
+             CAST(rev AS DOUBLE) AS rev_d
+      FROM f
+    )
+    SELECT nation,
+           COUNT(*) AS n_weeks,
+           ROUND(CAST(CAST(SUM(CAST(abs(err) AS DECIMAL(38,12)))
+                   AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,12)), 6)
+             AS mae,
+           ROUND(CAST(CAST(SUM(CAST(err AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,12)), 6)
+             AS bias,
+           ROUND(CAST(CAST(SUM(CAST(ROUND(abs(err) / rev_d, 12)
+                   AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,12)), 6)
+             AS mape
+    FROM e GROUP BY nation
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the EWMA revenue forecast: for every
+    (nation, week), the one-step-ahead prediction uses ONLY strictly
+    prior weeks (the 12-week 0.8^j window shifted back one week — no
+    target leakage), and the per-nation report gives MAE, signed bias,
+    and MAPE. This is the forecast-quality loop q_ewma_weekly_revenue
+    lacks: a smoother is only a monitor once its one-step error is
+    known.
+
+    Scale shape: identical to the EWMA query — the fact table
+    collapses to the (nation, week) series first, the backtest is a
+    bounded self-join of that calendar-sized series, and the error
+    rollup touches 25 nations. Determinism: exact decimal weight
+    literals shared verbatim with the oracle; the only doubles are
+    the final division (VARCHAR-reduced, the llm6 recipe) and the
+    already-rounded errors, each re-rounded to 12 before the exact
+    DECIMAL accumulation."""
+    from dasladen_spark.plans.llm6 import _EWMA_W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    wk = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("week", "o_orderdate").alias("week"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+            .cast("decimal(24,6)")
+            .alias("rev")
+        )
+    )
+    wts = F.array(*[F.lit(w).cast("decimal(13,11)") for w in _EWMA_W])
+    a = wk.alias("a")
+    b = wk.alias("b")
+    diff_days = F.datediff(F.col("a.week"), F.col("b.week"))
+    wt = F.element_at(wts, (diff_days / 7).cast("int"))
+    pairs = a.join(
+        b,
+        on=(F.col("b.nation") == F.col("a.nation"))
+        & (diff_days >= _BT_WIN_DAYS_LO)
+        & (diff_days <= _BT_WIN_DAYS_HI),
+    ).select(
+        F.col("a.nation").alias("nation"),
+        F.col("a.week").alias("week"),
+        F.col("a.rev").alias("rev"),
+        (F.col("b.rev") * wt).cast("decimal(38,17)").alias("term"),
+        wt.cast("decimal(38,11)").alias("wt"),
+    )
+    f = pairs.groupBy("nation", "week").agg(
+        F.any_value("rev").alias("rev"),
+        F.round(
+            (F.sum("term").cast("double") / F.sum("wt").cast("double")).cast(
+                "decimal(38,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("forecast"),
+    )
+    e = f.select(
+        "nation",
+        F.round(F.col("rev").cast("double") - F.col("forecast"), 6).alias(
+            "err"
+        ),
+        F.col("rev").cast("double").alias("rev_d"),
+    )
+    cnt = F.count(F.lit(1))
+    return e.groupBy("nation").agg(
+        cnt.alias("n_weeks"),
+        F.round(
+            (
+                F.sum(
+                    F.abs(F.col("err")).cast("decimal(38,12)")
+                ).cast("double")
+                / cnt.cast("double")
+            ).cast("decimal(38,12)"),
+            6,
+        ).alias("mae"),
+        F.round(
+            (
+                F.sum(F.col("err").cast("decimal(38,12)")).cast("double")
+                / cnt.cast("double")
+            ).cast("decimal(38,12)"),
+            6,
+        ).alias("bias"),
+        F.round(
+            (
+                F.sum(
+                    F.round(F.abs(F.col("err")) / F.col("rev_d"), 12).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double")
+                / cnt.cast("double")
+            ).cast("decimal(38,12)"),
+            6,
+        ).alias("mape"),
+    )
+
+
+# ------------------------------------------ XmR (individuals) chart
+
+#: exact decimal literal of the XmR constant 3/d2 (d2 = 1.128)
+_XMR_K = "2.66"
+
+
+@query(
+    "q_xmr_control_limits",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS x
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT day, x,
+             abs(x - lag(x) OVER (ORDER BY day)) AS mr
+      FROM d
+    ), s AS (
+      SELECT CAST(SUM(x) AS DECIMAL(38,12))
+               / CAST(COUNT(*) AS DECIMAL(19,0)) AS xbar,
+             CAST(SUM(mr) AS DECIMAL(38,12))
+               / CAST(COUNT(mr) AS DECIMAL(19,0)) AS mrbar
+      FROM lagged
+    )
+    SELECT l.day, CAST(l.x AS BIGINT) AS x,
+           ROUND(CAST(CAST(s.xbar AS DOUBLE) AS DECIMAL(38,12)), 6)
+             AS center,
+           ROUND(CAST(CAST(s.xbar + CAST('{_XMR_K}' AS DECIMAL(5,2))
+                   * s.mrbar AS DOUBLE) AS DECIMAL(38,12)), 6) AS ucl,
+           ROUND(CAST(CAST(s.xbar - CAST('{_XMR_K}' AS DECIMAL(5,2))
+                   * s.mrbar AS DOUBLE) AS DECIMAL(38,12)), 6) AS lcl,
+           CAST(CAST(l.x AS DECIMAL(38,12))
+                > s.xbar + CAST('{_XMR_K}' AS DECIMAL(5,2)) * s.mrbar
+              OR CAST(l.x AS DECIMAL(38,12))
+                < s.xbar - CAST('{_XMR_K}' AS DECIMAL(5,2)) * s.mrbar
+              AS INTEGER) AS out_of_control
+    FROM lagged l, s
+    """,
+)
+def q_xmr_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals / moving-range) control chart over daily event
+    volume: center line, 2.66·mR̄ control limits, and a per-day
+    out-of-control flag — the SPC primitive ops teams run on intake
+    volumes, where CUSUM (q_cusum_drift) detects sustained shifts and
+    XmR catches single excursions.
+
+    Scale shape: the corpus collapses to the day series first
+    (calendar-bounded); the lag and the one-row limits are windows and
+    an aggregate over that tiny frame, broadcast-crossed back. The
+    out-of-control comparison runs in EXACT DECIMAL (counts and the
+    2.66 literal are exact), so no flag flips with libm; the reported
+    limits round once at the end."""
+    from dasladen_spark.functions.vectors import bounded_window_key
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy(bounded_window_key(F.col("x"))).orderBy("day")
+    lagged = d.select(
+        "day", "x", F.abs(F.col("x") - F.lag("x").over(w)).alias("mr")
+    )
+    s = lagged.agg(
+        (
+            F.sum("x").cast("decimal(38,12)")
+            / F.count(F.lit(1)).cast("decimal(19,0)")
+        ).alias("xbar"),
+        (
+            F.sum("mr").cast("decimal(38,12)")
+            / F.count("mr").cast("decimal(19,0)")
+        ).alias("mrbar"),
+    )
+    k = F.lit(_XMR_K).cast("decimal(5,2)")
+    return lagged.crossJoin(F.broadcast(s)).select(
+        "day",
+        F.col("x").cast("bigint").alias("x"),
+        F.round(F.col("xbar").cast("double").cast("decimal(38,12)"), 6).alias(
+            "center"
+        ),
+        F.round(
+            (F.col("xbar") + k * F.col("mrbar"))
+            .cast("double")
+            .cast("decimal(38,12)"),
+            6,
+        ).alias("ucl"),
+        F.round(
+            (F.col("xbar") - k * F.col("mrbar"))
+            .cast("double")
+            .cast("decimal(38,12)"),
+            6,
+        ).alias("lcl"),
+        (
+            (
+                F.col("x").cast("decimal(38,12)")
+                > F.col("xbar") + k * F.col("mrbar")
+            )
+            | (
+                F.col("x").cast("decimal(38,12)")
+                < F.col("xbar") - k * F.col("mrbar")
+            )
+        )
+        .cast("int")
+        .alias("out_of_control"),
+    )

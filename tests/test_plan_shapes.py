@@ -534,6 +534,9 @@ _EXPECTED_FLAGS = {
     # DISTINCT rounded scores (≤ 10⁴ rows by construction, the
     # quality_ks_drift bound) before broadcasting the mapping back
     "quality_quantile_normalize": {"bnlj", "single-partition"},
+    # 1-row (x̄, mR̄) limits broadcast over the days-sized series;
+    # the lag runs on the calendar-bounded day frame
+    "q_xmr_control_limits": {"bnlj", "single-partition"},
 }
 
 
