@@ -1,0 +1,107 @@
+"""Cross-query differentials and invariants for the round-7 analytic
+additions — properties the DuckDB oracle (same formula, other engine)
+cannot establish on its own."""
+
+import pandas as pd
+
+from dasladen_spark.plans import QUERIES
+
+
+def test_bloom_prefilter_hits_equal_exact_join(spark, sf_dir):
+    """The bloom stage must be a pure PREFILTER: verified hit counts
+    per doc equal the exact decontaminate_ngrams join (same gram
+    width, same benchmark split) — if a true hit ever misses, the
+    bloom admitted the wrong candidate set."""
+    bloom = (
+        QUERIES["decontaminate_bloom_prefilter"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    exact = (
+        QUERIES["decontaminate_ngrams"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert set(exact.index) == set(bloom[bloom.n_hits > 0].index)
+    joined = bloom.join(
+        exact.rename(columns={"n_hits": "n_hits_exact"}), how="inner"
+    )
+    assert (joined.n_hits == joined.n_hits_exact).all()
+    # candidate set is a superset of the verified set, never smaller
+    assert (bloom.n_candidates >= bloom.n_hits).all()
+    assert (bloom.n_false_pos == bloom.n_candidates - bloom.n_hits).all()
+
+
+def test_kaplan_meier_curve_invariants(spark, sf_dir):
+    km = (
+        QUERIES["q_kaplan_meier"](spark, sf_dir)
+        .toPandas()
+        .sort_values("months")
+        .reset_index(drop=True)
+    )
+    assert len(km) > 5
+    # survival is a probability and non-increasing in duration
+    assert km.survival.between(0.0, 1.0).all()
+    assert (km.survival.diff().dropna() <= 1e-12).all()
+    # the risk set can only shrink as duration grows
+    assert (km.n_at_risk.diff().dropna() <= 0).all()
+    # deaths never exceed the at-risk count
+    assert (km.n_churned <= km.n_at_risk).all()
+    # first point is exactly 1 - d/n (fold of a single factor)
+    first = km.iloc[0]
+    expected = round(1.0 - first.n_churned / first.n_at_risk, 6)
+    assert abs(first.survival - expected) < 1e-9
+
+
+def test_bradley_terry_accounting_and_closed_form(spark, sf_dir):
+    bt = QUERIES["pref_bradley_terry"](spark, sf_dir).toPandas()
+    # every match contributes one win and appears in both players'
+    # game counts: Σwins = Σgames / 2
+    assert bt.n_wins.sum() * 2 == bt.n_games.sum()
+    # iteration 1 from the uniform start is exactly 2·wins/games
+    for _, r in bt.iterrows():
+        assert abs(r.rating_iter1 - round(2 * r.n_wins / r.n_games, 6)) < 1e-9
+    # ratings are positive and the frame covers ≥ 2 event types
+    assert (bt.rating_iter1 > 0).all() and (bt.rating_iter2 > 0).all()
+    assert len(bt) >= 2
+
+
+def test_quantile_normalize_bounds_and_population(spark, sf_dir):
+    qn = QUERIES["quality_quantile_normalize"](spark, sf_dir).toPandas()
+    assert len(qn) == 20  # one row per fixture source
+    # quality scores live in [0, 1]; so must their quantile images
+    for col in ("mean_raw", "mean_normalized"):
+        assert qn[col].between(0.0, 1.0).all(), col
+    assert (qn.mean_abs_shift >= 0).all()
+    # normalization must not change the corpus size
+    docs = QUERIES["text_quality"](spark, sf_dir).toPandas()
+    assert qn.n_docs.sum() == len(docs)
+
+
+def test_forecast_backtest_error_geometry(spark, sf_dir):
+    bt = QUERIES["q_forecast_backtest"](spark, sf_dir).toPandas()
+    assert len(bt) == 25
+    # MAE dominates |bias| (triangle inequality over the error series)
+    assert (bt.mae >= bt.bias.abs() - 1e-9).all()
+    assert (bt.mape >= 0).all() and (bt.n_weeks > 0).all()
+
+
+def test_xmr_limits_and_flags_recompute(spark, sf_dir):
+    xmr = (
+        QUERIES["q_xmr_control_limits"](spark, sf_dir)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert (xmr.ucl > xmr.center).all() and (xmr.center > xmr.lcl).all()
+    # limits are constant across the chart (one global (x̄, mR̄))
+    assert xmr.ucl.nunique() == 1 and xmr.lcl.nunique() == 1
+    # recompute the flag from the published limits: the exact-decimal
+    # flag may only disagree with the rounded-limit flag on rows that
+    # sit within rounding distance of a limit
+    recomputed = (xmr.x > xmr.ucl) | (xmr.x < xmr.lcl)
+    disagree = xmr[recomputed != (xmr.out_of_control == 1)]
+    near = (disagree.x - disagree.ucl).abs().lt(1e-5) | (
+        disagree.x - disagree.lcl
+    ).abs().lt(1e-5)
+    assert disagree.empty or near.all()
