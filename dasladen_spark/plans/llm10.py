@@ -85,7 +85,7 @@ def _bloom_pos(col: F.Column, salt: str) -> F.Column:
 )
 def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage benchmark decontamination: a bloom-style membership
-    prefilter on {_NGRAM}-gram md5 positions admits candidate grams,
+    prefilter on 8-gram (_NGRAM) md5 positions admits candidate grams,
     then an exact gram join verifies them — per training doc, the
     candidate count, the verified hit count, and the bloom
     false-positive count (the audit that sizes the bitmap before a
@@ -242,17 +242,17 @@ def nb_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq AS (
       SELECT q.doc_id, d.source, q.quality
       FROM q JOIN documents d USING (doc_id)
+    ), s AS (
+      SELECT source, quality, COUNT(*) AS c FROM dq GROUP BY source, quality
     ), g AS (
-      SELECT quality, COUNT(*) AS c FROM dq GROUP BY quality
+      SELECT quality, SUM(c) AS c FROM s GROUP BY quality
     ), gc AS (
       SELECT quality,
              SUM(c) OVER (ORDER BY quality ROWS UNBOUNDED PRECEDING) AS cum,
-             (SELECT COUNT(*) FROM dq) AS n
+             (SELECT SUM(c) FROM s) AS n
       FROM g
-    ), s AS (
-      SELECT source, quality, COUNT(*) AS c FROM dq GROUP BY source, quality
     ), sc AS (
-      SELECT source, quality,
+      SELECT source, quality, c,
              SUM(c) OVER (PARTITION BY source ORDER BY quality
                ROWS UNBOUNDED PRECEDING) AS cum,
              SUM(c) OVER (PARTITION BY source) AS ns
@@ -260,35 +260,35 @@ def nb_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), u AS (
       SELECT CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) AS f,
              1 AS kind, quality AS gq,
-             CAST(NULL AS VARCHAR) AS source, CAST(NULL AS DOUBLE) AS q
+             CAST(NULL AS VARCHAR) AS source, CAST(NULL AS DOUBLE) AS q,
+             CAST(NULL AS BIGINT) AS c
       FROM gc
       UNION ALL
       SELECT CAST(cum AS DOUBLE) / CAST(ns AS DOUBLE), 0, NULL,
-             source, quality
+             source, quality, c
       FROM sc
     ), m AS (
-      SELECT source, q,
+      SELECT source, q, c,
              MIN(CASE WHEN kind = 1 THEN gq END) OVER (
                ORDER BY f, kind
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nq
       FROM u
-    ), per AS (
-      SELECT dq.source, dq.quality, m.nq
-      FROM dq JOIN m ON dq.source = m.source AND dq.quality = m.q
     )
     SELECT source,
-           COUNT(*) AS n_docs,
-           ROUND(CAST(CAST(SUM(CAST(quality AS DECIMAL(38,12))) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,12)), 6)
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           ROUND(CAST(CAST(SUM(CAST(c AS DECIMAL(19,0))
+                   * CAST(q AS DECIMAL(6,4))) AS DOUBLE)
+                 / CAST(SUM(c) AS DOUBLE) AS DECIMAL(38,12)), 6)
              AS mean_raw,
-           ROUND(CAST(CAST(SUM(CAST(nq AS DECIMAL(38,12))) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,12)), 6)
+           ROUND(CAST(CAST(SUM(CAST(c AS DECIMAL(19,0))
+                   * CAST(nq AS DECIMAL(6,4))) AS DOUBLE)
+                 / CAST(SUM(c) AS DOUBLE) AS DECIMAL(38,12)), 6)
              AS mean_normalized,
-           ROUND(CAST(CAST(SUM(CAST(ROUND(abs(quality - nq), 12)
-                   AS DECIMAL(38,12))) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,12)), 6)
+           ROUND(CAST(CAST(SUM(CAST(c AS DECIMAL(19,0))
+                   * CAST(abs(q - nq) AS DECIMAL(6,4))) AS DOUBLE)
+                 / CAST(SUM(c) AS DOUBLE) AS DECIMAL(38,12)), 6)
              AS mean_abs_shift
-    FROM per GROUP BY source
+    FROM m WHERE source IS NOT NULL GROUP BY source
     """,
 )
 def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,26 +300,28 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized means and the mean absolute shift — how much each
     source's scale disagreed with the corpus.
 
-    Scale shape: everything runs on DISTINCT (source, quality) pairs,
-    and quality is rounded to 4 decimals, so both ECDF frames are
-    bounded at ~10⁴ rows per source REGARDLESS of corpus size — the
-    inverse-CDF is a single merge-sorted window over ≤ (sources+1)·10⁴
-    rows (query points and global points interleaved by CDF fraction;
-    the first following global point IS the >=-quantile because both
-    axes are monotone), then the tiny mapping broadcasts back onto
-    the corpus. Equal rationals divide to equal doubles (IEEE
-    round-to-nearest of the true quotient), so the f ordering and
-    the >= boundary are engine-exact; means go through the
-    ROUND(DECIMAL(38,12), 6) recipe."""
+    Scale shape: ONE corpus scan builds the distinct (source,
+    quality) rollup — quality is rounded to 4 decimals, so that frame
+    is bounded at ~10⁴ rows per source REGARDLESS of corpus size —
+    and every later step (both ECDFs, the inverse-CDF merge window,
+    and the count-weighted per-source means) runs on it; no per-doc
+    join back to the corpus exists at all. The inverse-CDF is a
+    single merge-sorted window (query points and global points
+    interleaved by CDF fraction; the first following global point IS
+    the >=-quantile because both axes are monotone). Equal rationals
+    divide to equal doubles (IEEE round-to-nearest of the true
+    quotient), so the f ordering and the >= boundary are
+    engine-exact; scores enter the exact accumulation as DECIMAL(6,4)
+    — their native rounded scale — weighted by exact counts, with
+    one ROUND(DECIMAL(38,12), 6) division per output column."""
     from dasladen_spark.functions.text import quality_score
     from dasladen_spark.functions.vectors import bounded_window_key
 
     d = _t(spark, sf_dir, "documents")
-    dq = d.select(
-        "doc_id", "source", quality_score(F.col("text")).alias("quality")
-    )
-    g = dq.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
-    n_tot = dq.agg(F.count(F.lit(1)).alias("n"))
+    dq = d.select("source", quality_score(F.col("text")).alias("quality"))
+    s = dq.groupBy("source", "quality").agg(F.count(F.lit(1)).alias("c"))
+    g = s.groupBy("quality").agg(F.sum("c").alias("c"))
+    n_tot = s.agg(F.sum("c").alias("n"))
     wg = (
         Window.partitionBy(bounded_window_key(F.col("c")))
         .orderBy("quality")
@@ -329,7 +331,6 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.select("quality", F.sum("c").over(wg).alias("cum"))
         .crossJoin(F.broadcast(n_tot))
     )
-    s = dq.groupBy("source", "quality").agg(F.count(F.lit(1)).alias("c"))
     ws = (
         Window.partitionBy("source")
         .orderBy("quality")
@@ -339,6 +340,7 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = s.select(
         "source",
         "quality",
+        "c",
         F.sum("c").over(ws).alias("cum"),
         F.sum("c").over(wst).alias("ns"),
     )
@@ -351,6 +353,7 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality").alias("gq"),
             F.lit(None).cast("string").alias("source"),
             F.lit(None).cast("double").alias("q"),
+            F.lit(None).cast("bigint").alias("c"),
         )
         .unionAll(
             sc.select(
@@ -361,6 +364,7 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("double").alias("gq"),
                 "source",
                 F.col("quality").alias("q"),
+                F.col("c").cast("bigint").alias("c"),
             )
         )
     )
@@ -369,45 +373,36 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("f", "kind")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    mapping = (
-        u.select(
-            "source",
-            "q",
-            F.min(F.when(F.col("kind") == 1, F.col("gq"))).over(wm).alias(
-                "nq"
-            ),
-        )
-        .filter(F.col("source").isNotNull())
-    )
-    per = dq.join(
-        F.broadcast(mapping),
-        (dq.source == mapping.source) & (dq.quality == mapping.q),
-    ).select(dq.source, dq.quality, mapping.nq)
-    cnt = F.count(F.lit(1))
-    return per.groupBy("source").agg(
-        cnt.alias("n_docs"),
+    m = u.select(
+        "source",
+        "q",
+        "c",
+        F.min(F.when(F.col("kind") == 1, F.col("gq"))).over(wm).alias("nq"),
+    ).filter(F.col("source").isNotNull())
+    cd = F.col("c").cast("decimal(19,0)")
+    return m.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
         F.round(
             (
-                F.sum(F.col("quality").cast("decimal(38,12)")).cast("double")
-                / cnt.cast("double")
+                F.sum(cd * F.col("q").cast("decimal(6,4)")).cast("double")
+                / F.sum("c").cast("double")
             ).cast("decimal(38,12)"),
             6,
         ).alias("mean_raw"),
         F.round(
             (
-                F.sum(F.col("nq").cast("decimal(38,12)")).cast("double")
-                / cnt.cast("double")
+                F.sum(cd * F.col("nq").cast("decimal(6,4)")).cast("double")
+                / F.sum("c").cast("double")
             ).cast("decimal(38,12)"),
             6,
         ).alias("mean_normalized"),
         F.round(
             (
                 F.sum(
-                    F.round(F.abs(F.col("quality") - F.col("nq")), 12).cast(
-                        "decimal(38,12)"
-                    )
+                    cd
+                    * F.abs(F.col("q") - F.col("nq")).cast("decimal(6,4)")
                 ).cast("double")
-                / cnt.cast("double")
+                / F.sum("c").cast("double")
             ).cast("decimal(38,12)"),
             6,
         ).alias("mean_abs_shift"),
@@ -453,7 +448,7 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), p1 AS (
       SELECT t, games, wins,
              CAST(ROUND(CAST(2 * wins AS DOUBLE) / CAST(games AS DOUBLE),
-                        12) AS DECIMAL(38,12)) AS p
+                        12) AS DECIMAL(18,12)) AS p
       FROM item
     ), opp AS (
       SELECT x.t, x.n, p1.p AS p_opp
@@ -552,7 +547,7 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.col("wins")).cast("double") / F.col("games").cast("double"),
             12,
         )
-        .cast("decimal(38,12)")
+        .cast("decimal(18,12)")
         .alias("p"),
     )
     opp = sides.select("t", "o", "n").join(

@@ -63,12 +63,12 @@ _KM_CHURN_DAYS = 90  # inactive-this-long-at-cutoff = churned
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier survival curve of customer lifetime: duration =
     months between a customer's first and last order, churn event =
-    no order within {_KM_CHURN_DAYS} days of the observation cutoff
+    no order within 90 days (_KM_CHURN_DAYS) of the observation cutoff
     (still-active customers are right-censored — they thin the risk
     set without counting as deaths, which is the whole point of KM
     over a naive churn-rate-by-age). One row per observed duration:
     the at-risk count, churn events, and the survival estimate
-    S(t) = Π_{{u<=t}} (1 - d_u/n_u).
+    S(t) = the product over u <= t of (1 - d_u/n_u).
 
     Scale shape: one per-customer aggregate (corpus-sized, one
     shuffle), then everything runs on the duration-bucket frame —
@@ -146,7 +146,7 @@ _Z_CELL_SHIFT = 6  # cells of 64 consecutive z values
 
 
 def zvalue(xb, yb) -> F.Column:
-    """Interleave two {_Z_BITS}-bit bucket Columns into a Morton
+    """Interleave two 8-bit (_Z_BITS) bucket Columns into a Morton
     (z-order) value — pure JVM integer arithmetic (shifts and masks),
     no UDF. Consecutive z values are spatially adjacent in (x, y), so
     range-partitioning and sorting by z co-locates rows that a
@@ -411,8 +411,11 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------ XmR (individuals) chart
 
-#: exact decimal literal of the XmR constant 3/d2 (d2 = 1.128)
-_XMR_K = "2.66"
+#: the XmR constant 3/d2 (d2 = 1.128) as the exact rational 266/100 —
+#: the out-of-control test cross-multiplies so NO division (decimal or
+#: double) ever decides a flag
+_XMR_K100 = 266
+_XMR_C = 100
 
 
 @query(
@@ -427,23 +430,27 @@ _XMR_K = "2.66"
              abs(x - lag(x) OVER (ORDER BY day)) AS mr
       FROM d
     ), s AS (
-      SELECT CAST(SUM(x) AS DECIMAL(38,12))
-               / CAST(COUNT(*) AS DECIMAL(19,0)) AS xbar,
-             CAST(SUM(mr) AS DECIMAL(38,12))
-               / CAST(COUNT(mr) AS DECIMAL(19,0)) AS mrbar
+      SELECT CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(mr) AS BIGINT) AS sum_mr,
+             CAST(COUNT(mr) AS BIGINT) AS nmr
       FROM lagged
     )
     SELECT l.day, CAST(l.x AS BIGINT) AS x,
-           ROUND(CAST(CAST(s.xbar AS DOUBLE) AS DECIMAL(38,12)), 6)
-             AS center,
-           ROUND(CAST(CAST(s.xbar + CAST('{_XMR_K}' AS DECIMAL(5,2))
-                   * s.mrbar AS DOUBLE) AS DECIMAL(38,12)), 6) AS ucl,
-           ROUND(CAST(CAST(s.xbar - CAST('{_XMR_K}' AS DECIMAL(5,2))
-                   * s.mrbar AS DOUBLE) AS DECIMAL(38,12)), 6) AS lcl,
-           CAST(CAST(l.x AS DECIMAL(38,12))
-                > s.xbar + CAST('{_XMR_K}' AS DECIMAL(5,2)) * s.mrbar
-              OR CAST(l.x AS DECIMAL(38,12))
-                < s.xbar - CAST('{_XMR_K}' AS DECIMAL(5,2)) * s.mrbar
+           ROUND(CAST(CAST(s.sum_x AS DOUBLE) / CAST(s.n AS DOUBLE)
+                 AS DECIMAL(38,12)), 6) AS center,
+           ROUND(CAST(CAST(s.sum_x AS DOUBLE) / CAST(s.n AS DOUBLE)
+                 + 2.66 * (CAST(s.sum_mr AS DOUBLE) / CAST(s.nmr AS DOUBLE))
+                 AS DECIMAL(38,12)), 6) AS ucl,
+           ROUND(CAST(CAST(s.sum_x AS DOUBLE) / CAST(s.n AS DOUBLE)
+                 - 2.66 * (CAST(s.sum_mr AS DOUBLE) / CAST(s.nmr AS DOUBLE))
+                 AS DECIMAL(38,12)), 6) AS lcl,
+           CAST(CAST({_XMR_C} AS DECIMAL(38,0)) * l.x * s.n * s.nmr
+                > CAST({_XMR_C} AS DECIMAL(38,0)) * s.sum_x * s.nmr
+                  + CAST({_XMR_K100} AS DECIMAL(38,0)) * s.sum_mr * s.n
+              OR CAST({_XMR_C} AS DECIMAL(38,0)) * l.x * s.n * s.nmr
+                < CAST({_XMR_C} AS DECIMAL(38,0)) * s.sum_x * s.nmr
+                  - CAST({_XMR_K100} AS DECIMAL(38,0)) * s.sum_mr * s.n
               AS INTEGER) AS out_of_control
     FROM lagged l, s
     """,
@@ -457,10 +464,17 @@ def q_xmr_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus collapses to the day series first
     (calendar-bounded); the lag and the one-row limits are windows and
-    an aggregate over that tiny frame, broadcast-crossed back. The
-    out-of-control comparison runs in EXACT DECIMAL (counts and the
-    2.66 literal are exact), so no flag flips with libm; the reported
-    limits round once at the end."""
+    an aggregate over that tiny frame, broadcast-crossed back.
+
+    Determinism: the out-of-control test never divides — it
+    cross-multiplies the exact integer sufficient statistics
+    (100·x·n·n_mr vs 100·Σx·n_mr ± 266·Σmr·n in DECIMAL(38,0)), so no
+    engine's decimal-typing or libm rounding can flip a flag. The
+    REPORTED limits are plain double arithmetic over the same integer
+    sums — identical IEEE expression trees on both engines — rounded
+    once at the end. (A decimal-typed x̄ + k·mR̄ is NOT portable:
+    Spark's precision-loss rule rounds the product at scale 8 and the
+    sum at scale 7 while DuckDB's DECIMAL division returns DOUBLE.)"""
     from dasladen_spark.functions.vectors import bounded_window_key
 
     ev = _t(spark, sf_dir, "events")
@@ -472,44 +486,29 @@ def q_xmr_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "x", F.abs(F.col("x") - F.lag("x").over(w)).alias("mr")
     )
     s = lagged.agg(
-        (
-            F.sum("x").cast("decimal(38,12)")
-            / F.count(F.lit(1)).cast("decimal(19,0)")
-        ).alias("xbar"),
-        (
-            F.sum("mr").cast("decimal(38,12)")
-            / F.count("mr").cast("decimal(19,0)")
-        ).alias("mrbar"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mr").cast("bigint").alias("sum_mr"),
+        F.count("mr").cast("bigint").alias("nmr"),
     )
-    k = F.lit(_XMR_K).cast("decimal(5,2)")
+    xbar_d = F.col("sum_x").cast("double") / F.col("n").cast("double")
+    mrbar_d = F.col("sum_mr").cast("double") / F.col("nmr").cast("double")
+    c = F.lit(_XMR_C).cast("decimal(38,0)")
+    k100 = F.lit(_XMR_K100).cast("decimal(38,0)")
+    lhs = c * F.col("x") * F.col("n") * F.col("nmr")
+    base = c * F.col("sum_x") * F.col("nmr")
+    slack = k100 * F.col("sum_mr") * F.col("n")
     return lagged.crossJoin(F.broadcast(s)).select(
         "day",
         F.col("x").cast("bigint").alias("x"),
-        F.round(F.col("xbar").cast("double").cast("decimal(38,12)"), 6).alias(
-            "center"
-        ),
+        F.round(xbar_d.cast("decimal(38,12)"), 6).alias("center"),
         F.round(
-            (F.col("xbar") + k * F.col("mrbar"))
-            .cast("double")
-            .cast("decimal(38,12)"),
-            6,
+            (xbar_d + F.lit(2.66) * mrbar_d).cast("decimal(38,12)"), 6
         ).alias("ucl"),
         F.round(
-            (F.col("xbar") - k * F.col("mrbar"))
-            .cast("double")
-            .cast("decimal(38,12)"),
-            6,
+            (xbar_d - F.lit(2.66) * mrbar_d).cast("decimal(38,12)"), 6
         ).alias("lcl"),
-        (
-            (
-                F.col("x").cast("decimal(38,12)")
-                > F.col("xbar") + k * F.col("mrbar")
-            )
-            | (
-                F.col("x").cast("decimal(38,12)")
-                < F.col("xbar") - k * F.col("mrbar")
-            )
-        )
+        ((lhs > base + slack) | (lhs < base - slack))
         .cast("int")
         .alias("out_of_control"),
     )

@@ -62,23 +62,29 @@ def write_zordered(
         F.min("__zy").alias("__miny"),
         F.max("__zy").alias("__maxy"),
     )
+    # bucket = (v - min) DIV width with width = span DIV 2^bits + 1:
+    # divide-first, so a full-width 64-bit domain (hash / snowflake
+    # ids, span ~2^63) can never overflow the way the query-side
+    # multiply-then-divide form would — (v - min) * 255 wraps bigint
+    # silently past 2^55 and would z-order garbage with no error.
+    # LEAST caps the last (ragged) bucket at 2^bits - 1.
     mask = (1 << _Z_BITS) - 1
     bucketed = (
         tagged.crossJoin(F.broadcast(bounds))
         .withColumn(
             "__zxb",
             F.expr(
-                f"CAST(CASE WHEN __maxx <= __minx THEN 0 ELSE"
-                f" ((__zx - __minx) * {mask}) DIV (__maxx - __minx)"
-                f" END AS INT)"
+                f"CAST(CASE WHEN __maxx <= __minx THEN 0 ELSE LEAST("
+                f" (__zx - __minx) DIV ((__maxx - __minx) DIV {mask + 1} + 1),"
+                f" {mask}) END AS INT)"
             ),
         )
         .withColumn(
             "__zyb",
             F.expr(
-                f"CAST(CASE WHEN __maxy <= __miny THEN 0 ELSE"
-                f" ((__zy - __miny) * {mask}) DIV (__maxy - __miny)"
-                f" END AS INT)"
+                f"CAST(CASE WHEN __maxy <= __miny THEN 0 ELSE LEAST("
+                f" (__zy - __miny) DIV ((__maxy - __miny) DIV {mask + 1} + 1),"
+                f" {mask}) END AS INT)"
             ),
         )
         .withColumn("__z", zvalue(F.col("__zxb"), F.col("__zyb")))

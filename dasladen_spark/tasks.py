@@ -157,6 +157,14 @@ def _write_sink(ctx: TaskContext, task: dict, df: DataFrame) -> None:
         if tgt.get("zorder"):
             # two-column Morton-clustered layout (sinks/zorder) —
             # file-level min/max skipping on BOTH columns
+            if tgt.get("partition_by"):
+                raise ValueError(
+                    "parquet sink: 'zorder' and 'partition_by' are"
+                    " mutually exclusive — a z-ordered layout is one"
+                    " directory of curve-clustered files; partition"
+                    " the table instead if directory pruning is the"
+                    " goal"
+                )
             from dasladen_spark.sinks.zorder import write_zordered
 
             write_zordered(

@@ -1200,3 +1200,29 @@ def test_parquet_zorder_sink_task(spark, workdir, sf_dir):
     import glob
 
     assert len(glob.glob(os.path.join(out, "*.parquet"))) >= 3
+
+
+def test_parquet_zorder_rejects_partition_by(spark, workdir, sf_dir):
+    """zorder and partition_by on one parquet target must fail loudly
+    — silently dropping the partitioning would break downstream
+    directory pruning invisibly."""
+    with pytest.raises(Exception, match="mutually exclusive"):
+        run_tasks(
+            spark,
+            workdir,
+            {
+                "tasks": [
+                    {
+                        "name": "bad",
+                        "type": "parquet-parquet",
+                        "source": {"file": "orders.parquet", "folder": sf_dir},
+                        "target": {
+                            "file": "o.parquet",
+                            "truncate": True,
+                            "zorder": ["o_custkey", "o_orderdate"],
+                            "partition_by": ["o_orderstatus"],
+                        },
+                    }
+                ]
+            },
+        )
