@@ -1,0 +1,99 @@
+"""Score normalization across groups — the make-scores-comparable
+stage of a curation pipeline (CCNet-style: a 0.6 from source A and a
+0.6 from source B rarely mean the same thing; mapping each to the
+global score at the same within-group CDF position does).
+
+Beyond-reference operator (the reference delegates all query power to
+an RDBMS, /root/reference/dasladen/task.py:94-107). Shared by the
+``quality_quantile_normalize`` registered query (per-source rollup
+report) and the ``score`` task kind (per-row normalized output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantile_normalize_map(
+    rows: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Exact inverse-CDF mapping table: for every distinct
+    (group, value) pair, the GLOBAL value at the same within-group
+    CDF position (>= convention). Returns
+    ``(group_col, value_col, c, nq)`` where ``c`` is the pair's row
+    count and ``nq`` the normalized value — small enough to broadcast
+    back onto any corpus whenever ``value_col`` has bounded
+    cardinality (round scores to a fixed scale first).
+
+    Scale shape: ONE pass over ``rows`` builds the distinct
+    (group, value) rollup; both ECDFs and the inverse-CDF are windows
+    over that bounded frame. The inverse-CDF is a single merge-sorted
+    window — group points and global points interleaved by CDF
+    fraction; because both axes are monotone, the first following
+    global point IS the >=-quantile. Equal rationals divide to equal
+    doubles (IEEE round-to-nearest of the true quotient), so the
+    fraction ordering and the >= boundary are engine-exact.
+    """
+    from dasladen_spark.functions.vectors import bounded_window_key
+
+    s = rows.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("c"))
+    g = s.groupBy(value_col).agg(F.sum("c").alias("c"))
+    n_tot = s.agg(F.sum("c").alias("n"))
+    wg = (
+        Window.partitionBy(bounded_window_key(F.col("c")))
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gc = g.select(value_col, F.sum("c").over(wg).alias("cum")).crossJoin(
+        F.broadcast(n_tot)
+    )
+    ws = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wst = Window.partitionBy(group_col)
+    sc = s.select(
+        group_col,
+        value_col,
+        "c",
+        F.sum("c").over(ws).alias("cum"),
+        F.sum("c").over(wst).alias("ns"),
+    )
+    vtype = dict(rows.dtypes)[value_col]
+    u = gc.select(
+        (F.col("cum").cast("double") / F.col("n").cast("double")).alias("f"),
+        F.lit(1).alias("kind"),
+        F.col(value_col).alias("gq"),
+        F.lit(None).cast("string").alias(group_col),
+        F.lit(None).cast(vtype).alias(value_col),
+        F.lit(None).cast("bigint").alias("c"),
+    ).unionAll(
+        sc.select(
+            (F.col("cum").cast("double") / F.col("ns").cast("double")).alias(
+                "f"
+            ),
+            F.lit(0).alias("kind"),
+            F.lit(None).cast(vtype).alias("gq"),
+            group_col,
+            value_col,
+            F.col("c").cast("bigint").alias("c"),
+        )
+    )
+    wm = (
+        Window.partitionBy(bounded_window_key(F.col("kind")))
+        .orderBy("f", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        u.select(
+            group_col,
+            value_col,
+            "c",
+            F.min(F.when(F.col("kind") == 1, F.col("gq"))).over(wm).alias(
+                "nq"
+            ),
+        )
+        .filter(F.col(group_col).isNotNull())
+    )

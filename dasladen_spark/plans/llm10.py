@@ -315,70 +315,13 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     — their native rounded scale — weighted by exact counts, with
     one ROUND(DECIMAL(38,12), 6) division per output column."""
     from dasladen_spark.functions.text import quality_score
-    from dasladen_spark.functions.vectors import bounded_window_key
+    from dasladen_spark.operators.scoring import quantile_normalize_map
 
     d = _t(spark, sf_dir, "documents")
     dq = d.select("source", quality_score(F.col("text")).alias("quality"))
-    s = dq.groupBy("source", "quality").agg(F.count(F.lit(1)).alias("c"))
-    g = s.groupBy("quality").agg(F.sum("c").alias("c"))
-    n_tot = s.agg(F.sum("c").alias("n"))
-    wg = (
-        Window.partitionBy(bounded_window_key(F.col("c")))
-        .orderBy("quality")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m = quantile_normalize_map(dq, "source", "quality").withColumnRenamed(
+        "quality", "q"
     )
-    gc = (
-        g.select("quality", F.sum("c").over(wg).alias("cum"))
-        .crossJoin(F.broadcast(n_tot))
-    )
-    ws = (
-        Window.partitionBy("source")
-        .orderBy("quality")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wst = Window.partitionBy("source")
-    sc = s.select(
-        "source",
-        "quality",
-        "c",
-        F.sum("c").over(ws).alias("cum"),
-        F.sum("c").over(wst).alias("ns"),
-    )
-    u = (
-        gc.select(
-            (F.col("cum").cast("double") / F.col("n").cast("double")).alias(
-                "f"
-            ),
-            F.lit(1).alias("kind"),
-            F.col("quality").alias("gq"),
-            F.lit(None).cast("string").alias("source"),
-            F.lit(None).cast("double").alias("q"),
-            F.lit(None).cast("bigint").alias("c"),
-        )
-        .unionAll(
-            sc.select(
-                (
-                    F.col("cum").cast("double") / F.col("ns").cast("double")
-                ).alias("f"),
-                F.lit(0).alias("kind"),
-                F.lit(None).cast("double").alias("gq"),
-                "source",
-                F.col("quality").alias("q"),
-                F.col("c").cast("bigint").alias("c"),
-            )
-        )
-    )
-    wm = (
-        Window.partitionBy(bounded_window_key(F.col("kind")))
-        .orderBy("f", "kind")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    m = u.select(
-        "source",
-        "q",
-        "c",
-        F.min(F.when(F.col("kind") == 1, F.col("gq"))).over(wm).alias("nq"),
-    ).filter(F.col("source").isNotNull())
     cd = F.col("c").cast("decimal(19,0)")
     return m.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("n_docs"),

@@ -865,6 +865,54 @@ def run_sample(ctx: TaskContext, task: dict) -> None:
     ctx.log(f"task {task.get('name')}: sample written ({method})")
 
 
+def run_score(ctx: TaskContext, task: dict) -> None:
+    """Score task (beyond the reference): stamp every source row with
+    the heuristic quality score (functions/text.quality_score — the
+    same Column the registered queries and the streaming intake gate
+    use) and, when ``normalize_by`` names a group column, a
+    ``quality_normalized`` column mapping the score to the GLOBAL
+    score at the same within-group CDF position
+    (operators/scoring.quantile_normalize_map). The task-file
+    spelling of make-scores-comparable curation: score once, then
+    filter/sample downstream on a column that means the same thing
+    in every source.
+
+    Scale shape: scoring is a pure JVM projection; the normalization
+    mapping is built from ONE extra pass over the scored frame
+    (bounded at distinct (group, score) pairs — scores are rounded
+    to 4 decimals) and broadcast back, so the corpus never shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.functions.text import quality_score
+
+    src = task["source"]
+    df = _read_source(ctx, {**task, "type": src.get("kind", "parquet") + "-x"})
+    df = _transformed(ctx, task, df)
+    text_field = task.get("text_field", "text")
+    scored = df.withColumn("quality", quality_score(F.col(text_field)))
+    grp = task.get("normalize_by")
+    if grp:
+        from dasladen_spark.operators.scoring import quantile_normalize_map
+
+        m = quantile_normalize_map(
+            scored.select(grp, "quality"), grp, "quality"
+        )
+        scored = scored.join(
+            F.broadcast(
+                m.select(grp, "quality", F.col("nq").alias("quality_normalized"))
+            ),
+            [grp, "quality"],
+            "left",
+        )
+    tgt = task["target"]
+    _write_sink(ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, scored)
+    ctx.log(
+        f"task {task.get('name')}: scores written"
+        f" ({'normalized by ' + grp if grp else 'raw'})"
+    )
+
+
 def run_ann_index(ctx: TaskContext, task: dict) -> None:
     """ANN-index task (beyond the reference): the full index
     lifecycle from task files, the same way the dedup task covers the
@@ -986,6 +1034,7 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "classify": run_classify,
     "ann-index": run_ann_index,
     "sample": run_sample,
+    "score": run_score,
 }
 
 # Beyond the reference's seven ETL shapes: the full source×sink matrix

@@ -1226,3 +1226,39 @@ def test_parquet_zorder_rejects_partition_by(spark, workdir, sf_dir):
                 ]
             },
         )
+
+
+def test_score_task_normalizes_across_sources(spark, workdir, sf_dir):
+    """score task: every doc gets the heuristic quality column, and
+    normalize_by maps each score to the global score at the same
+    within-source CDF position — per-source normalized distributions
+    become comparable (monotone within source, values drawn from the
+    global score set)."""
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "score",
+                    "type": "score",
+                    "source": {"file": "documents.parquet", "folder": sf_dir},
+                    "target": {"file": "scored.parquet", "truncate": True},
+                    "normalize_by": "source",
+                }
+            ]
+        },
+    )
+    out = spark.read.parquet(str(workdir / "output" / "scored.parquet"))
+    rows = out.select(
+        "doc_id", "source", "quality", "quality_normalized"
+    ).toPandas()
+    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    assert len(rows) == src.count()
+    assert rows.quality_normalized.notna().all()
+    # normalized values come from the global score multiset
+    assert set(rows.quality_normalized) <= set(rows.quality)
+    # monotone within each source: higher raw never maps lower
+    for _, g in rows.groupby("source"):
+        g = g.sort_values(["quality", "doc_id"])
+        assert (g.quality_normalized.diff().dropna() >= -1e-12).all()
