@@ -107,6 +107,9 @@ HEADLINE = [
     # (exact-decimal limit comparisons on the day series)
     "q_forecast_backtest",
     "q_xmr_control_limits",
+    # binary (sign) quantization first-pass: XOR+popcount ranking
+    # over two packed longs per vector
+    "ann_hamming_topk",
 ]
 
 

@@ -27,4 +27,5 @@ from dasladen_spark.plans import llm7  # noqa: F401,E402
 from dasladen_spark.plans import llm8  # noqa: F401,E402
 from dasladen_spark.plans import llm9  # noqa: F401,E402
 from dasladen_spark.plans import llm10  # noqa: F401,E402
+from dasladen_spark.plans import llm11  # noqa: F401,E402
 from dasladen_spark.plans import transforms_parity  # noqa: F401,E402

@@ -537,6 +537,9 @@ _EXPECTED_FLAGS = {
     # 1-row (x̄, mR̄) limits broadcast over the days-sized series;
     # the lag runs on the calendar-bounded day frame
     "q_xmr_control_limits": {"bnlj", "single-partition"},
+    # brute 1-bit first-pass: tiny probe set broadcast against the
+    # packed corpus (the ann_cosine_topk shape, 16 bytes/vector)
+    "ann_hamming_topk": {"bnlj"},
 }
 
 
