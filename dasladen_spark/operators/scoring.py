@@ -37,6 +37,24 @@ def quantile_normalize_map(
     """
     from dasladen_spark.functions.vectors import bounded_window_key
 
+    reserved = {"c", "f", "kind", "gq", "cum", "ns", "nq"}
+    if group_col in reserved or value_col in reserved:
+        raise ValueError(
+            f"quantile_normalize_map: column names {sorted(reserved)} are"
+            f" reserved internally — rename {group_col!r}/{value_col!r}"
+            " before normalizing"
+        )
+    if group_col == value_col:
+        raise ValueError(
+            "quantile_normalize_map: group_col and value_col must differ"
+        )
+    # NULL scores or NULL groups must not enter either ECDF: Spark's
+    # nulls-first window ordering would count them as the lowest-score
+    # mass and shift every real row's quantile image. Callers see such
+    # rows as unmapped (no mapping row exists for them).
+    rows = rows.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     s = rows.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("c"))
     g = s.groupBy(value_col).agg(F.sum("c").alias("c"))
     n_tot = s.agg(F.sum("c").alias("n"))

@@ -893,8 +893,16 @@ def run_score(ctx: TaskContext, task: dict) -> None:
     scored = df.withColumn("quality", quality_score(F.col(text_field)))
     grp = task.get("normalize_by")
     if grp:
+        if grp == "quality":
+            raise ValueError(
+                "score task: normalize_by must name a GROUP column, not"
+                " the score itself"
+            )
         from dasladen_spark.operators.scoring import quantile_normalize_map
 
+        # rows with NULL text (→ NULL quality) or a NULL group never
+        # enter the CDFs (the operator drops them) and keep a NULL
+        # quality_normalized here — identifiable, never distorting
         m = quantile_normalize_map(
             scored.select(grp, "quality"), grp, "quality"
         )

@@ -105,3 +105,35 @@ def test_xmr_limits_and_flags_recompute(spark, sf_dir):
         disagree.x - disagree.lcl
     ).abs().lt(1e-5)
     assert disagree.empty or near.all()
+
+
+def test_quantile_normalize_nulls_do_not_distort_and_names_guarded(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.scoring import quantile_normalize_map
+
+    base = spark.createDataFrame(
+        [("a", 0.1), ("a", 0.2), ("a", 0.3), ("b", 0.2), ("b", 0.4)],
+        "grp string, score double",
+    )
+    clean = quantile_normalize_map(base, "grp", "score").toPandas()
+    with_nulls = quantile_normalize_map(
+        base.unionByName(
+            spark.createDataFrame(
+                [("a", None), (None, 0.05)], "grp string, score double"
+            )
+        ),
+        "grp",
+        "score",
+    ).toPandas()
+    # NULL score / NULL group rows must not shift anyone's mapping
+    key = lambda df: df.sort_values(["grp", "score"]).reset_index(drop=True)
+    assert key(clean).equals(key(with_nulls))
+    # internal names are reserved, loudly
+    with pytest.raises(ValueError, match="reserved"):
+        quantile_normalize_map(
+            base.withColumnRenamed("score", "nq"), "grp", "nq"
+        )
+    with pytest.raises(ValueError, match="must differ"):
+        quantile_normalize_map(base, "grp", "grp")
