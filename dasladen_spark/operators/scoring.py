@@ -6,7 +6,10 @@ global score at the same within-group CDF position does).
 Beyond-reference operator (the reference delegates all query power to
 an RDBMS, /root/reference/dasladen/task.py:94-107). Shared by the
 ``quality_quantile_normalize`` registered query (per-source rollup
-report) and the ``score`` task kind (per-row normalized output).
+report), the ``score`` task kind (per-row normalized output), and the
+streaming counts maintainer (``streaming/scoresync.py`` — the
+(group, value) count table is ADDITIVE, so the mapping rebuilds
+exactly from an incrementally-maintained snapshot).
 """
 
 from __future__ import annotations
@@ -14,33 +17,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: internal column names of the mapping plan — caller columns must not
+#: shadow them (checked loudly)
+_RESERVED = {"c", "f", "kind", "gq", "cum", "ns", "nq"}
 
-def quantile_normalize_map(
-    rows: DataFrame, group_col: str, value_col: str
-) -> DataFrame:
-    """Exact inverse-CDF mapping table: for every distinct
-    (group, value) pair, the GLOBAL value at the same within-group
-    CDF position (>= convention). Returns
-    ``(group_col, value_col, c, nq)`` where ``c`` is the pair's row
-    count and ``nq`` the normalized value — small enough to broadcast
-    back onto any corpus whenever ``value_col`` has bounded
-    cardinality (round scores to a fixed scale first).
 
-    Scale shape: ONE pass over ``rows`` builds the distinct
-    (group, value) rollup; both ECDFs and the inverse-CDF are windows
-    over that bounded frame. The inverse-CDF is a single merge-sorted
-    window — group points and global points interleaved by CDF
-    fraction; because both axes are monotone, the first following
-    global point IS the >=-quantile. Equal rationals divide to equal
-    doubles (IEEE round-to-nearest of the true quotient), so the
-    fraction ordering and the >= boundary are engine-exact.
-    """
-    from dasladen_spark.functions.vectors import bounded_window_key
-
-    reserved = {"c", "f", "kind", "gq", "cum", "ns", "nq"}
-    if group_col in reserved or value_col in reserved:
+def _check_names(group_col: str, value_col: str) -> None:
+    if group_col in _RESERVED or value_col in _RESERVED:
         raise ValueError(
-            f"quantile_normalize_map: column names {sorted(reserved)} are"
+            f"quantile_normalize_map: column names {sorted(_RESERVED)} are"
             f" reserved internally — rename {group_col!r}/{value_col!r}"
             " before normalizing"
         )
@@ -48,14 +33,21 @@ def quantile_normalize_map(
         raise ValueError(
             "quantile_normalize_map: group_col and value_col must differ"
         )
-    # NULL scores or NULL groups must not enter either ECDF: Spark's
-    # nulls-first window ordering would count them as the lowest-score
-    # mass and shift every real row's quantile image. Callers see such
-    # rows as unmapped (no mapping row exists for them).
-    rows = rows.filter(
-        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
-    )
-    s = rows.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("c"))
+
+
+def quantile_normalize_map_from_counts(
+    s: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The inverse-CDF mapping derived from a pre-aggregated count
+    table ``s`` with columns (group_col, value_col, c) — the entry
+    point for incrementally-maintained counts (streaming/scoresync):
+    counts are additive, so a matview snapshot feeds this directly
+    and the mapping equals a from-scratch build over all rows ever
+    delivered. See :func:`quantile_normalize_map` for semantics and
+    the scale argument."""
+    from dasladen_spark.functions.vectors import bounded_window_key
+
+    _check_names(group_col, value_col)
     g = s.groupBy(value_col).agg(F.sum("c").alias("c"))
     n_tot = s.agg(F.sum("c").alias("n"))
     wg = (
@@ -79,12 +71,13 @@ def quantile_normalize_map(
         F.sum("c").over(ws).alias("cum"),
         F.sum("c").over(wst).alias("ns"),
     )
-    vtype = dict(rows.dtypes)[value_col]
+    vtype = dict(s.dtypes)[value_col]
+    gtype = dict(s.dtypes)[group_col]
     u = gc.select(
         (F.col("cum").cast("double") / F.col("n").cast("double")).alias("f"),
         F.lit(1).alias("kind"),
         F.col(value_col).alias("gq"),
-        F.lit(None).cast("string").alias(group_col),
+        F.lit(None).cast(gtype).alias(group_col),
         F.lit(None).cast(vtype).alias(value_col),
         F.lit(None).cast("bigint").alias("c"),
     ).unionAll(
@@ -115,3 +108,35 @@ def quantile_normalize_map(
         )
         .filter(F.col(group_col).isNotNull())
     )
+
+
+def quantile_normalize_map(
+    rows: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Exact inverse-CDF mapping table: for every distinct
+    (group, value) pair, the GLOBAL value at the same within-group
+    CDF position (>= convention). Returns
+    ``(group_col, value_col, c, nq)`` where ``c`` is the pair's row
+    count and ``nq`` the normalized value — small enough to broadcast
+    back onto any corpus whenever ``value_col`` has bounded
+    cardinality (round scores to a fixed scale first).
+
+    Scale shape: ONE pass over ``rows`` builds the distinct
+    (group, value) rollup; both ECDFs and the inverse-CDF are windows
+    over that bounded frame. The inverse-CDF is a single merge-sorted
+    window — group points and global points interleaved by CDF
+    fraction; because both axes are monotone, the first following
+    global point IS the >=-quantile. Equal rationals divide to equal
+    doubles (IEEE round-to-nearest of the true quotient), so the
+    fraction ordering and the >= boundary are engine-exact.
+    """
+    _check_names(group_col, value_col)
+    # NULL scores or NULL groups must not enter either ECDF: Spark's
+    # nulls-first window ordering would count them as the lowest-score
+    # mass and shift every real row's quantile image. Callers see such
+    # rows as unmapped (no mapping row exists for them).
+    rows = rows.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    s = rows.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("c"))
+    return quantile_normalize_map_from_counts(s, group_col, value_col)

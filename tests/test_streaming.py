@@ -1281,3 +1281,66 @@ def test_holt_by_key_matches_sequential_replay(spark, tmp_path):
     # the ramp continues to 70: the trend-aware forecast must land
     # materially closer than the trailing level alone
     assert abs(got_f - 70.0) < abs(got_l - 70.0)
+
+
+def test_streaming_score_counts_mapping_equals_batch(spark, tmp_path):
+    """Two doc micro-batches folded into the additive (source,
+    quality) count snapshot must yield EXACTLY the normalization
+    mapping a from-scratch batch build computes over all delivered
+    docs — the additive-sketch property the streaming scorer rests
+    on. NULL text rows are dropped on intake, never distorting the
+    CDFs."""
+    from dasladen_spark.functions.text import quality_score
+    from dasladen_spark.operators.scoring import quantile_normalize_map
+    from dasladen_spark.streaming.scoresync import (
+        normalization_mapping,
+        run_streaming_score_counts,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.csv").write_text(
+        "source;text\nsrc0;alpha beta gamma delta\nsrc0;alpha alpha alpha\n"
+        "src1;the quick brown fox jumps\n"
+    )
+    schema = "source STRING, text STRING"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("sep", ";")
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(src))
+        )
+
+    snap = str(tmp_path / "score_counts")
+    ck = str(tmp_path / "ck")
+    run_streaming_score_counts(stream(), snap, ck)
+    (src / "b2.csv").write_text(
+        "source;text\nsrc1;lorem ipsum dolor sit amet word\nsrc0;;\n"
+        "src1;alpha beta gamma delta\n"
+    )
+    run_streaming_score_counts(stream(), snap, ck)
+
+    got = (
+        normalization_mapping(spark, snap)
+        .toPandas()
+        .sort_values(["source", "quality"])
+        .reset_index(drop=True)
+    )
+    batch_docs = (
+        spark.read.schema(schema)
+        .option("sep", ";")
+        .option("header", True)
+        .csv(str(src))
+        .select("source", quality_score(F.col("text")).alias("quality"))
+    )
+    want = (
+        quantile_normalize_map(batch_docs, "source", "quality")
+        .toPandas()
+        .sort_values(["source", "quality"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (got, want)
+    assert got.c.sum() >= 5  # the NULL-text row stayed out
