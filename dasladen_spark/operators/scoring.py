@@ -48,6 +48,14 @@ def quantile_normalize_map_from_counts(
     from dasladen_spark.functions.vectors import bounded_window_key
 
     _check_names(group_col, value_col)
+    # enforce the no-NULLs invariant here too, not only in the per-row
+    # wrapper: a counts producer that forgot to pre-filter would
+    # otherwise shift every quantile (NULL values sort nulls-first
+    # into the cumulative windows; NULL groups inflate the global
+    # ECDF). Cheap — the counts frame is the bounded rollup.
+    s = s.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     g = s.groupBy(value_col).agg(F.sum("c").alias("c"))
     n_tot = s.agg(F.sum("c").alias("n"))
     wg = (

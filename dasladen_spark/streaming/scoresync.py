@@ -38,6 +38,13 @@ def run_streaming_score_counts(
     NULL-text or NULL-group rows are dropped here for the same reason
     the batch operator drops them — they must not enter the CDFs.
     Replay-safe via the matview's applied-batch marker."""
+    from dasladen_spark.operators.scoring import _check_names
+
+    # fail BEFORE any state accumulates: a reserved group name ('c'
+    # also collides with the snapshot's count column) would otherwise
+    # only surface at the first mapping read or snapshot write,
+    # stranding a populated snapshot behind a rename migration
+    _check_names(group_col, "quality")
     scored = docs.select(
         F.col(group_col), quality_score(F.col(text_col)).alias("quality")
     ).filter(F.col(group_col).isNotNull() & F.col("quality").isNotNull())
@@ -58,6 +65,14 @@ def normalization_mapping(
     equals quantile_normalize_map over the union of all delivered
     batches (counts are additive; the mapping is a pure function of
     the counts)."""
+    import os
+
+    if not os.path.exists(snapshot_path):
+        raise FileNotFoundError(
+            f"no score-count snapshot at {snapshot_path!r} — no batch has"
+            " committed yet (run_streaming_score_counts must drain at"
+            " least one non-empty micro-batch first)"
+        )
     return quantile_normalize_map_from_counts(
         spark.read.parquet(snapshot_path), group_col, "quality"
     )

@@ -1343,4 +1343,4 @@ def test_streaming_score_counts_mapping_equals_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want), (got, want)
-    assert got.c.sum() >= 5  # the NULL-text row stayed out
+    assert got.c.sum() == 5  # exactly the 5 real docs; NULL text out
