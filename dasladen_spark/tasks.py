@@ -865,6 +865,79 @@ def run_sample(ctx: TaskContext, task: dict) -> None:
     ctx.log(f"task {task.get('name')}: sample written ({method})")
 
 
+def run_decontaminate(ctx: TaskContext, task: dict) -> None:
+    """Decontaminate task (beyond the reference): drop source docs
+    that share at least ``min_hits`` distinct word n-grams (width
+    ``ngram``, default 8) with a benchmark corpus read from the
+    ``bench`` source — the task-file spelling of the
+    decontaminate_ngrams query family, so eval-set leakage removal
+    becomes a schedulable pipeline stage. Clean docs go to
+    ``target``; set ``quarantine`` to also write the dropped docs
+    with their hit counts (the audit trail reviewers ask for).
+
+    Scale shape: the benchmark's distinct gram set is MBs even when
+    the corpus is TBs, so it BROADCASTS and the corpus side never
+    shuffles for the membership test — each task filters its own
+    grams against the broadcast set, then one per-doc count decides
+    the drop (the decontaminate_ngrams plan, reused)."""
+    from pyspark.sql import functions as F
+
+    src = task["source"]
+    df = _read_source(ctx, {**task, "type": src.get("kind", "parquet") + "-x"})
+    df = _transformed(ctx, task, df)
+    bench_src = task["bench"]
+    bench_df = _read_source(
+        ctx, {**task, "source": bench_src,
+              "type": bench_src.get("kind", "parquet") + "-x"}
+    )
+    text_field = task.get("text_field", "text")
+    bench_text = task.get("bench_text_field", text_field)
+    id_field = task.get("id_field", df.columns[0])
+    n = int(task.get("ngram", 8))
+    min_hits = int(task.get("min_hits", 1))
+
+    def grams(col: str) -> F.Column:
+        words = F.split(F.col(col), " ")
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (
+        bench_df.select(F.explode(grams(bench_text)).alias("ng")).distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_field).alias("_did"), F.explode(grams(text_field)).alias("ng")
+    ).distinct()
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "ng")
+        .groupBy("_did")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+        .filter(F.col("n_contaminated_grams") >= min_hits)
+    )
+    clean = df.join(
+        hits, df[id_field] == hits["_did"], "left_anti"
+    )
+    tgt = task["target"]
+    _write_sink(ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, clean)
+    if task.get("quarantine"):
+        dropped = df.join(
+            hits, df[id_field] == hits["_did"]
+        ).drop("_did")
+        q = task["quarantine"]
+        _write_sink(
+            ctx, {**task, "type": "x-" + q.get("kind", "parquet"),
+                  "target": q}, dropped
+        )
+    ctx.log(
+        f"task {task.get('name')}: decontaminated (ngram={n},"
+        f" min_hits={min_hits})"
+    )
+
+
 def run_score(ctx: TaskContext, task: dict) -> None:
     """Score task (beyond the reference): stamp every source row with
     the heuristic quality score (functions/text.quality_score — the
@@ -1043,6 +1116,7 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "ann-index": run_ann_index,
     "sample": run_sample,
     "score": run_score,
+    "decontaminate": run_decontaminate,
 }
 
 # Beyond the reference's seven ETL shapes: the full source×sink matrix

@@ -1262,3 +1262,52 @@ def test_score_task_normalizes_across_sources(spark, workdir, sf_dir):
     for _, g in rows.groupby("source"):
         g = g.sort_values(["quality", "doc_id"])
         assert (g.quality_normalized.diff().dropna() >= -1e-12).all()
+
+
+def test_decontaminate_task_drops_bench_overlaps(spark, workdir):
+    """decontaminate task: docs sharing an 8-gram with the bench
+    corpus are dropped from the clean output and land in quarantine
+    with their contaminated-gram counts; clean docs pass untouched."""
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    with open(workdir / "input" / "docs.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"doc_id": 1, "text": f"intro {leak} outro"}) + "\n")
+        f.write(
+            json.dumps({"doc_id": 2, "text": "totally original words only "
+                        "nothing shared here at all ok"}) + "\n"
+        )
+    with open(workdir / "input" / "bench.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"bid": 9, "text": f"prefix {leak} suffix"}) + "\n")
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "decon",
+                    "type": "decontaminate",
+                    "source": {
+                        "kind": "json",
+                        "file": "docs.json",
+                        "schema": "doc_id BIGINT, text STRING",
+                    },
+                    "bench": {
+                        "kind": "json",
+                        "file": "bench.json",
+                        "schema": "bid BIGINT, text STRING",
+                    },
+                    "id_field": "doc_id",
+                    "target": {"file": "clean.parquet", "truncate": True},
+                    "quarantine": {
+                        "file": "dropped.parquet",
+                        "truncate": True,
+                    },
+                }
+            ]
+        },
+    )
+    clean = spark.read.parquet(str(workdir / "output" / "clean.parquet"))
+    dropped = spark.read.parquet(str(workdir / "output" / "dropped.parquet"))
+    assert [r.doc_id for r in clean.collect()] == [2]
+    drow = dropped.collect()
+    assert len(drow) == 1 and drow[0].doc_id == 1
+    assert drow[0].n_contaminated_grams >= 1
