@@ -36,7 +36,7 @@ def _check_names(group_col: str, value_col: str) -> None:
 
 
 def quantile_normalize_map_from_counts(
-    s: DataFrame, group_col: str, value_col: str
+    s: DataFrame, group_col: str, value_col: str, localize: bool = True
 ) -> DataFrame:
     """The inverse-CDF mapping derived from a pre-aggregated count
     table ``s`` with columns (group_col, value_col, c) — the entry
@@ -44,7 +44,18 @@ def quantile_normalize_map_from_counts(
     counts are additive, so a matview snapshot feeds this directly
     and the mapping equals a from-scratch build over all rows ever
     delivered. See :func:`quantile_normalize_map` for semantics and
-    the scale argument."""
+    the scale argument.
+
+    ``localize`` (default) fetches the counts rollup once and rebuilds
+    it as a LocalRelation (pandas+Arrow — pure JVM downstream): the
+    ECDF plan consumes the rollup THREE times (global distribution,
+    corpus total, per-group distribution), and Spark re-executes a
+    shared subtree per consumer, so leaving it distributed re-scans
+    the corpus 3×. The rollup is bounded by this operator's contract
+    (distinct (group, value) pairs — round scores to a fixed scale),
+    so the fetch is the kmeans-centroid pattern, MBs at any corpus
+    size. Pass ``localize=False`` to keep the lineage distributed
+    (e.g. when the counts already come from a materialized table)."""
     from dasladen_spark.functions.vectors import bounded_window_key
 
     _check_names(group_col, value_col)
@@ -56,6 +67,9 @@ def quantile_normalize_map_from_counts(
     s = s.filter(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     )
+    if localize:
+        spark = s.sparkSession
+        s = spark.createDataFrame(s.toPandas(), s.schema)
     g = s.groupBy(value_col).agg(F.sum("c").alias("c"))
     n_tot = s.agg(F.sum("c").alias("n"))
     wg = (
