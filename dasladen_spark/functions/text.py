@@ -106,3 +106,21 @@ def bpe_token_count(text: Column) -> Column:
     granularity LLM data pipelines budget by) — JVM regexp_count, no
     Python."""
     return F.regexp_count(text, F.lit(BPE_PATTERN))
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Space-joined word n-grams from a WORDS ARRAY column (callers
+    must project ``F.split(text, " ")`` into a named column FIRST —
+    passing the split expression inline re-evaluates it once per gram
+    position inside the higher-order-function lambda, the O(T·|text|)
+    re-inlining trap behind the round-6 dedup_winnowing regression).
+    Empty array for docs shorter than ``n`` words. This is the
+    canonical form of the gram builder the decontamination family
+    shares."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -133,7 +133,7 @@ def quantile_normalize_map_from_counts(
 
 
 def quantile_normalize_map(
-    rows: DataFrame, group_col: str, value_col: str
+    rows: DataFrame, group_col: str, value_col: str, localize: bool = True
 ) -> DataFrame:
     """Exact inverse-CDF mapping table: for every distinct
     (group, value) pair, the GLOBAL value at the same within-group
@@ -161,4 +161,6 @@ def quantile_normalize_map(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     )
     s = rows.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("c"))
-    return quantile_normalize_map_from_counts(s, group_col, value_col)
+    return quantile_normalize_map_from_counts(
+        s, group_col, value_col, localize=localize
+    )

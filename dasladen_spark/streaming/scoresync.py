@@ -73,6 +73,10 @@ def normalization_mapping(
             " committed yet (run_streaming_score_counts must drain at"
             " least one non-empty micro-batch first)"
         )
+    # localize=False: the snapshot is already a materialized tiny
+    # parquet table — re-reading it per ECDF branch is cheaper than a
+    # driver round-trip, exactly the case the operator's knob names
     return quantile_normalize_map_from_counts(
-        spark.read.parquet(snapshot_path), group_col, "quality"
+        spark.read.parquet(snapshot_path), group_col, "quality",
+        localize=False,
     )

@@ -875,12 +875,21 @@ def run_decontaminate(ctx: TaskContext, task: dict) -> None:
     ``target``; set ``quarantine`` to also write the dropped docs
     with their hit counts (the audit trail reviewers ask for).
 
+    ``id_field`` values must be non-null and unique — a NULL id would
+    silently pass a contaminated doc into the clean output (anti-join
+    NULL semantics) and duplicate ids would merge gram sets across
+    docs before the min_hits threshold, so both fail loudly up front.
+
     Scale shape: the benchmark's distinct gram set is MBs even when
-    the corpus is TBs, so it BROADCASTS and the corpus side never
-    shuffles for the membership test — each task filters its own
-    grams against the broadcast set, then one per-doc count decides
-    the drop (the decontaminate_ngrams plan, reused)."""
+    the corpus is TBs, so it BROADCASTS; the corpus side joins that
+    broadcast BEFORE any distinct, so the only corpus-keyed exchange
+    is over the matching grams (benchmark-bounded), never the full
+    gram stream. Grams come from a staged words projection
+    (functions/text.word_ngrams) — never an inline split inside the
+    lambda, which would re-tokenize per gram position."""
     from pyspark.sql import functions as F
+
+    from dasladen_spark.functions.text import word_ngrams
 
     src = task["source"]
     df = _read_source(ctx, {**task, "type": src.get("kind", "parquet") + "-x"})
@@ -895,29 +904,48 @@ def run_decontaminate(ctx: TaskContext, task: dict) -> None:
     id_field = task.get("id_field", df.columns[0])
     n = int(task.get("ngram", 8))
     min_hits = int(task.get("min_hits", 1))
-
-    def grams(col: str) -> F.Column:
-        words = F.split(F.col(col), " ")
-        return F.when(
-            F.size(words) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.array_join(F.slice(words, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
+    for reserved in ("_did", "n_contaminated_grams"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"decontaminate task: source column {reserved!r} collides"
+                " with an internal name — rename it upstream"
+            )
+    stats = df.agg(
+        F.count(id_field).alias("n_ids"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(id_field).alias("n_distinct"),
+    ).collect()[0]
+    if stats.n_ids != stats.n_rows or stats.n_distinct != stats.n_rows:
+        raise ValueError(
+            f"decontaminate task: id_field {id_field!r} must be non-null"
+            f" and unique ({stats.n_rows} rows, {stats.n_ids} non-null,"
+            f" {stats.n_distinct} distinct) — a NULL or duplicated id"
+            " would silently leak or over-drop documents"
+        )
     bench_grams = (
-        bench_df.select(F.explode(grams(bench_text)).alias("ng")).distinct()
+        bench_df.select(F.split(F.col(bench_text), " ").alias("_w"))
+        .select(F.explode(word_ngrams(F.col("_w"), n)).alias("ng"))
+        .distinct()
     )
-    doc_grams = df.select(
-        F.col(id_field).alias("_did"), F.explode(grams(text_field)).alias("ng")
-    ).distinct()
+    # broadcast-filter FIRST, distinct after: the corpus-keyed
+    # exchange is bounded by |matching grams| (benchmark-sized), not
+    # by the corpus gram stream
     hits = (
-        doc_grams.join(F.broadcast(bench_grams), "ng")
+        df.select(
+            F.col(id_field).alias("_did"),
+            F.split(F.col(text_field), " ").alias("_w"),
+        )
+        .select("_did", F.explode(word_ngrams(F.col("_w"), n)).alias("ng"))
+        .join(F.broadcast(bench_grams), "ng")
+        .distinct()
         .groupBy("_did")
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
         .filter(F.col("n_contaminated_grams") >= min_hits)
     )
+    if task.get("quarantine"):
+        # doc-id-sized; two consumers (anti-join + quarantine join)
+        # must not re-run the gram pipeline
+        hits = hits.persist()
     clean = df.join(
         hits, df[id_field] == hits["_did"], "left_anti"
     )
@@ -932,6 +960,7 @@ def run_decontaminate(ctx: TaskContext, task: dict) -> None:
             ctx, {**task, "type": "x-" + q.get("kind", "parquet"),
                   "target": q}, dropped
         )
+        hits.unpersist()
     ctx.log(
         f"task {task.get('name')}: decontaminated (ngram={n},"
         f" min_hits={min_hits})"

@@ -1311,3 +1311,40 @@ def test_decontaminate_task_drops_bench_overlaps(spark, workdir):
     drow = dropped.collect()
     assert len(drow) == 1 and drow[0].doc_id == 1
     assert drow[0].n_contaminated_grams >= 1
+
+
+def test_decontaminate_task_rejects_null_or_dup_ids(spark, workdir):
+    """NULL or duplicated ids would silently leak contaminated docs
+    (anti-join NULL semantics) or merge gram sets across docs — the
+    task must fail loudly before writing anything."""
+    with open(workdir / "input" / "docs.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "a b c"}) + "\n")
+        f.write(json.dumps({"doc_id": 1, "text": "d e f"}) + "\n")
+    with open(workdir / "input" / "bench.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"bid": 9, "text": "a b c"}) + "\n")
+    with pytest.raises(Exception, match="non-null and unique"):
+        run_tasks(
+            spark,
+            workdir,
+            {
+                "tasks": [
+                    {
+                        "name": "decon",
+                        "type": "decontaminate",
+                        "source": {
+                            "kind": "json",
+                            "file": "docs.json",
+                            "schema": "doc_id BIGINT, text STRING",
+                        },
+                        "bench": {
+                            "kind": "json",
+                            "file": "bench.json",
+                            "schema": "bid BIGINT, text STRING",
+                        },
+                        "id_field": "doc_id",
+                        "ngram": 3,
+                        "target": {"file": "clean.parquet", "truncate": True},
+                    }
+                ]
+            },
+        )
