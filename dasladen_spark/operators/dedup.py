@@ -5,22 +5,29 @@ operations are key-hash shuffles — the shapes that survive a 100 TB
 corpus:
 
 - exact          — one shuffle on the (hashed) key
-- MinHash + LSH  — per-row JVM signature (no Python), explode bands,
-                   shuffle on (band, band_hash) buckets only
-- SimHash        — per-row 63-bit fingerprint, chunked banding
+- MinHash + LSH  — signatures as explode + N codegen'd min-aggregates
+                   (pure JVM, map-side combinable), explode bands,
+                   shuffle on (band, bucket) buckets only
+- SimHash        — bit votes as explode + per-bit codegen'd sum-
+                   aggregates, 60-bit fingerprint, chunked banding
 - n-gram Jaccard — shingle inverted index with a document-frequency
                    cap so hot shingles can't quadratically explode
 - embedding cosine — brute pairs for small blocks, random-hyperplane
                    LSH buckets as the scale path
 
 Hash constants are fixed (seeded) so every run — and every executor —
-produces identical signatures. All arithmetic stays under 2^62 so
-Spark 4 ANSI mode can never hit bigint overflow.
+produces identical signatures, and the content hash is md5-derived
+(``conv(substring(md5(x), 1, 8), 16, 10)``) so ANY engine can replay
+it bit-for-bit — that is what makes dedup_minhash_lsh / dedup_simhash
+exactly oracle-checkable in DuckDB. All arithmetic stays under 2^62
+so Spark 4 ANSI mode can never hit bigint overflow.
 """
 
 from __future__ import annotations
 
 import random
+from functools import reduce
+from operator import add
 
 import numpy as np
 import pandas as pd
@@ -123,6 +130,15 @@ def _char_shingles(text_col: str, shingle_len: int):
     )
 
 
+def portable_hash32(col) -> F.Column:
+    """Engine-portable 32-bit content hash: the first 8 hex chars of
+    md5 as a bigint. DuckDB mirror:
+    ``CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)``. Values are in
+    [0, 2^32), so ``a*h+b`` with 20-bit coefficients stays < 2^52 —
+    ANSI-safe."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -130,39 +146,52 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_len: int = 5,
 ) -> DataFrame:
-    """(id, sig: array<long>[num_hashes]) — narrow, per-row compute.
+    """(id, sig: array<long>[num_hashes]) — pure-JVM, oracle-exact.
 
-    Hybrid execution: shingling + xxhash64 run JVM-side inside
-    codegen; the (num_hashes × shingles) permutation-min runs as a
-    vectorized numpy kernel over Arrow batches. Catalyst's
-    higher-order lambdas are *interpreted* (no codegen), which makes
-    the pure-JVM formulation ~100× slower — this split keeps both
-    halves on their fast path and stays fully distributed.
+    Execution shape: explode shingle POSITIONS (Generate), hash each
+    shingle once with the portable md5-derived 32-bit hash, then one
+    hash-aggregate on the doc id with ``num_hashes`` codegen'd
+    ``min((a_k*h + b_k) % P)`` columns. Everything — substring, md5,
+    the permutation arithmetic, the partial min — runs inside
+    whole-stage codegen with map-side combine, so the shuffle carries
+    only ``num_hashes`` longs per document (not the shingles). This
+    replaces the round-7 pandas-UDF kernel: no Python anywhere, and
+    because the hash is md5-derived the signature — hence the whole
+    LSH pipeline — replays bit-for-bit in DuckDB (the exact oracle).
+    The naive HOF formulation (nested transform/aggregate lambdas) is
+    NOT used: Catalyst's lambdas are interpreted, ~100× slower than
+    this aggregate plan.
+
+    Min over duplicate shingles is idempotent, so no distinct pass is
+    needed. Every doc yields ≥ 1 shingle (short texts shingle to
+    themselves, null → ''), so the aggregate preserves all ids.
     """
     coeffs = _hash_coeffs(num_hashes)
-    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
-    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
-
-    shingle_hashes = F.transform(
-        _char_shingles(text_col, shingle_len),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)),
-    )
-
-    @F.pandas_udf("array<bigint>")
-    def sig_udf(hashes: pd.Series) -> pd.Series:
-        empty = [int(_MERSENNE31 - 1)] * len(a_vec)
-
-        def one(h):
-            if h is None or len(h) == 0:
-                return empty
-            hh = np.asarray(h, dtype=np.int64)[None, :]
-            return ((a_vec * hh + b_vec) % _MERSENNE31).min(axis=1).tolist()
-
-        return hashes.map(one)
-
     base = _spread(df, id_col)
-    return base.select(
-        F.col(id_col).alias("id"), sig_udf(shingle_hashes).alias("sig")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.greatest(F.length(t) - F.lit(shingle_len - 1), F.lit(1))
+    pos = base.select(
+        F.col(id_col).alias("id"),
+        t.alias("_t"),
+        F.explode(F.sequence(F.lit(1), n)).alias("_i"),
+    )
+    hashed = pos.select(
+        "id",
+        portable_hash32(
+            F.substring(F.col("_t"), F.col("_i"), F.lit(shingle_len))
+        ).alias("_h"),
+    )
+    mins = hashed.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_MERSENNE31)
+            ).alias(f"_m{k}")
+            for k, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return mins.select(
+        "id",
+        F.array(*[F.col(f"_m{k}") for k in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -178,8 +207,13 @@ def minhash_lsh_pairs(
     """Candidate pairs from banded LSH, scored by signature-equality
     (the MinHash Jaccard estimate), filtered at ``threshold``.
 
-    Wide ops: explode → shuffle on (band, band_hash); each bucket
-    joins only within itself — the standard near-linear dedup shape.
+    Wide ops: explode → shuffle on (band, bucket); each bucket joins
+    only within itself — the standard near-linear dedup shape. The
+    bucket key is the band's signature slice rendered as a '-'-joined
+    string (``array_to_string`` in DuckDB), NOT an opaque engine hash
+    — so bucket membership, hence the candidate set itself, is
+    bit-replayable by the SQL oracle, and a bucket collision can only
+    mean true slice equality.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len)
@@ -188,10 +222,11 @@ def minhash_lsh_pairs(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.alias("band"),
-            F.xxhash64(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast(
-                    "string"
-                )
+            F.concat_ws(
+                "-",
+                F.slice(
+                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+                ).cast("array<string>"),
             ).alias("bucket"),
         ),
     )
@@ -200,10 +235,10 @@ def minhash_lsh_pairs(
     )
 
     # Single-pass bucket pairing: a naive self-join on (band, bucket)
-    # evaluates the signature UDF once per join side (no exchange to
-    # reuse under BHJ) — at 100 TB that doubles the most expensive
-    # stage. Instead: one shuffle to the bucket, collect the (tiny)
-    # member list, emit i<j pairs in place.
+    # runs the whole signature aggregate once per join side (no
+    # exchange to reuse under BHJ) — at 100 TB that doubles the most
+    # expensive stage. Instead: one shuffle to the bucket, collect
+    # the (tiny) member list, emit i<j pairs in place.
     pairs = _bucket_pairs(exploded, ["band", "bucket"], "sig")
     est = F.size(
         F.filter(
@@ -221,32 +256,55 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------- SimHash
 
 
+SIMHASH_BITS = 60  #: fingerprint width (fits the 15-hex-char md5 hash)
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, fingerprint: long) — 63-bit SimHash over whitespace tokens
-    (bit 63 unused so the fingerprint stays positive in a bigint).
+    """(id, fingerprint: long) — 60-bit SimHash over whitespace
+    tokens, pure JVM and oracle-exact.
 
-    Same hybrid split as minhash_signatures: JVM tokenization +
-    xxhash64, vectorized numpy bit-voting over Arrow batches.
-    """
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    bit_idx = np.arange(63, dtype=np.int64)[None, :]
-    powers = (np.int64(1) << np.arange(63, dtype=np.int64))[None, :]
-
-    @F.pandas_udf("bigint")
-    def fp_udf(h: pd.Series) -> pd.Series:
-        def one(hs):
-            if hs is None or len(hs) == 0:
-                return 0
-            hh = np.asarray(hs, dtype=np.int64)[:, None]
-            bits = (hh >> bit_idx) & 1  # (tokens, 63)
-            votes = (2 * bits - 1).sum(axis=0)
-            return int((powers[0] * (votes > 0)).sum())
-
-        return h.map(one)
-
-    base = _spread(df, id_col)
-    return base.select(F.col(id_col).alias("id"), fp_udf(hashes).alias("fingerprint"))
+    Execution shape: explode tokens (Generate), hash each token once
+    with the portable 60-bit md5 hash (15 hex chars → bigint), then
+    one hash-aggregate on the doc id with 60 codegen'd
+    ``sum(2*bit_k - 1)`` vote columns; the fingerprint folds the vote
+    signs back into one long. Map-side combine keeps the shuffle at
+    60 longs per doc. Docs with no tokens (empty/whitespace text)
+    fingerprint to 0 via the left join — same contract as the old
+    pandas kernel. The md5-derived bits make the fingerprint — hence
+    the banded pair set — bit-replayable in DuckDB
+    (``(h >> k) & 1`` on the same hex-substring cast)."""
+    ids = df.select(F.col(id_col).alias("id"))
+    toks = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+        ).alias("_tok"),
+    )
+    h = toks.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("_h"),
+    )
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("_h"), k).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"_v{k}")
+            for k in range(SIMHASH_BITS)
+        ]
+    )
+    fp = reduce(
+        add,
+        [
+            (F.col(f"_v{k}") > 0).cast("long") * F.lit(1 << k)
+            for k in range(SIMHASH_BITS)
+        ],
+    )
+    voted = votes.select("id", fp.alias("fingerprint"))
+    return ids.join(voted, "id", "left").select(
+        "id", F.coalesce("fingerprint", F.lit(0).cast("long")).alias("fingerprint")
+    )
 
 
 def simhash_pairs(
@@ -257,18 +315,20 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(fp_a, fp_b) <= max_hamming.
 
-    Banding: split the 63-bit fingerprint into 4 chunks; by pigeonhole
-    any pair within Hamming distance 3 shares at least one exact
-    chunk, so candidates reduce to per-(chunk-index, chunk-value)
-    buckets — a key shuffle, not a cross join.
-    """
+    Banding: split the 60-bit fingerprint into 4 chunks of 15 bits;
+    by pigeonhole any pair within Hamming distance 3 shares at least
+    one exact chunk, so candidates reduce to per-(chunk-index,
+    chunk-value) buckets — a key shuffle, not a cross join. At larger
+    ``max_hamming`` the semantics are DEFINED as banded-candidates ∩
+    Hamming filter (the standard recall/cost trade), and the oracle
+    mirrors exactly that."""
     fps = simhash(df, text_col, id_col)
     chunk = F.transform(
         F.sequence(F.lit(0), F.lit(3)),
         lambda i: F.struct(
             i.alias("ci"),
-            F.call_function("shiftright", F.col("fingerprint"), i * 16)
-            .bitwiseAND(F.lit(0xFFFF))
+            F.call_function("shiftright", F.col("fingerprint"), i * 15)
+            .bitwiseAND(F.lit(0x7FFF))
             .alias("cv"),
         ),
     )

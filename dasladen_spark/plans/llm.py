@@ -2,9 +2,14 @@
 multimodal — the north-star extensions (BASELINE.json; absent from
 the reference, SURVEY §2.8).
 
-Oracle-backed where DuckDB can express the same computation; the
-signature/LSH operators (MinHash, SimHash) register without an oracle
-→ the driver records the weaker rows-only check.
+Oracle-backed where DuckDB can express the same computation —
+including, since round 8, the MinHash-LSH and SimHash pipelines: both
+hash with md5-derived integers (``operators/dedup.py``
+``portable_hash32`` / the 15-hex-char simhash bits) and band on
+slice-equality string buckets, so DuckDB replays signatures, buckets,
+candidates and scores bit-for-bit — and the survivor pipeline's
+connected components replay through a recursive CTE (min reachable
+id), so the full fuzzy-dedup chain is exact end to end.
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ from dasladen_spark.functions.text import (
     token_count,
 )
 from dasladen_spark.operators.dedup import (
+    _hash_coeffs as _mh_coeffs,
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -76,10 +82,70 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # signature op — no SQL oracle (rows-only check)
+# MinHash-LSH DuckDB oracle: the SAME seeded (a_k, b_k) permutation
+# coefficients (operators/dedup._hash_coeffs), the same portable
+# md5-substring 32-bit shingle hash, the same 16 slice-equality band
+# buckets — candidate generation and scoring replay bit-for-bit, so
+# the estimate (an n/64 dyadic rational) is exact in both engines.
+_MH_P = 2147483647
+_MH_MINS = ",\n        ".join(
+    f"MIN(({a} * h + {b}) % {_MH_P}) AS m{k}"
+    for k, (a, b) in enumerate(_mh_coeffs(64))
+)
+_MH_SIG = "[" + ", ".join(f"m{k}" for k in range(64)) + "]"
+
+#: shared CTE body (no leading WITH — survivors needs WITH RECURSIVE):
+#: signatures → bands → candidate pairs → scored estimates.
+_MH_CTE = f"""base AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ), pos AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
+      FROM base
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(substr(t, i, 5)), 1, 8)) AS BIGINT) AS h
+      FROM pos
+    ), m AS (
+      SELECT doc_id,
+        {_MH_MINS}
+      FROM h GROUP BY doc_id
+    ), s AS (
+      SELECT doc_id, {_MH_SIG} AS sig FROM m
+    ), bands AS (
+      SELECT doc_id, sig, band,
+             array_to_string(sig[band*4+1 : band*4+4], '-') AS bucket
+      FROM s, (SELECT unnest(generate_series(0, 15)) AS band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_filter(generate_series(1, 64),
+                                  i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+               / 64.0 AS est_jaccard
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.id_a
+      JOIN s sb ON sb.doc_id = c.id_b
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MH_CTE}
+    SELECT id_a, id_b, est_jaccard FROM scored
+    WHERE est_jaccard >= 0.5
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidate pairs at est-Jaccard ≥ 0.5
-    over 5-char shingles."""
+    over 5-char shingles. Oracle-EXACT since round 8: signatures are
+    explode + 64 codegen'd min-aggregates over the portable md5 hash
+    (no Python anywhere — the round-7 pandas kernel is gone), buckets
+    are slice-equality strings, and the n/64 estimate is a dyadic
+    rational, so nothing rounds."""
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
         "text",
@@ -91,9 +157,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("dedup_simhash")  # signature op — no SQL oracle (rows-only check)
+# SimHash DuckDB oracle: same 60 md5-derived bits per token, same
+# per-bit ±1 vote sums, same 4×15-bit chunk banding — integer-only
+# end to end, so the match is exact by construction.
+_SH_SUMS = ",\n        ".join(
+    f"SUM(((h >> {k}) & 1) * 2 - 1) AS v{k}" for k in range(60)
+)
+_SH_FP = " + ".join(f"CAST(v{k} > 0 AS BIGINT) * {1 << k}" for k in range(60))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ), v AS (
+      SELECT doc_id,
+        {_SH_SUMS}
+      FROM h GROUP BY doc_id
+    ), fp0 AS (
+      SELECT doc_id, ({_SH_FP}) AS fp FROM v
+    ), fp AS (
+      SELECT d.doc_id, coalesce(f.fp, 0) AS fp
+      FROM documents d LEFT JOIN fp0 f USING (doc_id)
+    ), ch AS (
+      SELECT doc_id, fp, ci, (fp >> (ci * 15)) & 32767 AS cv
+      FROM fp, (SELECT unnest(generate_series(0, 3)) AS ci)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ch a JOIN ch b
+        ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.id_a
+    JOIN fp fb ON fb.doc_id = c.id_b
+    WHERE bit_count(xor(fa.fp, fb.fp)) <= 8
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming ≤ 8 on 63-bit fingerprints."""
+    """SimHash near-dup pairs at Hamming ≤ 8 on 60-bit md5-derived
+    fingerprints (banded candidates ∩ Hamming filter — the oracle
+    mirrors the banding, so the match is exact). Oracle-EXACT since
+    round 8; the round-7 numpy bit-voting kernel is gone — votes are
+    60 codegen'd sum-aggregates."""
     return simhash_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8
     ).orderBy("id_a", "id_b")
@@ -528,13 +641,40 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_survivors")  # signature op upstream — rows-only
+@query(
+    "dedup_minhash_survivors",
+    # the whole pipeline is integer-only (md5-derived signatures, n/64
+    # dyadic estimates, min-id labels), so even the iterative stage is
+    # exactly oracle-checkable: a recursive CTE computes true
+    # transitive reachability and takes the min reachable id — the
+    # fixpoint Spark's label propagation converges to.
+    oracle=f"""
+    WITH RECURSIVE {_MH_CTE}, p AS (
+      SELECT id_a, id_b FROM scored WHERE est_jaccard >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p
+    ), reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ), comp AS (
+      SELECT id, MIN(r) AS survivor FROM reach GROUP BY id
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE survivor < id)
+    ORDER BY doc_id
+    """,
+)
 def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE fuzzy-dedup pipeline: MinHash-LSH candidate
     pairs → connected components → one survivor (min doc_id) per
     near-dup cluster → the kept-document list. What a training-data
     build actually materializes; every stage is the at-scale shape
-    (banded LSH shuffle, join+groupBy label propagation, anti join)."""
+    (banded LSH shuffle, join+groupBy label propagation, anti join).
+    Oracle-exact since round 8: the portable-hash rework makes the
+    pair set replayable, and a recursive CTE replays the component
+    minima."""
     from dasladen_spark.operators.graph import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
