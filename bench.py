@@ -110,6 +110,10 @@ HEADLINE = [
     # binary (sign) quantization first-pass: XOR+popcount ranking
     # over two packed longs per vector
     "ann_hamming_topk",
+    # round 8: suffix-style exact substring dedup (seed-hash join
+    # chained along diagonals into maximal spans — the cut-not-drop
+    # dedup of Lee et al.)
+    "dedup_duplicate_spans",
 ]
 
 

@@ -588,6 +588,183 @@ def winnowing_pairs(
     )
 
 
+# --------------------------------------- exact duplicated spans (cut)
+#
+# Suffix-array-style exact substring dedup (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", ACL 2022): report the
+# MAXIMAL duplicated token spans per doc pair — not a coverage
+# fraction — so a curation pipeline can CUT the spans instead of
+# dropping whole docs. The Spark-shape equivalent of the suffix array:
+# seed every position with an md5 k-gram hash, join seeds, and chain
+# consecutive matches along each (pos_a - pos_b) diagonal into maximal
+# runs. A shared substring of L ≥ seed_n tokens contains exactly
+# L - seed_n + 1 consecutive seeds on one diagonal, so the
+# reconstruction is exact, maximal, and integer-only (oracle-exact).
+
+SPAN_SEED_N = 8  #: seed n-gram width in tokens
+SPAN_MIN_TOKENS = 12  #: minimal reported span length in tokens
+SPAN_MAX_DF = 64  #: hub cap: seeds occurring more often are boilerplate
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_n: int = SPAN_SEED_N,
+    min_span: int = SPAN_MIN_TOKENS,
+    max_df: int = SPAN_MAX_DF,
+) -> DataFrame:
+    """(doc_a, doc_b, a_start, b_start, span_tokens, span_md5) — every
+    maximal shared token run of ≥ ``min_span`` tokens, with 1-based
+    token start positions in both docs and the span's content hash.
+
+    Scale shape: seeding is the winnowing staged projection (one
+    md5 per position, no shuffle); the seed join is hash-keyed with a
+    ``max_df`` hub cap so per-key fanout is bounded; diagonal chaining
+    is one window per (pair, diagonal) — keyed on the pair, never
+    global. Tokenization is plain space-split (reversible — the cut
+    path reassembles text with ' '.join). ``_spread`` first: the
+    per-position md5 seeding is the dominant narrow stage and must
+    not run on a single small-scan partition."""
+    toks = _spread(docs, id_col).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    hashed = toks.select(
+        id_col, kgram_hashes(F.col("_toks"), seed_n).alias("_hashes")
+    )
+    seeds = (
+        hashed.select(
+            id_col, F.posexplode_outer("_hashes").alias("_p0", "h")
+        )
+        .filter(F.col("h").isNotNull())
+        .select(id_col, (F.col("_p0") + 1).alias("pos"), "h")
+    )
+    dfh = (
+        seeds.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter((F.col("cnt") >= 2) & (F.col("cnt") <= max_df))
+        .select("h")
+    )
+    good = seeds.join(dfh, "h")
+    a = good.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "h"
+    )
+    b = good.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "h"
+    )
+    m = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pa") - F.col("pb")
+    ).orderBy("pa")
+    r = m.select(
+        "doc_a",
+        "doc_b",
+        "pa",
+        "pb",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        (F.col("pa") - F.row_number().over(w)).alias("isl"),
+    )
+    runs = (
+        r.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("pa").cast("bigint").alias("a_start"),
+            F.min("pb").cast("bigint").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(seed_n - 1))
+            .cast("bigint")
+            .alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+    )
+    return runs.join(
+        toks.select(F.col(id_col).alias("doc_a"), "_toks"), "doc_a"
+    ).select(
+        "doc_a",
+        "doc_b",
+        "a_start",
+        "b_start",
+        "span_tokens",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_toks"), F.col("a_start"), F.col("span_tokens")),
+            )
+        ).alias("span_md5"),
+    )
+
+
+def cut_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_n: int = SPAN_SEED_N,
+    min_span: int = SPAN_MIN_TOKENS,
+    max_df: int = SPAN_MAX_DF,
+) -> DataFrame:
+    """Rewrite ``text_col`` with every LATER occurrence of a
+    duplicated span removed (the doc with the smaller id keeps its
+    copy) — span-level dedup that preserves the unique remainder of
+    each document instead of dropping it. Returns the input columns
+    with ``text_col`` rewritten and an ``n_cut_tokens`` audit column.
+
+    Scale shape: spans come from :func:`duplicated_spans` (bounded
+    join); per-doc interval union is one doc-keyed exchange
+    (operators/intervals.merge_intervals); the rewrite is a per-row
+    filter over the token positions against that doc's (few, merged)
+    intervals — no shuffle beyond the interval join."""
+    from dasladen_spark.operators.intervals import merge_intervals
+
+    spans = duplicated_spans(docs, id_col, text_col, seed_n, min_span, max_df)
+    ints = spans.select(
+        F.col("doc_b").alias("__id"),
+        F.col("b_start").alias("start"),
+        (F.col("b_start") + F.col("span_tokens")).alias("end"),
+    )
+    merged = (
+        merge_intervals(ints, "__id", "start", "end")
+        .groupBy("__id")
+        .agg(
+            F.collect_list(F.struct("start", "end")).alias("__ivs"),
+        )
+    )
+    toks = F.split(F.col(text_col), " ")
+    keep = F.filter(
+        F.sequence(F.lit(1), F.size("__toks")),
+        lambda p: ~F.exists(
+            F.col("__ivs"),
+            lambda iv: (p >= iv["start"]) & (p < iv["end"]),
+        ),
+    )
+    out = (
+        docs.join(merged, docs[id_col] == merged["__id"], "left")
+        .withColumn("__toks", toks)
+        .withColumn(
+            "__keep",
+            F.when(F.col("__ivs").isNull(), None).otherwise(keep),
+        )
+        .withColumn(
+            "n_cut_tokens",
+            F.when(
+                F.col("__keep").isNull(), F.lit(0).cast("bigint")
+            ).otherwise(
+                (F.size("__toks") - F.size("__keep")).cast("bigint")
+            ),
+        )
+        .withColumn(
+            text_col,
+            F.when(F.col("__keep").isNull(), F.col(text_col)).otherwise(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.col("__keep"),
+                        lambda p: F.element_at(F.col("__toks"), p),
+                    ),
+                )
+            ),
+        )
+    )
+    return out.drop("__id", "__ivs", "__toks", "__keep")
+
+
 # ------------------------------------------------- embedding near-dup
 
 

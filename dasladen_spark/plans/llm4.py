@@ -265,6 +265,84 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------- maximal duplicated spans (cut)
+
+from dasladen_spark.operators.dedup import (  # noqa: E402  (re-exports:
+    SPAN_MAX_DF as _CUT_MAX_DF,  # task code and tests import these)
+    SPAN_MIN_TOKENS as _CUT_MIN,
+    SPAN_SEED_N as _CUT_N,
+    duplicated_spans,
+)
+
+
+@query(
+    "dedup_duplicate_spans",
+    # same seed-chain algorithm in DuckDB: md5 seed k-grams, hub-capped
+    # seed join, islands along each (pa - pb) diagonal, maximal runs.
+    # Integer positions + md5 strings only — exact by construction.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), h AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i : i + {_CUT_N - 1}], ' ')) AS h
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {_CUT_N - 1})) AS i
+        FROM t WHERE len(toks) >= {_CUT_N}
+      )
+    ), good AS (
+      SELECT h FROM h GROUP BY h
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {_CUT_MAX_DF}
+    ), m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+      WHERE a.h IN (SELECT h FROM good)
+    ), r AS (
+      SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+      FROM m
+    ), runs AS (
+      SELECT doc_a, doc_b,
+             MIN(pa) AS a_start, MIN(pb) AS b_start,
+             COUNT(*) + {_CUT_N - 1} AS span_tokens
+      FROM r GROUP BY doc_a, doc_b, diag, isl
+    )
+    SELECT runs.doc_a, runs.doc_b, runs.a_start, runs.b_start,
+           runs.span_tokens,
+           md5(array_to_string(
+             t.toks[a_start : a_start + span_tokens - 1], ' ')) AS span_md5
+    FROM runs JOIN t ON t.doc_id = runs.doc_a
+    WHERE span_tokens >= {_CUT_MIN}
+    ORDER BY span_tokens DESC, doc_a, doc_b, a_start, b_start
+    LIMIT 100
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans per doc pair — the suffix-array
+    exact-substring dedup of Lee et al. (ACL 2022), re-expressed as
+    seed-hash joins chained along diagonals (operators/dedup
+    duplicated_spans). Unlike dedup_span_coverage (a coverage
+    FRACTION), this emits the spans themselves — start positions in
+    both docs, token length, content hash — so a curation pipeline
+    can CUT the later occurrence and keep each doc's unique remainder
+    (the `dedup` task's ``method: "spans"`` does exactly that). Top
+    100 spans by length.
+
+    Scale shape: one md5 per token position (staged winnowing
+    projection), a hub-capped (max_df={_CUT_MAX_DF}) seed-hash join,
+    and pair-keyed windows — no global sort until the final top-k
+    (TakeOrdered). Integer-only output → oracle-exact."""
+    return (
+        duplicated_spans(_t(spark, sf_dir, "documents"))
+        .orderBy(
+            F.col("span_tokens").desc(), "doc_a", "doc_b", "a_start", "b_start"
+        )
+        .limit(100)
+    )
+
+
 # ---------------------------------------------- robust outlier audit
 
 

@@ -520,8 +520,11 @@ def run_dedup(ctx: TaskContext, task: dict) -> None:
     df = _transformed(ctx, task, df)
     text_field = task.get("text_field", "text")
     id_field = task.get("id_field", df.columns[0])
-    if task.get("method", "exact") == "winnowing":
+    method = task.get("method", "exact")
+    if method == "winnowing":
         return _run_dedup_winnowing(ctx, task, df, text_field, id_field)
+    if method == "spans":
+        return _run_dedup_spans(ctx, task, df, text_field, id_field)
     b = df.withColumn("fp", fingerprint(F.col(text_field)))
     b = exact_dedup(b, ["fp"], id_field)
     index = task.get("index")
@@ -638,6 +641,57 @@ def _run_dedup_winnowing(
         finally:
             out.unpersist()
     ctx.log(f"task {task.get('name')}: {n_out} novel rows out (winnowing)")
+
+
+def _run_dedup_spans(
+    ctx: TaskContext, task: dict, df, text_field: str, id_field: str
+) -> None:
+    """The dedup task's SPAN-level arm (Lee et al.-style exact
+    substring dedup, operators/dedup duplicated_spans): instead of
+    dropping whole near-dup documents, cut every LATER occurrence of
+    a duplicated token run and keep each doc's unique remainder.
+
+    ``mode: "cut"`` (default) writes the corpus with ``text_field``
+    rewritten plus an ``n_cut_tokens`` audit column; ``mode:
+    "report"`` writes the span table itself (doc_a, doc_b, a_start,
+    b_start, span_tokens, span_md5) — the input a human review or a
+    downstream masking job consumes. Knobs: ``seed_n`` (seed k-gram
+    width), ``min_span`` (minimal cut length, tokens), ``max_df``
+    (seed hub cap). No history-index support — span cutting is a
+    within-corpus operation; run it before the exact/winnowing
+    incremental arms."""
+    from dasladen_spark.operators.dedup import (
+        SPAN_MAX_DF,
+        SPAN_MIN_TOKENS,
+        SPAN_SEED_N,
+        cut_duplicate_spans,
+        duplicated_spans,
+    )
+
+    kw = dict(
+        id_col=id_field,
+        text_col=text_field,
+        seed_n=int(task.get("seed_n", SPAN_SEED_N)),
+        min_span=int(task.get("min_span", SPAN_MIN_TOKENS)),
+        max_df=int(task.get("max_df", SPAN_MAX_DF)),
+    )
+    mode = task.get("mode", "cut")
+    if mode == "report":
+        out = duplicated_spans(df, **kw)
+    elif mode == "cut":
+        out = cut_duplicate_spans(df, **kw)
+    else:
+        raise ValueError(f"unknown dedup spans mode {mode!r}")
+    tgt = task["target"]
+    out = out.persist()
+    try:
+        _write_sink(
+            ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out
+        )
+        n_out = out.count()
+    finally:
+        out.unpersist()
+    ctx.log(f"task {task.get('name')}: {n_out} rows out (spans/{mode})")
 
 
 def run_er(ctx: TaskContext, task: dict) -> None:

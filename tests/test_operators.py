@@ -89,6 +89,32 @@ def test_simhash_identical_and_distance(spark):
     assert got[(1, 4)] == 0
 
 
+def test_duplicated_spans_maximal_and_content_hashed(spark):
+    """Two distinct shared runs in one doc pair must surface as two
+    separate maximal spans (no merging across the gap), each with the
+    md5 of its actual token slice."""
+    import hashlib
+
+    from dasladen_spark.operators.dedup import duplicated_spans
+
+    run1 = " ".join(f"alpha{i}" for i in range(14))
+    run2 = " ".join(f"beta{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [
+            (1, f"lead in {run1} middle filler words here {run2} tail"),
+            (2, f"other start {run2} gap gap gap {run1} different end"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["a_start"], r["span_tokens"]): r["span_md5"]
+        for r in duplicated_spans(df, min_span=12).collect()
+    }
+    assert set(got) == {(3, 14), (21, 16)}  # run1 at pos 3, run2 at 21
+    assert got[(3, 14)] == hashlib.md5(run1.encode()).hexdigest()
+    assert got[(21, 16)] == hashlib.md5(run2.encode()).hexdigest()
+
+
 def test_ngram_jaccard_exact_values(spark):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
     pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.1)

@@ -64,14 +64,16 @@ def test_q1_partial_aggregation(spark):
     assert "Exchange hashpartitioning" in plan
 
 
-def test_minhash_signature_udf_runs_once(spark):
-    plan = plan_of(spark, "dedup_minhash_lsh")
-    assert plan.count("ArrowEvalPython") == 1
-
-
-def test_simhash_signature_udf_runs_once(spark):
-    plan = plan_of(spark, "dedup_simhash")
-    assert plan.count("ArrowEvalPython") == 1
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash"])
+def test_signature_dedup_is_pure_jvm_with_partial_agg(spark, name):
+    """Since round 8 the signature stage is explode + codegen'd
+    aggregates: NO Python anywhere in the plan, and the signature
+    aggregate must partial-combine map-side (two HashAggregate levels)
+    so the shuffle carries one signature per doc, not the shingles."""
+    plan = plan_of(spark, name)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
 
 
 def test_topk_uses_limit_not_global_sort_materialization(spark):

@@ -1075,6 +1075,63 @@ def test_dedup_task_winnowing_incremental_across_runs(spark, workdir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_dedup_task_spans_cut_and_report(spark, workdir):
+    """'dedup' task with method=spans: the later occurrence of a
+    duplicated token run is CUT from its doc (unique remainder kept,
+    n_cut_tokens audited), and mode=report writes the span table
+    itself — the task-file surface of operators/dedup
+    duplicated_spans / cut_duplicate_spans."""
+    run = " ".join(f"shared{i}" for i in range(20))
+    rows = [
+        {"doc_id": 1, "text": "intro one two " + run + " tail"},
+        {"doc_id": 2, "text": "different prefix words " + run + " other coda"},
+        {"doc_id": 3, "text": " ".join(f"solo{i}" for i in range(20))},
+    ]
+    with open(workdir / "input" / "sp.json", "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    task = {
+        "name": "sp",
+        "type": "dedup",
+        "method": "spans",
+        "min_span": 12,
+        "id_field": "doc_id",
+        "source": {
+            "kind": "json",
+            "file": "sp.json",
+            "schema": "doc_id BIGINT, text STRING",
+        },
+        "target": {"kind": "parquet", "file": "spcut.parquet", "truncate": True},
+    }
+    run_tasks(spark, workdir, {"tasks": [task]})
+    got = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(
+            str(workdir / "output" / "spcut.parquet")
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}  # nothing dropped — spans cut, docs kept
+    assert got[1]["n_cut_tokens"] == 0 and run in got[1]["text"]
+    assert got[2]["n_cut_tokens"] == 20 and "shared0" not in got[2]["text"]
+    assert got[2]["text"].startswith("different prefix words")
+    assert "other coda" in got[2]["text"]
+    assert got[3]["n_cut_tokens"] == 0
+
+    report = {
+        **task,
+        "mode": "report",
+        "target": {"kind": "parquet", "file": "spans.parquet", "truncate": True},
+    }
+    run_tasks(spark, workdir, {"tasks": [report]})
+    spans = spark.read.parquet(
+        str(workdir / "output" / "spans.parquet")
+    ).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s["doc_a"], s["doc_b"], s["span_tokens"]) == (1, 2, 20)
+    assert s["a_start"] == 4 and s["b_start"] == 4
+
+
 def test_er_task_writes_transitive_merge_map(spark, workdir):
     """'er' task: blocked levenshtein edges + transitive closure
     written as a full member -> cluster merge map — A~B~C in one
