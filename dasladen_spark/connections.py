@@ -13,9 +13,19 @@ extensions make Spark itself a backing engine:
 - driver "parquet": a base-path bound catalog: table names resolve to
                     `<base>/<table>.parquet`
 
-JDBC jars are not shipped in this container; building the option
-bundle is pure config and fully tested, the actual connect is
-exercised only when a driver jar is present.
+- driver "JDBC":    generic escape hatch beyond the reference's four
+                    drivers: a raw ``url`` + ``jdbc_driver`` class
+                    (any database with a jar on spark.jars). Also the
+                    in-sandbox test vehicle: Spark ships embedded
+                    Derby for its metastore, so a
+                    ``jdbc:derby:memory:`` connection exercises the
+                    REAL JDBC write/truncate/append/read paths with
+                    no external server (tests/test_jdbc_derby.py).
+
+External-server jars (MySQL/Oracle/MSSQL/PostgreSQL) are not shipped
+in this container; for those, building the option bundle is pure
+config and fully tested, and the actual connect is exercised when a
+driver jar is present (tests/test_live_jdbc.py, docker-gated).
 """
 
 from __future__ import annotations
@@ -72,9 +82,13 @@ class Connection:
 
     @property
     def is_jdbc(self) -> bool:
-        return self.driver in _JDBC_URLS
+        return self.driver in _JDBC_URLS or self.driver == "JDBC"
 
     def jdbc_url(self) -> str:
+        if self.driver == "JDBC":
+            # generic driver: the url is given verbatim (with $env.
+            # indirection), not templated from host/port/database
+            return str(resolve_env(self.config.get("url", "")))
         cfg = {
             "host": resolve_env(self.config.get("host", "localhost")),
             "port": resolve_env(
@@ -89,13 +103,18 @@ class Connection:
         user = str(resolve_env(self.config.get("user", "")))
         opts = {
             "url": self.jdbc_url(),
-            "driver": _JDBC_DRIVERS[self.driver],
+            "driver": self.config.get("jdbc_driver")
+            or _JDBC_DRIVERS.get(self.driver, ""),
             "user": user,
             "password": str(resolve_env(self.config.get("pass", ""))),
             # batched writes — the executemany/execute_batch parity
             # (taskdriver.py:175-185), but per-partition and parallel
             "batchsize": str(self.config.get("batchsize", 10000)),
         }
+        if self.driver == "JDBC" and not user:
+            # embedded/auth-less databases (Derby memory, SQLite-like
+            # urls): sending empty credentials confuses some drivers
+            del opts["user"], opts["password"]
         if self.driver == "MSSQL" and not user:
             # empty user → OS authentication, the reference's
             # Trusted_Connection=yes branch (taskdriver.py:118-123);
