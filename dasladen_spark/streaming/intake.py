@@ -101,3 +101,78 @@ def run_quality_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_decontaminate_gate(
+    docs: DataFrame,
+    bench_df: DataFrame,
+    accept_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    min_hits: int = 1,
+    available_now: bool = True,
+    scratch: list | None = None,
+):
+    """Benchmark decontamination at INGESTION: documents sharing at
+    least ``min_hits`` distinct word n-grams with the (static)
+    benchmark corpus quarantine immediately — eval-set leakage never
+    reaches the accept area, instead of waiting for the next batch
+    `decontaminate` run over the landed corpus.
+
+    Batch parity by construction: the gram pipeline is the SAME
+    operators/decontaminate functions the batch task calls, so a doc
+    is quarantined here IFF tasks.run_decontaminate would have
+    dropped it. The benchmark gram set is computed once, persisted
+    (benchmark-sized), and broadcast into every micro-batch join;
+    per-batch cost is the batch's own grams filtered by that
+    broadcast — benchmark-bounded, the at-scale shape. Quarantined
+    rows carry ``n_contaminated_grams`` (the audit trail); writes are
+    batch-id partitioned overwrites (idempotent restart), same
+    exactly-once contract as run_quality_gate. Long-lived callers
+    should pass a ``scratch`` list and unpersist its entries after
+    the query stops (the winnowing_pairs convention) — the persisted
+    bench gram set otherwise outlives the stream."""
+    from dasladen_spark.operators.decontaminate import (
+        bench_gram_set,
+        contamination_hits,
+    )
+
+    bench_grams = bench_gram_set(bench_df, text_col=text_col, n=ngram).persist()
+    if scratch is not None:
+        scratch.append(bench_grams)
+    bench_grams.count()  # materialize once, before the stream starts
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hits = contamination_hits(
+            batch_df,
+            bench_grams,
+            text_col=text_col,
+            id_col=id_col,
+            n=ngram,
+            min_hits=min_hits,
+        ).persist()
+        try:
+            clean = batch_df.join(
+                hits, batch_df[id_col] == hits["_did"], "left_anti"
+            )
+            clean.write.mode("overwrite").parquet(
+                f"{accept_path}/batch={batch_id}"
+            )
+            dropped = batch_df.join(
+                hits, batch_df[id_col] == hits["_did"]
+            ).drop("_did")
+            dropped.write.mode("overwrite").parquet(
+                f"{quarantine_path}/batch={batch_id}"
+            )
+        finally:
+            hits.unpersist()
+
+    writer = docs.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

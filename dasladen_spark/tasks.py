@@ -934,16 +934,18 @@ def run_decontaminate(ctx: TaskContext, task: dict) -> None:
     NULL semantics) and duplicate ids would merge gram sets across
     docs before the min_hits threshold, so both fail loudly up front.
 
-    Scale shape: the benchmark's distinct gram set is MBs even when
-    the corpus is TBs, so it BROADCASTS; the corpus side joins that
-    broadcast BEFORE any distinct, so the only corpus-keyed exchange
-    is over the matching grams (benchmark-bounded), never the full
-    gram stream. Grams come from a staged words projection
-    (functions/text.word_ngrams) — never an inline split inside the
-    lambda, which would re-tokenize per gram position."""
+    Scale shape: see operators/decontaminate (the gram pipeline is
+    SHARED with the streaming intake gate, so batch and stream drop
+    exactly the same docs): the benchmark's distinct gram set
+    broadcasts; the corpus side joins that broadcast BEFORE any
+    distinct, so the only corpus-keyed exchange is benchmark-bounded,
+    never the full gram stream."""
     from pyspark.sql import functions as F
 
-    from dasladen_spark.functions.text import word_ngrams
+    from dasladen_spark.operators.decontaminate import (
+        bench_gram_set,
+        contamination_hits,
+    )
 
     src = task["source"]
     df = _read_source(ctx, {**task, "type": src.get("kind", "parquet") + "-x"})
@@ -976,25 +978,14 @@ def run_decontaminate(ctx: TaskContext, task: dict) -> None:
             f" {stats.n_distinct} distinct) — a NULL or duplicated id"
             " would silently leak or over-drop documents"
         )
-    bench_grams = (
-        bench_df.select(F.split(F.col(bench_text), " ").alias("_w"))
-        .select(F.explode(word_ngrams(F.col("_w"), n)).alias("ng"))
-        .distinct()
-    )
-    # broadcast-filter FIRST, distinct after: the corpus-keyed
-    # exchange is bounded by |matching grams| (benchmark-sized), not
-    # by the corpus gram stream
-    hits = (
-        df.select(
-            F.col(id_field).alias("_did"),
-            F.split(F.col(text_field), " ").alias("_w"),
-        )
-        .select("_did", F.explode(word_ngrams(F.col("_w"), n)).alias("ng"))
-        .join(F.broadcast(bench_grams), "ng")
-        .distinct()
-        .groupBy("_did")
-        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
-        .filter(F.col("n_contaminated_grams") >= min_hits)
+    bench_grams = bench_gram_set(bench_df, text_col=bench_text, n=n)
+    hits = contamination_hits(
+        df,
+        bench_grams,
+        text_col=text_field,
+        id_col=id_field,
+        n=n,
+        min_hits=min_hits,
     )
     if task.get("quarantine"):
         # doc-id-sized; two consumers (anti-join + quarantine join)

@@ -543,6 +543,99 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     assert srows == brows == {(1, 10, "gold"), (2, 20, "silver"), (999, 5, None)}
 
 
+def test_decontaminate_gate_quarantines_at_ingestion_with_batch_parity(
+    spark, tmp_path
+):
+    """Streaming decontamination gate: a doc sharing an 8-gram with
+    the benchmark corpus quarantines at ingestion (with its
+    contaminated-gram count), clean docs land in accept, and the
+    accept/quarantine split EQUALS the batch `decontaminate` task's
+    clean/dropped split over the same data — the shared
+    operators/decontaminate pipeline guarantees no ingest-time skew
+    (the streaming mirror of
+    test_decontaminate_task_drops_bench_overlaps)."""
+    import json
+
+    from dasladen_spark.streaming.intake import (
+        run_decontaminate_gate,
+        stream_document_folder,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        {"doc_id": 1, "text": f"intro {leak} outro",
+         "lang": "en", "source": "s1"},
+        {"doc_id": 2, "text": "totally original words only nothing "
+         "shared here at all ok", "lang": "en", "source": "s1"},
+        {"doc_id": 3, "text": "more clean unique content in a second "
+         "arriving micro batch drop", "lang": "en", "source": "s2"},
+    ]
+    src = tmp_path / "drops"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(json.dumps(d) for d in docs[:2]))
+    (src / "b.jsonl").write_text(json.dumps(docs[2]))
+    bench = spark.createDataFrame(
+        [(9, f"prefix {leak} suffix")], "bid long, text string"
+    )
+
+    acc, quar, ckpt = (
+        str(tmp_path / "accept"), str(tmp_path / "quar"), str(tmp_path / "ck")
+    )
+    scratch: list = []
+    q = run_decontaminate_gate(
+        stream_document_folder(spark, str(src)), bench, acc, quar, ckpt,
+        scratch=scratch,
+    )
+    q.awaitTermination(120)
+
+    got_acc = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    quar_rows = spark.read.parquet(quar).collect()
+    assert got_acc == {2, 3}
+    assert [r["doc_id"] for r in quar_rows] == [1]
+    assert quar_rows[0]["n_contaminated_grams"] >= 1
+
+    # batch parity: the decontaminate TASK over the same corpus must
+    # produce exactly the same clean set (shared gram pipeline)
+    wd = tmp_path / "task"
+    for sub in ("input", "output", "done"):
+        (wd / sub).mkdir(parents=True)
+    with open(wd / "input" / "docs.json", "w", encoding="utf-8") as f:
+        for d in docs:
+            f.write(json.dumps({"doc_id": d["doc_id"], "text": d["text"]}) + "\n")
+    with open(wd / "input" / "bench.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"bid": 9, "text": f"prefix {leak} suffix"}) + "\n")
+    from dasladen_spark.connections import ConnectionRegistry
+    from dasladen_spark.tasks import TaskContext, run_decontaminate
+
+    run_decontaminate(
+        TaskContext(
+            spark,
+            ConnectionRegistry(None),
+            input_path=str(wd / "input"),
+            output_path=str(wd / "output"),
+        ),
+        {
+            "name": "par",
+            "type": "decontaminate",
+            "source": {"kind": "json", "file": "docs.json",
+                       "schema": "doc_id BIGINT, text STRING"},
+            "bench": {"kind": "json", "file": "bench.json",
+                      "schema": "bid BIGINT, text STRING"},
+            "id_field": "doc_id",
+            "target": {"file": "clean.parquet", "truncate": True},
+        },
+    )
+    batch_clean = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            str(wd / "output" / "clean.parquet")
+        ).collect()
+    }
+    assert batch_clean == got_acc
+    for c in scratch:
+        c.unpersist()
+
+
 def test_quality_gate_routes_and_matches_batch(spark, tmp_path):
     """Streaming intake gate: accept/quarantine routing must equal the
     batch scorer applied to a static read (no ingest-time skew), rejects
