@@ -180,6 +180,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     undirected: bool = False,
+    exact: bool = False,
 ) -> DataFrame:
     """Distributed PageRank over an edge list → (id, rank).
 
@@ -192,6 +193,16 @@ def pagerank(
     ``iterations`` shuffles regardless of graph size. Lineage is cut
     per iteration with localCheckpoint (an iterative plan would
     otherwise nest ``iterations`` joins deep and stall Catalyst).
+
+    ``exact=True`` switches the per-iteration inflow sum to the
+    repo's integer-sufficient-statistics recipe: each contribution
+    quantizes to ``floor(c·1e12 + 0.5)`` (pure IEEE mult/add/floor —
+    identical in every engine) and accumulates as an exact bigint,
+    order-independent under any partitioning; one double division
+    converts back. Ranks then replay bit-for-bit in any engine that
+    unrolls the same iterations (the graph_pagerank DuckDB oracle) —
+    at the cost of a ≤ 5e-13 per-contribution perturbation, far
+    below PageRank's own iteration-truncation error.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if undirected:
@@ -207,22 +218,30 @@ def pagerank(
     out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
+    c = F.col("rank") / F.col("deg")
+    if exact:
+        # integer sufficient statistics: floor(x·1e12 + 0.5) is pure
+        # IEEE mult/add/floor — identical in every engine, unlike
+        # round() (engines disagree on the multiply-round-divide vs
+        # shortest-repr variants at 12th-digit boundaries). The sum
+        # is then an exact bigint, order-independent.
+        c = F.floor(c * F.lit(1e12) + F.lit(0.5))
     for _ in range(iterations):
         contribs = (
             e.join(ranks, e.s == ranks.id)
             .join(out_deg, "s")
-            .select(F.col("d").alias("id2"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(F.col("d").alias("id2"), c.alias("c"))
             .groupBy("id2")
             .agg(F.sum("c").alias("inflow"))
         )
+        inflow = F.coalesce(F.col("inflow").cast("double"), F.lit(0.0))
+        if exact:
+            inflow = inflow / F.lit(1e12)
         ranks = (
             nodes.join(contribs, nodes.id == F.col("id2"), "left")
             .select(
                 "id",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
+                (F.lit(teleport) + F.lit(damping) * inflow).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )

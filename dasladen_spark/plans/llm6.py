@@ -697,9 +697,57 @@ def embedding_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 
-@query("graph_communities")  # iterative algorithm — rows-only;
-# tests/test_operators.py::test_label_propagation_finds_planted_communities
-# proves the operator separates planted dense clusters
+# label-propagation oracle: the deterministic synchronous variant is
+# INTEGER-only (vote counts, min-label tie-breaks), so the fixed 4
+# rounds unroll exactly in SQL — one vote/count/argmax/update CTE
+# block per round, MATERIALIZED so DuckDB never inlines a round into
+# the next (exponential re-execution).
+_LP_ITERS = 4
+
+
+def _communities_oracle() -> str:
+    parts = [
+        """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), pairs AS MATERIALIZED (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ), und AS MATERIALIZED (
+      SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT u AS id, u AS community FROM und
+    )"""
+    ]
+    for r in range(1, _LP_ITERS + 1):
+        parts.append(f""", n{r} AS MATERIALIZED (
+      SELECT id2, community, COUNT(*) AS n FROM (
+        SELECT e.u AS id2, l.community
+        FROM und e JOIN l{r - 1} l ON e.v = l.id
+        UNION ALL
+        SELECT id, community FROM l{r - 1}
+      ) GROUP BY id2, community
+    ), l{r} AS MATERIALIZED (
+      SELECT prev.id,
+             coalesce(b.new_comm, prev.community) AS community
+      FROM l{r - 1} prev LEFT JOIN (
+        SELECT id2, community AS new_comm FROM (
+          SELECT id2, community,
+                 ROW_NUMBER() OVER (PARTITION BY id2
+                   ORDER BY n DESC, community ASC) AS rk
+          FROM n{r}
+        ) WHERE rk = 1
+      ) b ON prev.id = b.id2
+    )""")
+    parts.append(f"""
+    SELECT community, CAST(COUNT(*) AS BIGINT) AS size
+    FROM l{_LP_ITERS} GROUP BY community
+    ORDER BY size DESC, community LIMIT 20
+    """)
+    return "".join(parts)
+
+
+@query("graph_communities", oracle=_communities_oracle())
 def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community structure of the co-purchase graph via deterministic
     synchronous label propagation (operators/graph.label_propagation)

@@ -306,9 +306,60 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank")  # iterative algorithm — no SQL oracle (rows-only);
-# differential-tested against a dense numpy power iteration in
-# tests/test_operators.py::test_pagerank_matches_numpy_reference
+# pagerank oracle: with exact=True the operator quantizes each
+# contribution to floor(c·1e12 + 0.5) — pure IEEE mult/add/floor,
+# identical in every engine (round() is NOT: engines disagree at
+# 12th-digit boundaries) — and accumulates exact bigints, so
+# unrolling the same 5 iterations in SQL replays the ranks
+# bit-for-bit. The teleport term is COMPUTED as (1.0 - 0.85)/n with
+# every literal CAST to DOUBLE: DuckDB parses decimal-point literals
+# as DECIMAL, so a bare (1.0 - 0.85) is the EXACT 0.15 — a different
+# binary double than Python/Spark's 1.0 - 0.85.
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        """
+    WITH ed AS MATERIALIZED (
+      SELECT DISTINCT 'c' || o_custkey AS s, 's' || l_suppkey AS d
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS MATERIALIZED (
+      SELECT s, d FROM ed UNION SELECT d, s FROM ed
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT s AS id FROM (
+        SELECT s FROM e UNION ALL SELECT d FROM e)
+    ), nn AS (SELECT COUNT(*) AS n FROM nodes
+    ), deg AS MATERIALIZED (
+      SELECT s, COUNT(*) AS deg FROM e GROUP BY s
+    ), r0 AS MATERIALIZED (
+      SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+      FROM nodes
+    )"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(f""", f{i} AS MATERIALIZED (
+      SELECT e.d AS id2,
+             SUM(CAST(FLOOR(r.rank / deg.deg * 1e12 + 0.5) AS BIGINT))
+               AS inflow
+      FROM e JOIN r{i - 1} r ON e.s = r.id JOIN deg ON deg.s = e.s
+      GROUP BY e.d
+    ), r{i} AS MATERIALIZED (
+      SELECT nodes.id,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE)
+                 * (coalesce(CAST(f.inflow AS DOUBLE), 0.0) / 1e12)
+                 AS rank
+      FROM nodes LEFT JOIN f{i} f ON nodes.id = f.id2
+    )""")
+    parts.append(f"""
+    SELECT id, rank FROM r{_PR_ITERS} ORDER BY rank DESC, id
+    """)
+    return "".join(parts)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the customer↔supplier transaction
     graph (distinct trading pairs from orders⋈lineitem, undirected):
@@ -330,9 +381,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
     )
-    return pagerank(edges, iterations=5, undirected=True).orderBy(
-        F.col("rank").desc(), "id"
-    )
+    return pagerank(
+        edges, iterations=5, undirected=True, exact=True
+    ).orderBy(F.col("rank").desc(), "id")
 
 
 @query(

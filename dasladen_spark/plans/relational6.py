@@ -386,9 +386,45 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------- k-core backbone
 
 
-@query("graph_kcore")  # iterative fixpoint — rows-only;
-# tests/test_operators.py::test_kcore_keeps_planted_clique_drops_chain
-# proves the peel keeps exactly the dense subgraph
+# k-core oracle: the peel is an INTEGER fixpoint (degree counts +
+# semi-joins), so it replays exactly in SQL by unrolling the rounds —
+# _KCORE_ROUNDS is a safety margin far above the observed peel depth
+# (the sf0.01 co-purchase graph stabilizes after 1 round); extra
+# rounds are no-ops on the fixpoint. MATERIALIZED stops DuckDB from
+# inlining each round into the next (exponential re-execution).
+_KCORE_K = 4
+_KCORE_ROUNDS = 12
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """
+    WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+    ),
+    e0 AS MATERIALIZED (
+      SELECT u, v FROM pairs WHERE u <> v
+      UNION SELECT v, u FROM pairs WHERE u <> v
+    )"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f""", k{r} AS MATERIALIZED (
+      SELECT u FROM e{r - 1} GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
+    ), e{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{r - 1} e
+      WHERE e.u IN (SELECT u FROM k{r}) AND e.v IN (SELECT u FROM k{r})
+    )""")
+    parts.append(f"""
+    SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e{_KCORE_ROUNDS} GROUP BY u
+    ORDER BY degree DESC, id LIMIT 20
+    """)
+    return "".join(parts)
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense backbone of the co-purchase graph: the 4-core (every
     surviving part co-ordered with ≥4 other surviving parts) — the
