@@ -1075,6 +1075,67 @@ def test_dedup_task_winnowing_incremental_across_runs(spark, workdir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_download_task_fetches_over_real_http(spark, workdir):
+    """'download' task against a loopback http.server: a REAL GET
+    (params serialized onto the query string, headers sent) lands the
+    body in the output folder — the reference's HTTP path
+    (task.py:558-574) exercised live with no external network, and
+    the fetched CSV is immediately readable by a downstream task."""
+    import functools
+    import http.server
+    import threading
+
+    serve_dir = workdir / "serve"
+    serve_dir.mkdir()
+    (serve_dir / "data.csv").write_text("a;b\n1;2\n3;4\n")
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(serve_dir)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        run_tasks(
+            spark,
+            workdir,
+            {
+                "tasks": [
+                    {
+                        "name": "dl",
+                        "type": "download",
+                        "source": {
+                            "url": f"http://127.0.0.1:{port}/data.csv",
+                            "params": {"v": "1"},
+                            "headers": {"X-Probe": "dasladen"},
+                        },
+                        "target": {"file": "fetched.csv"},
+                    },
+                    # downstream: the fetched file is a normal csv
+                    # source for the next task in the same file
+                    {
+                        "name": "load",
+                        "type": "csv-parquet",
+                        "source": {
+                            "kind": "csv",
+                            "file": "fetched.csv",
+                            "folder": str(workdir / "output"),
+                            "delimiter": ";",
+                        },
+                        "target": {"kind": "parquet", "file": "dl.parquet",
+                                   "truncate": True},
+                    },
+                ]
+            },
+        )
+    finally:
+        srv.shutdown()
+    assert (
+        workdir / "output" / "fetched.csv"
+    ).read_text() == "a;b\n1;2\n3;4\n"
+    rows = spark.read.parquet(str(workdir / "output" / "dl.parquet")).collect()
+    assert {(r["a"], r["b"]) for r in rows} == {("1", "2"), ("3", "4")}
+
+
 def test_dedup_task_spans_cut_and_report(spark, workdir):
     """'dedup' task with method=spans: the later occurrence of a
     duplicated token run is CUT from its doc (unique remainder kept,
