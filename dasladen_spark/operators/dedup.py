@@ -130,13 +130,22 @@ def _char_shingles(text_col: str, shingle_len: int):
     )
 
 
+def portable_md5_int(col, hex_chars: int = 8) -> F.Column:
+    """Engine-portable content hash: the first ``hex_chars`` hex
+    chars of md5 as a bigint (4 bits each; keep ≤ 15 so the value
+    fits a signed 64-bit). DuckDB mirror:
+    ``CAST(('0x' || substr(md5(x), 1, <hex_chars>)) AS BIGINT)``.
+    The single definition both signature families hash with — a
+    change here must change the dedup_minhash_lsh / dedup_simhash
+    oracles in plans/llm.py in lockstep."""
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("bigint")
+
+
 def portable_hash32(col) -> F.Column:
-    """Engine-portable 32-bit content hash: the first 8 hex chars of
-    md5 as a bigint. DuckDB mirror:
-    ``CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)``. Values are in
-    [0, 2^32), so ``a*h+b`` with 20-bit coefficients stays < 2^52 —
-    ANSI-safe."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+    """32-bit variant (8 hex chars): values in [0, 2^32), so
+    ``a*h+b`` with 20-bit coefficients stays < 2^52 — ANSI-safe for
+    the MinHash permutation arithmetic."""
+    return portable_md5_int(col, 8)
 
 
 def minhash_signatures(
@@ -281,10 +290,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ).alias("_tok"),
     )
     h = toks.select(
-        "id",
-        F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("_h"),
+        "id", portable_md5_int(F.col("_tok"), 15).alias("_h")
     )
     votes = h.groupBy("id").agg(
         *[
@@ -625,7 +631,12 @@ def duplicated_spans(
     global. Tokenization is plain space-split (reversible — the cut
     path reassembles text with ' '.join). ``_spread`` first: the
     per-position md5 seeding is the dominant narrow stage and must
-    not run on a single small-scan partition."""
+    not run on a single small-scan partition. Seed pairing is the
+    single-pass _bucket_pairs shape — one shuffle to the seed hash,
+    members collected, i<j pairs emitted in place — NOT a self-join,
+    which would run the whole seeding projection once per join side
+    plus once for the frequency cap (the minhash_lsh_pairs lesson,
+    and round 6's unpersisted-fanout regression)."""
     toks = _spread(docs, id_col).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
     )
@@ -637,22 +648,40 @@ def duplicated_spans(
             id_col, F.posexplode_outer("_hashes").alias("_p0", "h")
         )
         .filter(F.col("h").isNotNull())
-        .select(id_col, (F.col("_p0") + 1).alias("pos"), "h")
+        .select(
+            F.col(id_col).alias("id"), (F.col("_p0") + 1).alias("pos"), "h"
+        )
     )
-    dfh = (
+    # one shuffle on the seed hash: the member list carries both the
+    # >= 2 occurrence requirement and the max_df hub cap, and the i<j
+    # expansion runs where the members already are — the seeding
+    # projection executes exactly once
+    members = (
         seeds.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter((F.col("cnt") >= 2) & (F.col("cnt") <= max_df))
-        .select("h")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("pos")))
+            ).alias("ms")
+        )
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_df))
     )
-    good = seeds.join(dfh, "h")
-    a = good.select(
-        F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "h"
+    left = members.select("ms", F.posexplode(F.col("ms")).alias("i", "a"))
+    m = (
+        left.select(
+            F.col("a")["id"].alias("doc_a"),
+            F.col("a")["pos"].alias("pa"),
+            F.explode(
+                F.slice(F.col("ms"), F.col("i") + 2, F.size(F.col("ms")))
+            ).alias("b"),
+        )
+        .select(
+            "doc_a",
+            "pa",
+            F.col("b")["id"].alias("doc_b"),
+            F.col("b")["pos"].alias("pb"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
     )
-    b = good.select(
-        F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "h"
-    )
-    m = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
     w = Window.partitionBy(
         "doc_a", "doc_b", F.col("pa") - F.col("pb")
     ).orderBy("pa")

@@ -79,14 +79,18 @@ def quantile_normalize_map_from_counts(
     )
     if localize:
         spark = s.sparkSession
-        # enforce the bounded-cardinality contract BEFORE collecting:
-        # the rollup must be distinct (group, rounded-value) pairs. A
-        # caller that forgot to round a double score column makes the
-        # rollup corpus-sized, and toPandas() would then OOM the
-        # driver silently. limit(N+1) probes the bound with an
-        # early-out scan — it never counts past the cap.
+        # enforce the bounded-cardinality contract ON the collecting
+        # fetch itself: the rollup must be distinct (group,
+        # rounded-value) pairs; a caller that forgot to round a double
+        # score column makes it corpus-sized and an unguarded
+        # toPandas() would OOM the driver silently. limit(cap+1)
+        # bounds what can ever reach the driver, and the SAME fetch
+        # is reused as the LocalRelation rebuild — the rollup lineage
+        # (a corpus aggregation) executes exactly once, not once for
+        # a count probe and again for the collect.
         cap = LOCALIZE_ROLLUP_CAP if max_rollup_rows is None else max_rollup_rows
-        if s.limit(cap + 1).count() > cap:
+        pdf = s.limit(cap + 1).toPandas()
+        if len(pdf) > cap:
             raise ValueError(
                 "quantile_normalize_map_from_counts: counts rollup "
                 f"exceeds {cap:,} rows — value_col must be rounded to "
@@ -94,7 +98,7 @@ def quantile_normalize_map_from_counts(
                 "collects the rollup to the driver). Round the score "
                 "column, or pass localize=False."
             )
-        s = spark.createDataFrame(s.toPandas(), s.schema)
+        s = spark.createDataFrame(pdf, s.schema)
     g = s.groupBy(value_col).agg(F.sum("c").alias("c"))
     n_tot = s.agg(F.sum("c").alias("n"))
     wg = (

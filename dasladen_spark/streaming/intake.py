@@ -146,6 +146,25 @@ def run_decontaminate_gate(
     bench_grams.count()  # materialize once, before the stream starts
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # the batch task's loud id guard, per micro-batch: a NULL id
+        # would slip a contaminated doc past the anti-join into the
+        # accept area (NULL never equals _did), and duplicate ids
+        # merge gram counts across docs before min_hits — both must
+        # kill the query, not silently leak (tasks.run_decontaminate
+        # parity; the gate's IFF contract depends on it)
+        stats = batch_df.agg(
+            F.count(id_col).alias("n_ids"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(id_col).alias("n_distinct"),
+        ).collect()[0]
+        if stats.n_ids != stats.n_rows or stats.n_distinct != stats.n_rows:
+            raise ValueError(
+                f"decontaminate gate: id column {id_col!r} must be"
+                f" non-null and unique within a micro-batch"
+                f" ({stats.n_rows} rows, {stats.n_ids} non-null,"
+                f" {stats.n_distinct} distinct) — a NULL or duplicated"
+                " id would silently leak or over-drop documents"
+            )
         hits = contamination_hits(
             batch_df,
             bench_grams,

@@ -525,6 +525,10 @@ def run_dedup(ctx: TaskContext, task: dict) -> None:
         return _run_dedup_winnowing(ctx, task, df, text_field, id_field)
     if method == "spans":
         return _run_dedup_spans(ctx, task, df, text_field, id_field)
+    if method != "exact":
+        # a typo must not silently fall through to whole-document
+        # exact dedup — that DROPS documents the user asked to keep
+        raise ValueError(f"unknown dedup method {method!r}")
     b = df.withColumn("fp", fingerprint(F.col(text_field)))
     b = exact_dedup(b, ["fp"], id_field)
     index = task.get("index")

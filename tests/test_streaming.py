@@ -636,6 +636,45 @@ def test_decontaminate_gate_quarantines_at_ingestion_with_batch_parity(
         c.unpersist()
 
 
+def test_decontaminate_gate_rejects_null_ids_loudly(spark, tmp_path):
+    """A NULL doc_id would slip a contaminated doc past the anti-join
+    into the accept area — the gate must kill the query with the
+    batch task's loud error, not silently leak (parity with
+    test_decontaminate_task_rejects_null_or_dup_ids)."""
+    import json
+
+    import pytest
+
+    from dasladen_spark.streaming.intake import (
+        run_decontaminate_gate,
+        stream_document_folder,
+    )
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        json.dumps({"doc_id": None, "text": "a b c d e f g h i"})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": "j k l m n o p q r"})
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e f g h i")], "bid long, text string"
+    )
+    scratch: list = []
+    q = run_decontaminate_gate(
+        stream_document_folder(spark, str(src)),
+        bench,
+        str(tmp_path / "accept"),
+        str(tmp_path / "quar"),
+        str(tmp_path / "ck"),
+        scratch=scratch,
+    )
+    with pytest.raises(Exception, match="non-null and unique"):
+        q.awaitTermination(120)
+    for c in scratch:
+        c.unpersist()
+
+
 def test_quality_gate_routes_and_matches_batch(spark, tmp_path):
     """Streaming intake gate: accept/quarantine routing must equal the
     batch scorer applied to a static read (no ingest-time skew), rejects
