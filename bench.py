@@ -159,6 +159,10 @@ def main() -> None:
         "ann_pq_indexed_topk",
         "dedup_incremental_novel",
         "text_nb_quality_score",
+        # first run pays ~8s of whole-stage-codegen compilation for
+        # the 64-column signature aggregate; warm reps measure the
+        # ~2.5s execution that actually scales with data
+        "dedup_minhash_lsh",
     }
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
