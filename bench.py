@@ -112,8 +112,10 @@ HEADLINE = [
     "ann_hamming_topk",
     # round 8: suffix-style exact substring dedup (seed-hash join
     # chained along diagonals into maximal spans — the cut-not-drop
-    # dedup of Lee et al.)
+    # dedup of Lee et al.) and the graded ranking eval of the 1-bit
+    # Hamming first pass vs exact cosine truth
     "dedup_duplicate_spans",
+    "retrieval_ndcg_mrr",
 ]
 
 

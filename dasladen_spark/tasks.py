@@ -1016,6 +1016,87 @@ def run_decontaminate(ctx: TaskContext, task: dict) -> None:
     )
 
 
+def run_intake(ctx: TaskContext, task: dict) -> None:
+    """Intake task (beyond the reference): run one of the STREAMING
+    ingestion gates (streaming/intake.py) from a task file, so the
+    reference's control plane — watcher, scheduler, repeat-N, CLI —
+    can drive continuous document intake without bespoke driver code.
+    Each run drains whatever landed in the source folder since the
+    last run (``availableNow`` + a persistent checkpoint under the
+    output area), routing to ``target`` (accept) and ``quarantine``
+    folders exactly once; a scheduled task file thereby becomes an
+    incremental intake pipeline with per-run cost O(new files).
+
+    ``gate: "quality"`` (default) scores with the batch pipeline's
+    Column scorer (``min_quality`` / ``min_tokens`` knobs); ``gate:
+    "decontaminate"`` quarantines docs sharing ≥ ``min_hits`` word
+    ``ngram``-grams with the ``bench`` source — both gates are the
+    SAME code the batch tasks run, so ingestion and backfill can
+    never disagree. ``schema`` defaults to the documents layout."""
+    from dasladen_spark.streaming.intake import (
+        run_decontaminate_gate,
+        run_quality_gate,
+        stream_document_folder,
+    )
+
+    src = task["source"]
+    folder = src.get("folder", src.get("path", ctx.input_path))
+    schema = src.get(
+        "schema", "doc_id long, text string, lang string, source string"
+    )
+    docs = stream_document_folder(ctx.spark, folder, schema)
+    tgt = task["target"]
+    accept = os.path.join(
+        tgt.get("folder", tgt.get("path", ctx.output_path)), tgt["file"]
+    )
+    q = task.get("quarantine", {})
+    quarantine = os.path.join(
+        q.get("folder", q.get("path", ctx.output_path)),
+        q.get("file", tgt["file"] + ".quarantine"),
+    )
+    checkpoint = task.get(
+        "checkpoint", os.path.join(ctx.output_path, f"_ck_{task.get('name', 'intake')}")
+    )
+    gate = task.get("gate", "quality")
+    scratch: list = []
+    if gate == "quality":
+        query = run_quality_gate(
+            docs,
+            accept,
+            quarantine,
+            checkpoint,
+            min_quality=float(task.get("min_quality", 0.3)),
+            min_tokens=int(task.get("min_tokens", 5)),
+        )
+    elif gate == "decontaminate":
+        bench_src = task["bench"]
+        bench_df = _read_source(
+            ctx,
+            {**task, "source": bench_src,
+             "type": bench_src.get("kind", "parquet") + "-x"},
+        )
+        query = run_decontaminate_gate(
+            docs,
+            bench_df,
+            accept,
+            quarantine,
+            checkpoint,
+            text_col=task.get("text_field", "text"),
+            id_col=task.get("id_field", "doc_id"),
+            ngram=int(task.get("ngram", 8)),
+            min_hits=int(task.get("min_hits", 1)),
+            scratch=scratch,
+        )
+    else:
+        raise ValueError(f"unknown intake gate {gate!r}")
+    try:
+        query.awaitTermination()
+    finally:
+        for c in scratch:
+            c.unpersist()
+    ctx.log(f"task {task.get('name')}: intake drained ({gate} gate)")
+
+
 def run_score(ctx: TaskContext, task: dict) -> None:
     """Score task (beyond the reference): stamp every source row with
     the heuristic quality score (functions/text.quality_score — the
@@ -1195,6 +1276,7 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "sample": run_sample,
     "score": run_score,
     "decontaminate": run_decontaminate,
+    "intake": run_intake,
 }
 
 # Beyond the reference's seven ETL shapes: the full source×sink matrix

@@ -139,6 +139,22 @@ def test_quantile_normalize_nulls_do_not_distort_and_names_guarded(spark):
         quantile_normalize_map(base, "grp", "grp")
 
 
+def test_retrieval_ndcg_mrr_bounds_and_self_consistency(spark, sf_dir):
+    """nDCG@10 must sit in [0, 1] for every query, reciprocal rank in
+    {0} ∪ [1/10, 1], plus the sanity floor that the 1-bit pass agrees
+    with exact cosine on a reasonable share of queries (it is a real
+    first-pass, not noise)."""
+    rows = QUERIES["retrieval_ndcg_mrr"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ndcg_10"] <= 1.0 + 1e-12, r
+        assert r["reciprocal_rank"] == 0.0 or (
+            1.0 / 10 - 1e-12 <= r["reciprocal_rank"] <= 1.0
+        ), r
+    mean_ndcg = sum(r["ndcg_10"] for r in rows) / len(rows)
+    assert mean_ndcg > 0.2, mean_ndcg  # 64 sign bits carry real signal
+
+
 def test_quantile_normalize_localize_rollup_cap_enforced(spark):
     """An unrounded score column makes the counts rollup corpus-sized;
     the localize path must refuse to collect it, loudly, BEFORE the

@@ -542,6 +542,9 @@ _EXPECTED_FLAGS = {
     # brute 1-bit first-pass: tiny probe set broadcast against the
     # packed corpus (the ann_cosine_topk shape, 16 bytes/vector)
     "ann_hamming_topk": {"bnlj"},
+    # both rankings are the broadcast-probe shape (tiny query set
+    # against the corpus scan), the eval join is |queries|·k rows
+    "retrieval_ndcg_mrr": {"bnlj"},
 }
 
 

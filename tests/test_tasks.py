@@ -1075,6 +1075,86 @@ def test_dedup_task_winnowing_incremental_across_runs(spark, workdir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_intake_task_incremental_quality_and_decontaminate_gates(
+    spark, workdir
+):
+    """'intake' task: the streaming gates driven from a task file.
+    Run 1 drains the folder through the quality gate (reject routed
+    with a reason); run 2 of the SAME task only processes the file
+    that landed in between (availableNow + checkpoint = incremental
+    scheduled intake). A decontaminate-gate task quarantines the
+    bench-overlapping doc."""
+    drops = workdir / "input" / "drops"
+    drops.mkdir()
+    good = "data pipelines shuffle partition join merge sort scan today fine"
+    (drops / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": good, "lang": "en", "source": "s1"})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": "ok", "lang": "en", "source": "s1"})
+    )
+    task = {
+        "name": "iq",
+        "type": "intake",
+        "gate": "quality",
+        "source": {"folder": str(drops)},
+        "target": {"file": "accepted"},
+        "quarantine": {"file": "rejected"},
+    }
+    run_tasks(spark, workdir, {"tasks": [task]})
+    acc1 = spark.read.parquet(str(workdir / "output" / "accepted"))
+    rej1 = spark.read.parquet(str(workdir / "output" / "rejected"))
+    assert {r["doc_id"] for r in acc1.collect()} == {1}
+    rej_rows = rej1.collect()
+    assert [r["doc_id"] for r in rej_rows] == [2]
+    assert rej_rows[0]["reject_reason"] == "too_short"
+
+    # a new drop lands; re-running the same task file processes ONLY it
+    (drops / "b.jsonl").write_text(
+        json.dumps({"doc_id": 3, "text": good + " again with more words",
+                    "lang": "en", "source": "s2"})
+    )
+    run_tasks(spark, workdir, {"tasks": [task]})
+    acc2 = spark.read.parquet(str(workdir / "output" / "accepted"))
+    assert {r["doc_id"] for r in acc2.collect()} == {1, 3}
+
+    # decontaminate gate from a task file
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    d2 = workdir / "input" / "drops2"
+    d2.mkdir()
+    (d2 / "a.jsonl").write_text(
+        json.dumps({"doc_id": 10, "text": f"intro {leak} outro",
+                    "lang": "en", "source": "s1"})
+        + "\n"
+        + json.dumps({"doc_id": 11, "text": good, "lang": "en",
+                      "source": "s1"})
+    )
+    with open(workdir / "input" / "bench.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"bid": 9, "text": f"pre {leak} post"}) + "\n")
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "id",
+                    "type": "intake",
+                    "gate": "decontaminate",
+                    "source": {"folder": str(d2)},
+                    "bench": {"kind": "json", "file": "bench.json",
+                              "schema": "bid BIGINT, text STRING"},
+                    "target": {"file": "clean"},
+                    "quarantine": {"file": "leaked"},
+                }
+            ]
+        },
+    )
+    clean = spark.read.parquet(str(workdir / "output" / "clean"))
+    leaked = spark.read.parquet(str(workdir / "output" / "leaked")).collect()
+    assert {r["doc_id"] for r in clean.collect()} == {11}
+    assert [r["doc_id"] for r in leaked] == [10]
+    assert leaked[0]["n_contaminated_grams"] >= 1
+
+
 def test_download_task_fetches_over_real_http(spark, workdir):
     """'download' task against a loopback http.server: a REAL GET
     (params serialized onto the query string, headers sent) lands the
