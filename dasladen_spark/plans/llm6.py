@@ -298,9 +298,61 @@ def ann_pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- BPE vocabulary induction
 
 
-@query("text_bpe_learn_merges")  # iterative algorithm — rows-only;
-# tests/test_operators.py::test_bpe_matches_local_reference proves the
-# merge list equals the pure-Python Sennrich reference
+# BPE oracle: merge learning is INTEGER-only (pair-frequency sums,
+# lexicographic tie-breaks), so the 12 rounds unroll into a generated
+# CTE chain — pair count → argmax winner → fold-based rewrite per
+# round (MATERIALIZED against DuckDB's exponential CTE inlining).
+# The rewrite fold is provably equivalent to the operator's
+# left-to-right non-overlapping walk: a freshly-merged symbol equals
+# left||right and right is non-empty, so it can never re-match as
+# `left` within the same round — exactly the i+=2 skip.
+_BPE_N = 12
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ), wf AS MATERIALIZED (
+      SELECT word, COUNT(*) AS freq FROM tok GROUP BY word
+    ), w0 AS MATERIALIZED (
+      SELECT list_transform(generate_series(1, length(word)),
+                            i -> word[i:i]) AS s, freq
+      FROM wf
+    )"""
+    ]
+    for r in range(1, _BPE_N + 1):
+        parts.append(f""", p{r} AS MATERIALIZED (
+      SELECT s[i] AS l, s[i+1] AS r2, SUM(freq) AS n
+      FROM (SELECT s, freq, unnest(generate_series(1, len(s) - 1)) AS i
+            FROM w{r - 1} WHERE len(s) >= 2)
+      GROUP BY 1, 2
+    ), win{r} AS MATERIALIZED (
+      SELECT l, r2, n FROM p{r} ORDER BY n DESC, l, r2 LIMIT 1
+    ), w{r} AS MATERIALIZED (
+      SELECT freq, list_reduce(
+        list_prepend(CAST([] AS VARCHAR[]), list_transform(s, x -> [x])),
+        (acc, b) -> CASE WHEN len(acc) > 0 AND acc[-1] = win.l
+                              AND b[1] = win.r2
+                    THEN list_append(acc[1:len(acc)-1], win.l || win.r2)
+                    ELSE list_concat(acc, b) END) AS s
+      FROM w{r - 1}, win{r} win
+    )""")
+    parts.append(
+        "\n    "
+        + " UNION ALL ".join(
+            f'SELECT {r} AS merge_rank, l AS "left", r2 AS "right",'
+            f" CAST(n AS BIGINT) AS pair_freq FROM win{r}"
+            for r in range(1, _BPE_N + 1)
+        )
+        + " ORDER BY merge_rank"
+    )
+    return "".join(parts)
+
+
+@query("text_bpe_learn_merges", oracle=_bpe_oracle())
 def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training: learn the top-12 BPE merges from corpus
     word frequencies (operators/bpe). The corpus collapses to the
@@ -309,7 +361,7 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dasladen_spark.operators.bpe import learn_bpe_merges, word_freq_table
 
     words = word_freq_table(_t(spark, sf_dir, "documents"))
-    merges = learn_bpe_merges(words, n_merges=12)
+    merges = learn_bpe_merges(words, n_merges=_BPE_N)
     return spark.createDataFrame(
         [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
         "merge_rank INT, left STRING, right STRING, pair_freq BIGINT",
