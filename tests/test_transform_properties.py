@@ -237,3 +237,67 @@ def test_merge_intervals_matches_python_reference(spark, intervals):
                 cur_e = max(cur_e, e)
         want.add((k, cur_s, cur_e))
     assert got == want
+
+
+# ------------------------------- duplicated_spans differential parity
+
+TOK = st.sampled_from(["aa", "bb", "cc", "dd"])  # tiny alphabet → many repeats
+
+
+def _brute_spans(texts: dict, seed_n: int, min_span: int) -> set:
+    """All maximal equal-token runs ≥ max(seed_n, min_span) per doc
+    pair per alignment — the quadratic reference for the seed-chain
+    operator."""
+    out = set()
+    ids = sorted(texts)
+    floor_len = max(seed_n, min_span)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = texts[ids[x]].split(" "), texts[ids[y]].split(" ")
+            for d in range(-(len(b) - 1), len(a)):
+                run, start = 0, None
+                for i in range(max(0, d), len(a) + 1):
+                    j = i - d
+                    ok = i < len(a) and 0 <= j < len(b) and a[i] == b[j]
+                    if ok:
+                        if run == 0:
+                            start = i
+                        run += 1
+                    else:
+                        if run >= floor_len:
+                            out.add(
+                                (ids[x], ids[y], start + 1, start - d + 1, run)
+                            )
+                        run = 0
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(TOK, min_size=1, max_size=24), min_size=2, max_size=4
+    )
+)
+def test_duplicated_spans_match_quadratic_reference(spark, docs):
+    """The seed-hash diagonal-chaining operator must report EXACTLY
+    the maximal shared token runs a brute-force all-alignments scan
+    finds — same pairs, same 1-based positions, same lengths — on
+    adversarial inputs (tiny alphabet → heavy repeats, runs that
+    touch document edges, multiple diagonals per pair)."""
+    from dasladen_spark.operators.dedup import duplicated_spans
+
+    texts = {i: " ".join(toks) for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id int, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["a_start"], r["b_start"], r["span_tokens"])
+        for r in duplicated_spans(
+            df, seed_n=3, min_span=4, max_df=10_000
+        ).collect()
+    }
+    assert got == _brute_spans(texts, seed_n=3, min_span=4)
