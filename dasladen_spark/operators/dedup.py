@@ -652,18 +652,24 @@ def duplicated_spans(
             F.col(id_col).alias("id"), (F.col("_p0") + 1).alias("pos"), "h"
         )
     )
-    # one shuffle on the seed hash: the member list carries both the
-    # >= 2 occurrence requirement and the max_df hub cap, and the i<j
-    # expansion runs where the members already are — the seeding
-    # projection executes exactly once
-    members = (
-        seeds.groupBy("h")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("id"), F.col("pos")))
-            ).alias("ms")
-        )
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_df))
+    # one shuffle on the seed hash, ONE seeding pass, and — the part
+    # that matters at 100 TB — the hub cap applies BEFORE any member
+    # list materializes: a window count over h is spill-safe for
+    # arbitrarily hot seeds (corpus boilerplate 8-grams can post
+    # millions of times), whereas collect_list-then-filter would
+    # buffer the whole hot posting list in one task. The groupBy that
+    # follows shares the window's hash partitioning, so no second
+    # exchange of the seed stream.
+    w_df = Window.partitionBy("h")
+    capped = (
+        seeds.withColumn("_df", F.count(F.lit(1)).over(w_df))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .drop("_df")
+    )
+    members = capped.groupBy("h").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("id"), F.col("pos")))
+        ).alias("ms")
     )
     left = members.select("ms", F.posexplode(F.col("ms")).alias("i", "a"))
     m = (
