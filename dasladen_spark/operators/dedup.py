@@ -50,44 +50,66 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df
 
 
+MAX_BUCKET = 256  #: all-pairs bound per LSH bucket; larger → star pairs
+
+
 def _bucket_pairs(
-    exploded: DataFrame, bucket_cols: list[str], payload_col: str
+    exploded: DataFrame,
+    bucket_cols: list[str],
+    payload_col: str,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
-    """(id, <payload>, bucket...) → all i<j member pairs per bucket:
+    """(id, <payload>, bucket...) → member pairs per bucket:
     (id_a, id_b, payload_a, payload_b).
 
     One hash shuffle on the bucket key; pairs are generated in place
     with codegen-friendly array ops, so upstream per-row signatures
-    are computed exactly once. Buckets are tiny by construction
-    (that's the point of LSH banding); a pathological hot bucket is a
-    parameter-tuning problem (more bands / longer bucket keys), the
-    same knob as in the join formulation.
-    """
+    are computed exactly once. Buckets up to ``max_bucket`` emit all
+    i<j pairs; LARGER buckets emit STAR pairs (lowest id vs every
+    other member) — a bucket that big is a near-duplicate cluster
+    (identical signature slices), and the star keeps it CONNECTED for
+    the downstream connected-components survivor pass while bounding
+    fan-out linearly, where all-pairs would go quadratic on corpus
+    boilerplate (a million empty docs share every band). Both engines
+    replay the same rule (the DuckDB oracles join the bucket-size
+    table and keep a pair iff cnt ≤ max_bucket OR id_a is the bucket
+    minimum)."""
+    # bucket size + min member come from WINDOW aggregates (spill-safe
+    # for arbitrarily hot buckets); only ≤ max_bucket buckets ever
+    # reach collect_list, so no task buffers an unbounded member list
+    w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
+    sized = exploded.withColumn("_cnt", F.count(F.lit(1)).over(w)).withColumn(
+        "_mn", F.min(F.struct(F.col("id"), F.col(payload_col))).over(w)
+    )
     members = (
-        exploded.groupBy(*[F.col(c) for c in bucket_cols])
+        sized.filter((F.col("_cnt") > 1) & (F.col("_cnt") <= max_bucket))
+        .groupBy(*[F.col(c) for c in bucket_cols])
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("id"), F.col(payload_col)))
             ).alias("ms")
         )
-        .filter(F.size("ms") > 1)
     )
     # two chained Generates (posexplode a, then explode the tail for
     # b) rather than one giant nested-lambda pair expression — same
     # result, far smaller codegen units
-    left = members.select(
-        "ms", F.posexplode(F.col("ms")).alias("i", "a")
-    )
-    return left.select(
-        F.col("a")["id"].alias("id_a"),
-        F.col("a")[payload_col].alias(f"{payload_col}_a"),
+    left = members.select("ms", F.posexplode(F.col("ms")).alias("i", "a"))
+    full_pairs = left.select(
+        F.col("a").alias("a"),
         F.explode(
             F.slice(F.col("ms"), F.col("i") + 2, F.size(F.col("ms")))
         ).alias("b"),
+    )
+    star_pairs = sized.filter(
+        (F.col("_cnt") > max_bucket) & (F.col("id") != F.col("_mn")["id"])
     ).select(
-        "id_a",
+        F.col("_mn").alias("a"),
+        F.struct(F.col("id"), F.col(payload_col)).alias("b"),
+    )
+    return full_pairs.unionByName(star_pairs).select(
+        F.col("a")["id"].alias("id_a"),
         F.col("b")["id"].alias("id_b"),
-        f"{payload_col}_a",
+        F.col("a")[payload_col].alias(f"{payload_col}_a"),
         F.col("b")[payload_col].alias(f"{payload_col}_b"),
     )
 
@@ -327,7 +349,11 @@ def simhash_pairs(
     chunk-value) buckets — a key shuffle, not a cross join. At larger
     ``max_hamming`` the semantics are DEFINED as banded-candidates ∩
     Hamming filter (the standard recall/cost trade), and the oracle
-    mirrors exactly that."""
+    mirrors exactly that. Buckets beyond MAX_BUCKET degrade to star
+    pairs (see _bucket_pairs) — the pigeonhole completeness guarantee
+    therefore holds among buckets up to that size; a hotter bucket is
+    boilerplate-grade duplication where bounded fan-out matters more
+    than the exhaustive pair list."""
     fps = simhash(df, text_col, id_col)
     chunk = F.transform(
         F.sequence(F.lit(0), F.lit(3)),

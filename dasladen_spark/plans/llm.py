@@ -27,6 +27,7 @@ from dasladen_spark.functions.text import (
     token_count,
 )
 from dasladen_spark.operators.dedup import (
+    MAX_BUCKET as _MAX_BUCKET,
     _hash_coeffs as _mh_coeffs,
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
@@ -116,10 +117,15 @@ _MH_CTE = f"""base AS (
       SELECT doc_id, sig, band,
              array_to_string(sig[band*4+1 : band*4+4], '-') AS bucket
       FROM s, (SELECT unnest(generate_series(0, 15)) AS band)
+    ), bsz AS (
+      SELECT band, bucket, COUNT(*) AS cnt, MIN(doc_id) AS mn
+      FROM bands GROUP BY band, bucket
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      JOIN bsz z ON z.band = a.band AND z.bucket = a.bucket
+      WHERE z.cnt <= {_MAX_BUCKET} OR a.doc_id = z.mn
     ), scored AS (
       SELECT c.id_a, c.id_b,
              CAST(len(list_filter(generate_series(1, 64),
@@ -188,10 +194,15 @@ _SH_FP = " + ".join(f"CAST(v{k} > 0 AS BIGINT) * {1 << k}" for k in range(60))
     ), ch AS (
       SELECT doc_id, fp, ci, (fp >> (ci * 15)) & 32767 AS cv
       FROM fp, (SELECT unnest(generate_series(0, 3)) AS ci)
+    ), csz AS (
+      SELECT ci, cv, COUNT(*) AS cnt, MIN(doc_id) AS mn
+      FROM ch GROUP BY ci, cv
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM ch a JOIN ch b
         ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+      JOIN csz z ON z.ci = a.ci AND z.cv = a.cv
+      WHERE z.cnt <= {_MAX_BUCKET} OR a.doc_id = z.mn
     )
     SELECT c.id_a, c.id_b,
            CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming

@@ -89,6 +89,27 @@ def test_simhash_identical_and_distance(spark):
     assert got[(1, 4)] == 0
 
 
+def test_lsh_mega_bucket_emits_star_pairs_not_quadratic(spark):
+    """A bucket larger than MAX_BUCKET (identical docs, so every band
+    bucket holds all of them) must emit STAR pairs — lowest id vs
+    each other member, n-1 pairs — not the quadratic all-pairs
+    expansion, while keeping the cluster fully connected for the
+    survivor pass."""
+    from dasladen_spark.operators.dedup import MAX_BUCKET, minhash_lsh_pairs
+
+    n = MAX_BUCKET + 20
+    df = spark.createDataFrame(
+        [(i, "the very same boilerplate document text repeated verbatim")
+         for i in range(n)],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert pairs == {(0, i) for i in range(1, n)}
+
+
 def test_duplicated_spans_maximal_and_content_hashed(spark):
     """Two distinct shared runs in one doc pair must surface as two
     separate maximal spans (no merging across the gap), each with the
