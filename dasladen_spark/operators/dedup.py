@@ -53,11 +53,27 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
 MAX_BUCKET = 256  #: all-pairs bound per LSH bucket; larger → star pairs
 
 
+def _expand_sorted_members(members: DataFrame, payload_col: str) -> DataFrame:
+    """``ms`` (sorted array<struct<id, payload>>) → one row per i<j
+    member pair as ``a``/``b`` structs. Two chained Generates
+    (posexplode a, then explode the tail for b) rather than one giant
+    nested-lambda pair expression — same result, far smaller codegen
+    units. Shared by the LSH bucket pairing and the duplicated-spans
+    seed pairing so the expansion idiom lives once."""
+    left = members.select("ms", F.posexplode(F.col("ms")).alias("i", "a"))
+    return left.select(
+        F.col("a").alias("a"),
+        F.explode(
+            F.slice(F.col("ms"), F.col("i") + 2, F.size(F.col("ms")))
+        ).alias("b"),
+    )
+
+
 def _bucket_pairs(
     exploded: DataFrame,
     bucket_cols: list[str],
     payload_col: str,
-    max_bucket: int = MAX_BUCKET,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """(id, <payload>, bucket...) → member pairs per bucket:
     (id_a, id_b, payload_a, payload_b).
@@ -66,47 +82,63 @@ def _bucket_pairs(
     with codegen-friendly array ops, so upstream per-row signatures
     are computed exactly once. Buckets up to ``max_bucket`` emit all
     i<j pairs; LARGER buckets emit STAR pairs (lowest id vs every
-    other member) — a bucket that big is a near-duplicate cluster
-    (identical signature slices), and the star keeps it CONNECTED for
-    the downstream connected-components survivor pass while bounding
-    fan-out linearly, where all-pairs would go quadratic on corpus
+    other member) — for SIGNATURE buckets (MinHash band slices,
+    SimHash chunks) a bucket that big is a near-duplicate cluster,
+    and the star keeps it CONNECTED for the downstream
+    connected-components survivor pass while bounding fan-out
+    linearly, where all-pairs would go quadratic on corpus
     boilerplate (a million empty docs share every band). Both engines
     replay the same rule (the DuckDB oracles join the bucket-size
     table and keep a pair iff cnt ≤ max_bucket OR id_a is the bucket
-    minimum)."""
-    # bucket size + min member come from WINDOW aggregates (spill-safe
-    # for arbitrarily hot buckets); only ≤ max_bucket buckets ever
-    # reach collect_list, so no task buffers an unbounded member list
-    w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
-    sized = exploded.withColumn("_cnt", F.count(F.lit(1)).over(w)).withColumn(
-        "_mn", F.min(F.struct(F.col("id"), F.col(payload_col))).over(w)
-    )
-    members = (
-        sized.filter((F.col("_cnt") > 1) & (F.col("_cnt") <= max_bucket))
-        .groupBy(*[F.col(c) for c in bucket_cols])
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("id"), F.col(payload_col)))
-            ).alias("ms")
+    minimum).
+
+    ``max_bucket=None`` disables the star degrade (plain all-pairs
+    per bucket). Callers whose bucket key does NOT imply similarity —
+    hyperplane hash buckets, where the hub member may fail the exact
+    re-check that follows while spoke pairs would pass — must opt
+    out: for them a hot bucket is a hash-width tuning problem
+    (more tables / more bits), not a duplicate cluster."""
+    if max_bucket is None:
+        members = (
+            exploded.groupBy(*[F.col(c) for c in bucket_cols])
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("id"), F.col(payload_col)))
+                ).alias("ms")
+            )
+            .filter(F.size("ms") > 1)
         )
-    )
-    # two chained Generates (posexplode a, then explode the tail for
-    # b) rather than one giant nested-lambda pair expression — same
-    # result, far smaller codegen units
-    left = members.select("ms", F.posexplode(F.col("ms")).alias("i", "a"))
-    full_pairs = left.select(
-        F.col("a").alias("a"),
-        F.explode(
-            F.slice(F.col("ms"), F.col("i") + 2, F.size(F.col("ms")))
-        ).alias("b"),
-    )
-    star_pairs = sized.filter(
-        (F.col("_cnt") > max_bucket) & (F.col("id") != F.col("_mn")["id"])
-    ).select(
-        F.col("_mn").alias("a"),
-        F.struct(F.col("id"), F.col(payload_col)).alias("b"),
-    )
-    return full_pairs.unionByName(star_pairs).select(
+        pairs = _expand_sorted_members(members, payload_col)
+    else:
+        # bucket size + min member come from WINDOW aggregates
+        # (spill-safe for arbitrarily hot buckets); only ≤ max_bucket
+        # buckets ever reach collect_list, so no task buffers an
+        # unbounded member list
+        w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
+        sized = exploded.withColumn(
+            "_cnt", F.count(F.lit(1)).over(w)
+        ).withColumn(
+            "_mn", F.min(F.struct(F.col("id"), F.col(payload_col))).over(w)
+        )
+        members = (
+            sized.filter((F.col("_cnt") > 1) & (F.col("_cnt") <= max_bucket))
+            .groupBy(*[F.col(c) for c in bucket_cols])
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("id"), F.col(payload_col)))
+                ).alias("ms")
+            )
+        )
+        star_pairs = sized.filter(
+            (F.col("_cnt") > max_bucket) & (F.col("id") != F.col("_mn")["id"])
+        ).select(
+            F.col("_mn").alias("a"),
+            F.struct(F.col("id"), F.col(payload_col)).alias("b"),
+        )
+        pairs = _expand_sorted_members(members, payload_col).unionByName(
+            star_pairs
+        )
+    return pairs.select(
         F.col("a")["id"].alias("id_a"),
         F.col("b")["id"].alias("id_b"),
         F.col("a")[payload_col].alias(f"{payload_col}_a"),
@@ -697,18 +729,11 @@ def duplicated_spans(
             F.collect_list(F.struct(F.col("id"), F.col("pos")))
         ).alias("ms")
     )
-    left = members.select("ms", F.posexplode(F.col("ms")).alias("i", "a"))
     m = (
-        left.select(
+        _expand_sorted_members(members, "pos")
+        .select(
             F.col("a")["id"].alias("doc_a"),
             F.col("a")["pos"].alias("pa"),
-            F.explode(
-                F.slice(F.col("ms"), F.col("i") + 2, F.size(F.col("ms")))
-            ).alias("b"),
-        )
-        .select(
-            "doc_a",
-            "pa",
             F.col("b")["id"].alias("doc_b"),
             F.col("b")["pos"].alias("pb"),
         )
@@ -901,9 +926,14 @@ def embedding_near_dup_pairs(
     exploded = _spread(base, "id").select(
         "id", "vec", F.posexplode(bucket_udf(F.col("vec"))).alias("t", "bkt")
     )
-    cand = _bucket_pairs(exploded, ["t", "bkt"], "vec").dropDuplicates(
-        ["id_a", "id_b"]
-    )
+    # max_bucket=None: hyperplane buckets do NOT imply similarity, so
+    # the star degrade would drop true pairs whose spokes fail the
+    # hub's cosine re-check — hot buckets here are a num_tables /
+    # bits_per_table tuning problem, and the downstream exact
+    # re-check bounds what a hot bucket can emit
+    cand = _bucket_pairs(
+        exploded, ["t", "bkt"], "vec", max_bucket=None
+    ).dropDuplicates(["id_a", "id_b"])
     return cand.select(
         "id_a",
         "id_b",

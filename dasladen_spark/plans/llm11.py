@@ -43,10 +43,10 @@ def pack_signs(arr: F.Column) -> F.Column:
     )
 
 
-@query(
-    "ann_hamming_topk",
-    oracle=f"""
-    WITH p AS (
+#: shared SQL: packed corpus (p) + packed probe set (q) — reused by
+#: ann_hamming_topk and the retrieval_ndcg_mrr eval so the system
+#: being evaluated is the system being served, by construction
+_PACKED_SQL = f"""p AS (
       SELECT vec_id,
              {_pack_sql(f"embedding[1:{_HALF}]")} AS h1,
              {_pack_sql(f"embedding[{_HALF + 1}:{2 * _HALF}]")} AS h2
@@ -54,7 +54,48 @@ def pack_signs(arr: F.Column) -> F.Column:
     ), q AS (
       SELECT vec_id AS query_id, h1 AS q1, h2 AS q2 FROM p
       WHERE vec_id < 100
-    ), j AS (
+    )"""
+
+
+def hamming_ranked(e: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, hamming, rk ≤ k): the 1-bit sign-pack
+    + broadcast-probe + XOR/popcount ranking, ONE implementation for
+    the serving query (ann_hamming_topk) and its eval
+    (retrieval_ndcg_mrr) — a packing or tie-break change cannot
+    silently diverge the two."""
+    p = e.select(
+        "vec_id",
+        pack_signs(F.slice("embedding", 1, _HALF)).alias("h1"),
+        pack_signs(F.slice("embedding", _HALF + 1, _HALF)).alias("h2"),
+    )
+    q = p.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("h1").alias("q1"),
+        F.col("h2").alias("q2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        p.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("h1").bitwiseXOR(F.col("q1")))
+                + F.bit_count(F.col("h2").bitwiseXOR(F.col("q2")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+@query(
+    "ann_hamming_topk",
+    oracle=f"""
+    WITH {_PACKED_SQL}, j AS (
       SELECT q.query_id, p.vec_id AS neighbor_id,
              CAST(bit_count(xor(p.h1, q.q1))
                   + bit_count(xor(p.h2, q.q2)) AS INT) AS hamming
@@ -84,35 +125,14 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts (the ann_cosine_topk shape) — per-partition top-k
     keeps the shuffle at |queries|·k rows. Integer-only ranking: no
     rounding exists anywhere, so the oracle match is exact by
-    construction."""
+    construction. Ranking comes from :func:`hamming_ranked` — the
+    same code retrieval_ndcg_mrr evaluates."""
     e = _t(spark, sf_dir, "embeddings")
-    p = e.select(
-        "vec_id",
-        pack_signs(F.slice("embedding", 1, _HALF)).alias("h1"),
-        pack_signs(F.slice("embedding", _HALF + 1, _HALF)).alias("h2"),
-    )
-    q = p.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("h1").alias("q1"),
-        F.col("h2").alias("q2"),
-    )
-    j = p.crossJoin(F.broadcast(q)).filter(
-        F.col("vec_id") != F.col("query_id")
-    ).select(
+    return hamming_ranked(e, 5).select(
         "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (
-            F.bit_count(F.col("h1").bitwiseXOR(F.col("q1")))
-            + F.bit_count(F.col("h2").bitwiseXOR(F.col("q2")))
-        )
-        .cast("int")
-        .alias("hamming"),
-    )
-    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
-    return (
-        j.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "hamming", "rank")
+        "neighbor_id",
+        "hamming",
+        F.col("rk").cast("int").alias("rank"),
     )
 
 
@@ -147,15 +167,7 @@ _DISC_SQL = "[" + ", ".join(f"CAST({d!r} AS DOUBLE)" for d in _DISC) + "]"
 @query(
     "retrieval_ndcg_mrr",
     oracle=f"""
-    WITH p AS (
-      SELECT vec_id,
-             {_pack_sql(f"embedding[1:{_HALF}]")} AS h1,
-             {_pack_sql(f"embedding[{_HALF + 1}:{2 * _HALF}]")} AS h2
-      FROM embeddings
-    ), q AS (
-      SELECT vec_id AS query_id, h1 AS q1, h2 AS q2 FROM p
-      WHERE vec_id < 100
-    ), sys AS (
+    WITH {_PACKED_SQL}, sys AS (
       SELECT query_id, neighbor_id, rk FROM (
         SELECT q.query_id, p.vec_id AS neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY q.query_id
@@ -210,31 +222,8 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dasladen_spark.operators.similarity import cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    p = e.select(
-        "vec_id",
-        pack_signs(F.slice("embedding", 1, _HALF)).alias("h1"),
-        pack_signs(F.slice("embedding", _HALF + 1, _HALF)).alias("h2"),
-    )
-    q = p.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("h1").alias("q1"),
-        F.col("h2").alias("q2"),
-    )
-    wsys = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
-    sys_rank = (
-        p.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                F.bit_count(F.col("h1").bitwiseXOR(F.col("q1")))
-                + F.bit_count(F.col("h2").bitwiseXOR(F.col("q2")))
-            ).alias("hamming"),
-        )
-        .withColumn("rk", F.row_number().over(wsys))
-        .filter(F.col("rk") <= _EVAL_K)
-        .select("query_id", "neighbor_id", "rk")
+    sys_rank = hamming_ranked(e, _EVAL_K).select(
+        "query_id", "neighbor_id", "rk"
     )
     truth = cosine_topk(
         e.filter(F.col("vec_id") < 100), e, k=_EVAL_K, exclude_self=True

@@ -74,6 +74,7 @@ def run_quality_gate(
     min_quality: float = 0.3,
     min_tokens: int = 5,
     available_now: bool = True,
+    text_col: str = "text",
 ):
     """Route a document stream through the quality gate exactly once:
     accepted rows land under ``accept_path``, rejects (with their
@@ -83,7 +84,10 @@ def run_quality_gate(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         scored = score_documents(
-            batch_df, min_quality=min_quality, min_tokens=min_tokens
+            batch_df,
+            text_col=text_col,
+            min_quality=min_quality,
+            min_tokens=min_tokens,
         ).persist()
         try:
             scored.filter("accept").drop(
@@ -145,7 +149,18 @@ def run_decontaminate_gate(
         scratch.append(bench_grams)
     bench_grams.count()  # materialize once, before the stream starts
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
+    def sink(raw_batch: DataFrame, batch_id: int) -> None:
+        # one materialization per micro-batch: the id guard, the gram
+        # join, and both routed writes would otherwise each re-read
+        # and re-parse the batch's input files (4 scans instead of 1
+        # — run_quality_gate's persist discipline)
+        batch_df = raw_batch.persist()
+        try:
+            _decon_batch(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _decon_batch(batch_df: DataFrame, batch_id: int) -> None:
         # the batch task's loud id guard, per micro-batch: a NULL id
         # would slip a contaminated doc past the anti-join into the
         # accept area (NULL never equals _did), and duplicate ids

@@ -1054,10 +1054,18 @@ def run_intake(ctx: TaskContext, task: dict) -> None:
         q.get("folder", q.get("path", ctx.output_path)),
         q.get("file", tgt["file"] + ".quarantine"),
     )
-    checkpoint = task.get(
-        "checkpoint", os.path.join(ctx.output_path, f"_ck_{task.get('name', 'intake')}")
-    )
     gate = task.get("gate", "quality")
+    # keyed on (name, gate, target): two intake tasks sharing an
+    # output area must not share a streaming checkpoint — the second
+    # would inherit the first's seen-files log and silently process
+    # nothing
+    checkpoint = task.get(
+        "checkpoint",
+        os.path.join(
+            ctx.output_path,
+            f"_ck_{task.get('name', 'intake')}_{gate}_{tgt['file']}",
+        ),
+    )
     scratch: list = []
     if gate == "quality":
         query = run_quality_gate(
@@ -1067,6 +1075,7 @@ def run_intake(ctx: TaskContext, task: dict) -> None:
             checkpoint,
             min_quality=float(task.get("min_quality", 0.3)),
             min_tokens=int(task.get("min_tokens", 5)),
+            text_col=task.get("text_field", "text"),
         )
     elif gate == "decontaminate":
         bench_src = task["bench"]
