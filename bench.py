@@ -173,11 +173,26 @@ def main() -> None:
         samples = []
         n = 0
         if name in warm_first:
-            t0 = time.time()
-            fn(spark, sf_dir).count()
+            # Adaptive warm: one rep pays the index/model build, but
+            # JIT tiering needs several executions of the SAME
+            # generated code before the big codegen units (the
+            # 64-column signature aggregate) run compiled — measured
+            # 16.5 → 9.8 → 6.2 → 4.7 → 2.7 s over five executions in a
+            # fresh JVM. Keep warming (bounded) until the improvement
+            # flattens below 20 %, so the timed reps measure the
+            # steady state that actually scales with data.
+            prev = float("inf")
+            warm_times = []
+            for _ in range(4):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                warm_times.append(round(dt, 3))
+                if dt > prev * 0.8:
+                    break
+                prev = dt
             print(
-                f"# {name}: untimed index/model warm rep "
-                f"({round(time.time() - t0, 3)}s)",
+                f"# {name}: untimed warm reps {warm_times}",
                 file=sys.stderr,
             )
         for _ in range(reps):

@@ -39,6 +39,60 @@ def bench_gram_set(
     )
 
 
+def semantic_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """(id, nearest_bench_id, max_cosine) for every training vector
+    whose embedding cosine to SOME benchmark vector ≥ ``threshold`` —
+    the paraphrase-contamination complement to the n-gram family
+    above (a reworded eval question shares no 8-gram but sits next to
+    the original in embedding space).
+
+    Scale shape: the benchmark side BROADCASTS (eval sets are
+    thousands of rows when the corpus is TBs); the corpus side scans
+    once through a BroadcastNestedLoopJoin and reduces to ONE row per
+    training vector via a partially-aggregated max — the shuffle
+    carries |train| rows of (id, struct), never the pair stream. The
+    cosine is the deterministic left-fold (functions/vectors), so the
+    flag replays bit-for-bit in the SQL oracle; the argmax tie-break
+    (cosine DESC, bench id ASC) is encoded as max over
+    struct(cosine, -bench_id)."""
+    from dasladen_spark.functions.vectors import cosine_sim
+
+    b = F.broadcast(
+        bench.select(
+            F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bv")
+        )
+    )
+    t = train.select(
+        F.col(id_col).alias("_tid"), F.col(vec_col).alias("_tv")
+    )
+    scored = t.crossJoin(b).select(
+        "_tid",
+        "_bid",
+        cosine_sim(F.col("_tv"), F.col("_bv")).alias("_cos"),
+    )
+    best = scored.groupBy("_tid").agg(
+        F.max(
+            F.struct(
+                F.col("_cos").alias("c"), (-F.col("_bid")).alias("nb")
+            )
+        ).alias("s")
+    )
+    return (
+        best.filter(F.col("s.c") >= F.lit(float(threshold)))
+        .select(
+            F.col("_tid").alias(id_col),
+            (-F.col("s.nb")).alias("nearest_bench_id"),
+            F.col("s.c").alias("max_cosine"),
+        )
+    )
+
+
 def contamination_hits(
     df: DataFrame,
     bench_grams: DataFrame,

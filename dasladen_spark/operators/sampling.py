@@ -210,3 +210,65 @@ def dsir_weights(
             ).alias("weight_per_token"),
         )
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center (Gonzalez) coreset selection: start from the
+    lowest-id vector, then ``k - 1`` times pick the vector FARTHEST
+    (squared euclidean) from every center chosen so far — the classic
+    2-approximation for data-pruning / eval-set picks that must cover
+    the embedding space rather than sample it.
+
+    Returns (pick_order, <id_col>, d2) — ``d2`` is the squared
+    distance from the pick to its nearest prior center (NULL for the
+    seed). Deterministic: ties break toward the smaller id.
+
+    Scale shape: inherently iterative, but each iteration is ONE full
+    corpus scan computing ≤ k JVM-side fold distances against
+    BROADCAST literal centers, reduced by a global top-1 — the only
+    driver traffic is k single-row collects (the same provably-bounded
+    pattern as the kmeans centroid updates). Total work O(k²·n) fold
+    steps with k tiny; callers at 100 TB should cache the projected
+    (id, vector) frame so the k scans hit memory, not the parquet.
+    The distance fold is the deterministic left-fold, so every pick —
+    hence the whole trajectory — replays bit-for-bit in the unrolled
+    SQL oracle (min over doubles is associative: the oracle's running
+    least() chain equals the operator's least-over-all-centers).
+    """
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    seed = e.orderBy("_id").limit(1).collect()[0]
+    picks = [(0, seed["_id"], None)]
+    center_vecs = [seed["_v"]]
+
+    def _d2_to(vec: list[float]) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        diff = F.zip_with(
+            F.col("_v"), lit, lambda x, y: (x - y) * (x - y)
+        )
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    for i in range(1, k):
+        d2 = _d2_to(center_vecs[0])
+        for c in center_vecs[1:]:
+            d2 = F.least(d2, _d2_to(c))
+        far = (
+            e.select("_id", "_v", d2.alias("_d2"))
+            .orderBy(F.desc("_d2"), F.asc("_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((i, far["_id"], far["_d2"]))
+        center_vecs.append(far["_v"])
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        picks, schema=f"pick_order int, {id_col} bigint, d2 double"
+    )

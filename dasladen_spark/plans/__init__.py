@@ -28,4 +28,5 @@ from dasladen_spark.plans import llm8  # noqa: F401,E402
 from dasladen_spark.plans import llm9  # noqa: F401,E402
 from dasladen_spark.plans import llm10  # noqa: F401,E402
 from dasladen_spark.plans import llm11  # noqa: F401,E402
+from dasladen_spark.plans import llm12  # noqa: F401,E402
 from dasladen_spark.plans import transforms_parity  # noqa: F401,E402

@@ -182,3 +182,83 @@ def test_quantile_normalize_localize_rollup_cap_enforced(spark):
         counts, "grp", "score", max_rollup_rows=100_000
     )
     assert ok.count() == 1000
+
+
+def test_semantic_contamination_matches_numpy_brute_force(spark, sf_dir):
+    """decontaminate_semantic vs a numpy dense cosine matrix: same
+    flagged set, same nearest-benchmark assignment, cosines equal to
+    1e-9 (numpy's pairwise/SIMD summation is allowed to differ from
+    the sequential fold in the last ulp, never more)."""
+    import numpy as np
+
+    res = (
+        QUERIES["decontaminate_semantic"](spark, sf_dir)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    mat = np.stack(emb.embedding.map(np.asarray)).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    bench = ids % 11 == 0
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat[~bench] @ mat[bench].T) / np.outer(
+        norms[~bench], norms[bench]
+    )
+    best = cos.max(axis=1)
+    nearest = ids[bench][cos.argmax(axis=1)]
+    flagged = {
+        int(i): (int(n), float(c))
+        for i, n, c in zip(ids[~bench], nearest, best)
+        if c >= 0.35
+    }
+    assert set(res.index) == set(flagged)
+    for vid, row in res.iterrows():
+        nb, mc = flagged[vid]
+        assert row.nearest_bench_id == nb
+        assert abs(row.max_cosine - mc) < 1e-9
+        assert row.max_cosine >= 0.35
+    # flagged rows are training rows only
+    assert all(v % 11 != 0 for v in res.index)
+
+
+def test_kcenter_coreset_matches_numpy_greedy(spark, sf_dir):
+    """sample_coreset_kcenter vs a numpy greedy reference (same seed
+    rule, same smaller-id tie-break): identical pick trajectory, and
+    the farthest-point distance sequence is non-increasing — the
+    defining property of greedy k-center."""
+    import numpy as np
+
+    res = (
+        QUERIES["sample_coreset_kcenter"](spark, sf_dir)
+        .toPandas()
+        .sort_values("pick_order")
+        .reset_index(drop=True)
+    )
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    mat = np.stack(emb.embedding.map(np.asarray)).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    picks = [0]  # row index of the lowest id (sorted)
+    d2 = ((mat - mat[0]) ** 2).sum(axis=1)
+    order = [int(ids[0])]
+    sel_d2 = [None]
+    for _ in range(1, 8):
+        far = int(np.argmax(d2))  # first max = smallest id on ties
+        order.append(int(ids[far]))
+        sel_d2.append(float(d2[far]))
+        d2 = np.minimum(d2, ((mat - mat[far]) ** 2).sum(axis=1))
+        picks.append(far)
+    assert list(res.vec_id) == order
+    assert res.d2.iloc[0] is None or pd.isna(res.d2.iloc[0])
+    got = res.d2.iloc[1:].to_numpy()
+    want = np.array(sel_d2[1:])
+    assert np.allclose(got, want, atol=1e-9)
+    # farthest-point distances are non-increasing
+    assert (np.diff(got) <= 1e-12).all()
+    # picks are distinct corpus members
+    assert res.vec_id.is_unique and set(res.vec_id) <= set(ids)
