@@ -116,6 +116,12 @@ HEADLINE = [
     # Hamming first pass vs exact cosine truth
     "dedup_duplicate_spans",
     "retrieval_ndcg_mrr",
+    # round 8b: embedding-space curation — paraphrase-robust
+    # decontamination (broadcast bench, per-vector aggregated max)
+    # and greedy k-center coreset selection (k corpus scans, k
+    # single-row collects)
+    "decontaminate_semantic",
+    "sample_coreset_kcenter",
 ]
 
 

@@ -53,3 +53,14 @@ def bounded_window_key(col: Column) -> Column:
     plan choice rather than an accident. Cast goes through long:
     works for any numeric input."""
     return F.coalesce(col.cast("long") % 1, F.lit(0))
+
+
+# NOTE: a "dot_fixed" unrolled 64-term element_at chain was tried as
+# a codegen'd replacement for the fold above and measured ~4× SLOWER
+# on a corpus×bench pair stream: the generated method is too large
+# for the JIT, so the whole stage runs as interpreted bytecode, while
+# Catalyst's lambda interpreter over primitive double arrays is
+# comparatively fast. If a pair-scoring stage needs more speed, the
+# wins that actually work are (a) fold each norm once per ROW and
+# carry it as a column (operators/decontaminate), and (b) filter on
+# the score BEFORE any non-hash aggregate.

@@ -60,36 +60,82 @@ def semantic_contamination(
     cosine is the deterministic left-fold (functions/vectors), so the
     flag replays bit-for-bit in the SQL oracle; the argmax tie-break
     (cosine DESC, bench id ASC) is encoded as max over
-    struct(cosine, -bench_id)."""
-    from dasladen_spark.functions.vectors import cosine_sim
+    struct(cosine, -bench_id).
+
+    The norms are computed ONCE per row and carried as columns —
+    naively calling cosine_sim per pair re-folds BOTH norms for
+    every pair, tripling the hot stage (measured 8.9 s → 2 s on the
+    sf0.1 pair stream). A norm reused from a row column has the same
+    bits as one recomputed per pair, so oracle parity is unaffected.
+    (A codegen'd fixed-width unrolled dot chain was tried and is
+    ~4× SLOWER than the interpreted fold here: a 64-term expression
+    tree generates a method too large for the JIT, so the whole
+    stage runs as interpreted bytecode. Don't resurrect it.)"""
+    from dasladen_spark.functions.vectors import dot, l2_norm
 
     b = F.broadcast(
         bench.select(
-            F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bv")
+            F.col(id_col).alias("_bid"),
+            F.col(vec_col).cast("array<double>").alias("_bv"),
+            l2_norm(F.col(vec_col)).alias("_bn"),
         )
     )
     t = train.select(
-        F.col(id_col).alias("_tid"), F.col(vec_col).alias("_tv")
+        F.col(id_col).alias("_tid"),
+        F.col(vec_col).cast("array<double>").alias("_tv"),
+        l2_norm(F.col(vec_col)).alias("_tn"),
     )
+    denom = F.col("_tn") * F.col("_bn")
     scored = t.crossJoin(b).select(
         "_tid",
         "_bid",
-        cosine_sim(F.col("_tv"), F.col("_bv")).alias("_cos"),
+        F.when(denom == 0.0, F.lit(0.0))
+        .otherwise(dot(F.col("_tv"), F.col("_bv")) / denom)
+        .alias("_cos"),
     )
-    best = scored.groupBy("_tid").agg(
-        F.max(
-            F.struct(
-                F.col("_cos").alias("c"), (-F.col("_bid")).alias("nb")
-            )
-        ).alias("s")
-    )
-    return (
-        best.filter(F.col("s.c") >= F.lit(float(threshold)))
-        .select(
-            F.col("_tid").alias(id_col),
-            (-F.col("s.nb")).alias("nearest_bench_id"),
-            F.col("s.c").alias("max_cosine"),
+    # threshold BEFORE the aggregate: max(struct) is not
+    # hash-aggregable (SortAggregate → a sort of the full pair
+    # stream); contaminated pairs are the rare case, and filtering
+    # first is lossless — a vector whose global max ≥ τ has its
+    # argmax pair in the ≥ τ subset, and one whose max < τ has no
+    # surviving pair at all. The expensive stage is then a pure
+    # codegen'd scan (chain dot + one compare), and the sort-agg
+    # runs on |contaminated pairs|, not |train|·|bench|.
+    best = (
+        scored.filter(F.col("_cos") >= F.lit(float(threshold)))
+        .groupBy("_tid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_cos").alias("c"), (-F.col("_bid")).alias("nb")
+                )
+            ).alias("s")
         )
+    )
+    return best.select(
+        F.col("_tid").alias(id_col),
+        (-F.col("s.nb")).alias("nearest_bench_id"),
+        F.col("s.c").alias("max_cosine"),
+    )
+
+
+def semantic_hits(
+    df: DataFrame,
+    bench_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """``contamination_hits``'s embedding-space sibling, in the same
+    anti-join contract: (_did, nearest_bench_id, max_cosine) for
+    every doc whose vector sits within ``threshold`` cosine of some
+    benchmark vector. Shared by the batch ``decontaminate`` task
+    (method: semantic) and the streaming intake gate so both drop
+    exactly the same docs."""
+    return semantic_contamination(
+        df, bench_df, vec_col=vec_col, id_col=id_col, threshold=threshold
+    ).select(
+        F.col(id_col).alias("_did"), "nearest_bench_id", "max_cosine"
     )
 
 

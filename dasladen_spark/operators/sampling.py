@@ -249,6 +249,13 @@ def kcenter_coreset(
     center_vecs = [seed["_v"]]
 
     def _d2_to(vec: list[float]) -> Column:
+        # interpreted HOF fold ON PURPOSE: every iteration is a NEW
+        # plan (fresh center literals), so a codegen'd fixed-width
+        # chain would pay a full generate+compile+JIT cycle k times
+        # for one tiny scan each (measured 3.2 s → 14 s at sf0.1);
+        # the interpreter evaluates a per-iteration expression
+        # immediately (and an unrolled chain doesn't JIT anyway —
+        # see the note in functions/vectors).
         lit = F.array(*[F.lit(float(x)) for x in vec])
         diff = F.zip_with(
             F.col("_v"), lit, lambda x, y: (x - y) * (x - y)

@@ -119,6 +119,9 @@ def run_decontaminate_gate(
     min_hits: int = 1,
     available_now: bool = True,
     scratch: list | None = None,
+    method: str = "ngrams",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
 ):
     """Benchmark decontamination at INGESTION: documents sharing at
     least ``min_hits`` distinct word n-grams with the (static)
@@ -133,8 +136,12 @@ def run_decontaminate_gate(
     (benchmark-sized), and broadcast into every micro-batch join;
     per-batch cost is the batch's own grams filtered by that
     broadcast — benchmark-bounded, the at-scale shape. Quarantined
-    rows carry ``n_contaminated_grams`` (the audit trail); writes are
-    batch-id partitioned overwrites (idempotent restart), same
+    rows carry ``n_contaminated_grams`` (the audit trail).
+    ``method="semantic"`` switches both sides to embedding vectors
+    (``vec_col``/``threshold`` — the batch task's method: semantic),
+    quarantining docs within ``threshold`` cosine of some benchmark
+    vector, with (nearest_bench_id, max_cosine) as the audit columns.
+    Writes are batch-id partitioned overwrites (idempotent restart), same
     exactly-once contract as run_quality_gate. Long-lived callers
     should pass a ``scratch`` list and unpersist its entries after
     the query stops (the winnowing_pairs convention) — the persisted
@@ -142,12 +149,27 @@ def run_decontaminate_gate(
     from dasladen_spark.operators.decontaminate import (
         bench_gram_set,
         contamination_hits,
+        semantic_hits,
     )
 
-    bench_grams = bench_gram_set(bench_df, text_col=text_col, n=ngram).persist()
+    if method not in ("ngrams", "semantic"):
+        raise ValueError(
+            f"decontaminate gate: unknown method {method!r}"
+            " (expected 'ngrams' or 'semantic')"
+        )
+    if method == "semantic":
+        # benchmark VECTORS are the broadcast side (method: semantic
+        # of the batch task — paraphrase-robust embedding matching)
+        bench_side = bench_df.select(
+            F.col(id_col), F.col(vec_col)
+        ).persist()
+    else:
+        bench_side = bench_gram_set(
+            bench_df, text_col=text_col, n=ngram
+        ).persist()
     if scratch is not None:
-        scratch.append(bench_grams)
-    bench_grams.count()  # materialize once, before the stream starts
+        scratch.append(bench_side)
+    bench_side.count()  # materialize once, before the stream starts
 
     def sink(raw_batch: DataFrame, batch_id: int) -> None:
         # one materialization per micro-batch: the id guard, the gram
@@ -180,14 +202,23 @@ def run_decontaminate_gate(
                 f" {stats.n_distinct} distinct) — a NULL or duplicated"
                 " id would silently leak or over-drop documents"
             )
-        hits = contamination_hits(
-            batch_df,
-            bench_grams,
-            text_col=text_col,
-            id_col=id_col,
-            n=ngram,
-            min_hits=min_hits,
-        ).persist()
+        if method == "semantic":
+            hits = semantic_hits(
+                batch_df,
+                bench_side,
+                vec_col=vec_col,
+                id_col=id_col,
+                threshold=threshold,
+            ).persist()
+        else:
+            hits = contamination_hits(
+                batch_df,
+                bench_side,
+                text_col=text_col,
+                id_col=id_col,
+                n=ngram,
+                min_hits=min_hits,
+            ).persist()
         try:
             clean = batch_df.join(
                 hits, batch_df[id_col] == hits["_did"], "left_anti"

@@ -932,6 +932,12 @@ def run_decontaminate(ctx: TaskContext, task: dict) -> None:
     becomes a schedulable pipeline stage. Clean docs go to
     ``target``; set ``quarantine`` to also write the dropped docs
     with their hit counts (the audit trail reviewers ask for).
+    ``method: "semantic"`` switches to embedding-space matching: a
+    doc drops when its ``vec_field`` vector sits within ``threshold``
+    cosine of some benchmark vector — the paraphrase-robust
+    complement (a reworded eval question shares no 8-gram but sits
+    next to the original in embedding space); quarantined docs carry
+    (nearest_bench_id, max_cosine) instead of the gram count.
 
     ``id_field`` values must be non-null and unique — a NULL id would
     silently pass a contaminated doc into the clean output (anti-join
@@ -949,6 +955,7 @@ def run_decontaminate(ctx: TaskContext, task: dict) -> None:
     from dasladen_spark.operators.decontaminate import (
         bench_gram_set,
         contamination_hits,
+        semantic_hits,
     )
 
     src = task["source"]
@@ -959,12 +966,20 @@ def run_decontaminate(ctx: TaskContext, task: dict) -> None:
         ctx, {**task, "source": bench_src,
               "type": bench_src.get("kind", "parquet") + "-x"}
     )
+    method = task.get("method", "ngrams")
+    if method not in ("ngrams", "semantic"):
+        raise ValueError(
+            f"decontaminate task: unknown method {method!r}"
+            " (expected 'ngrams' or 'semantic')"
+        )
     text_field = task.get("text_field", "text")
     bench_text = task.get("bench_text_field", text_field)
     id_field = task.get("id_field", df.columns[0])
     n = int(task.get("ngram", 8))
     min_hits = int(task.get("min_hits", 1))
-    for reserved in ("_did", "n_contaminated_grams"):
+    reserved_cols = ("_did", "n_contaminated_grams") if method == "ngrams" \
+        else ("_did", "nearest_bench_id", "max_cosine")
+    for reserved in reserved_cols:
         if reserved in df.columns:
             raise ValueError(
                 f"decontaminate task: source column {reserved!r} collides"
@@ -982,15 +997,33 @@ def run_decontaminate(ctx: TaskContext, task: dict) -> None:
             f" {stats.n_distinct} distinct) — a NULL or duplicated id"
             " would silently leak or over-drop documents"
         )
-    bench_grams = bench_gram_set(bench_df, text_col=bench_text, n=n)
-    hits = contamination_hits(
-        df,
-        bench_grams,
-        text_col=text_field,
-        id_col=id_field,
-        n=n,
-        min_hits=min_hits,
-    )
+    if method == "semantic":
+        # paraphrase-robust variant: both sides carry an embedding
+        # column; a doc drops when its vector sits within `threshold`
+        # cosine of SOME benchmark vector (operators/decontaminate
+        # semantic_hits — bench broadcast, one corpus scan)
+        vec_field = task.get("vec_field", "embedding")
+        bench_vec = task.get("bench_vec_field", vec_field)
+        hits = semantic_hits(
+            df,
+            bench_df.select(
+                F.col(task.get("bench_id_field", id_field)).alias(id_field),
+                F.col(bench_vec).alias(vec_field),
+            ),
+            vec_col=vec_field,
+            id_col=id_field,
+            threshold=float(task.get("threshold", 0.35)),
+        )
+    else:
+        bench_grams = bench_gram_set(bench_df, text_col=bench_text, n=n)
+        hits = contamination_hits(
+            df,
+            bench_grams,
+            text_col=text_field,
+            id_col=id_field,
+            n=n,
+            min_hits=min_hits,
+        )
     if task.get("quarantine"):
         # doc-id-sized; two consumers (anti-join + quarantine join)
         # must not re-run the gram pipeline
@@ -1095,6 +1128,11 @@ def run_intake(ctx: TaskContext, task: dict) -> None:
             ngram=int(task.get("ngram", 8)),
             min_hits=int(task.get("min_hits", 1)),
             scratch=scratch,
+            # method: "semantic" needs a `schema` with the vector
+            # column (the documents default has none)
+            method=task.get("method", "ngrams"),
+            vec_col=task.get("vec_field", "embedding"),
+            threshold=float(task.get("threshold", 0.35)),
         )
     else:
         raise ValueError(f"unknown intake gate {gate!r}")

@@ -1476,3 +1476,94 @@ def test_streaming_score_counts_mapping_equals_batch(spark, tmp_path):
     )
     assert got.equals(want), (got, want)
     assert got.c.sum() == 5  # exactly the 5 real docs; NULL text out
+
+
+def test_decontaminate_gate_semantic_batch_parity(spark, tmp_path):
+    """Semantic decontamination gate: a doc within `threshold`
+    cosine of a benchmark vector quarantines at ingestion with
+    (nearest_bench_id, max_cosine); the accept set EQUALS the batch
+    task's method: semantic clean set over the same corpus (shared
+    operators/decontaminate.semantic_hits pipeline)."""
+    import json
+
+    from dasladen_spark.streaming.intake import (
+        run_decontaminate_gate,
+        stream_document_folder,
+    )
+
+    docs = [
+        {"doc_id": 1, "embedding": [0.9, 0.1, 0.0, 0.0]},
+        {"doc_id": 2, "embedding": [0.0, 1.0, 0.0, 0.0]},
+        {"doc_id": 3, "embedding": [0.0, 0.0, 1.0, 0.0]},
+    ]
+    src = tmp_path / "drops"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(json.dumps(d) for d in docs[:2]))
+    (src / "b.jsonl").write_text(json.dumps(docs[2]))
+    bench = spark.createDataFrame(
+        [(9, [1.0, 0.0, 0.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+
+    acc, quar, ckpt = (
+        str(tmp_path / "accept"), str(tmp_path / "quar"), str(tmp_path / "ck")
+    )
+    scratch: list = []
+    q = run_decontaminate_gate(
+        stream_document_folder(
+            spark, str(src), "doc_id long, embedding array<double>"
+        ),
+        bench, acc, quar, ckpt,
+        method="semantic", threshold=0.8, scratch=scratch,
+    )
+    q.awaitTermination(120)
+
+    got_acc = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    quar_rows = spark.read.parquet(quar).collect()
+    assert got_acc == {2, 3}
+    assert [r["doc_id"] for r in quar_rows] == [1]
+    assert quar_rows[0]["nearest_bench_id"] == 9
+    assert quar_rows[0]["max_cosine"] > 0.8
+
+    # batch parity: method: semantic task over the same corpus
+    wd = tmp_path / "task"
+    for sub in ("input", "output", "done"):
+        (wd / sub).mkdir(parents=True)
+    with open(wd / "input" / "docs.json", "w", encoding="utf-8") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    with open(wd / "input" / "bench.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"doc_id": 9,
+                            "embedding": [1.0, 0.0, 0.0, 0.0]}) + "\n")
+    from dasladen_spark.connections import ConnectionRegistry
+    from dasladen_spark.tasks import TaskContext, run_decontaminate
+
+    run_decontaminate(
+        TaskContext(
+            spark,
+            ConnectionRegistry(None),
+            input_path=str(wd / "input"),
+            output_path=str(wd / "output"),
+        ),
+        {
+            "name": "par-sem",
+            "type": "decontaminate",
+            "method": "semantic",
+            "threshold": 0.8,
+            "source": {"kind": "json", "file": "docs.json",
+                       "schema": "doc_id BIGINT, embedding ARRAY<DOUBLE>"},
+            "bench": {"kind": "json", "file": "bench.json",
+                      "schema": "doc_id BIGINT, embedding ARRAY<DOUBLE>"},
+            "id_field": "doc_id",
+            "target": {"file": "clean.parquet", "truncate": True},
+        },
+    )
+    batch_clean = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            str(wd / "output" / "clean.parquet")
+        ).collect()
+    }
+    assert batch_clean == got_acc
+    for c in scratch:
+        c.unpersist()

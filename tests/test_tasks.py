@@ -1546,3 +1546,91 @@ def test_decontaminate_task_rejects_null_or_dup_ids(spark, workdir):
                 ]
             },
         )
+
+
+def test_decontaminate_task_semantic_method(spark, workdir):
+    """decontaminate task, method: semantic — a doc whose embedding
+    sits within `threshold` cosine of a benchmark vector is dropped
+    and quarantined with (nearest_bench_id, max_cosine); orthogonal
+    docs pass. The n-gram text path is bypassed entirely (no text
+    column needed)."""
+    with open(workdir / "input" / "docs.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps(
+            {"doc_id": 1, "embedding": [0.9, 0.1, 0.0, 0.0]}) + "\n")
+        f.write(json.dumps(
+            {"doc_id": 2, "embedding": [0.0, 1.0, 0.0, 0.0]}) + "\n")
+    with open(workdir / "input" / "bench.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps(
+            {"bid": 9, "vec": [1.0, 0.0, 0.0, 0.0]}) + "\n")
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "decon-sem",
+                    "type": "decontaminate",
+                    "method": "semantic",
+                    "source": {
+                        "kind": "json",
+                        "file": "docs.json",
+                        "schema": "doc_id BIGINT, embedding ARRAY<DOUBLE>",
+                    },
+                    "bench": {
+                        "kind": "json",
+                        "file": "bench.json",
+                        "schema": "bid BIGINT, vec ARRAY<DOUBLE>",
+                    },
+                    "id_field": "doc_id",
+                    "bench_id_field": "bid",
+                    "bench_vec_field": "vec",
+                    "threshold": 0.8,
+                    "target": {"file": "clean.parquet", "truncate": True},
+                    "quarantine": {
+                        "file": "dropped.parquet",
+                        "truncate": True,
+                    },
+                }
+            ]
+        },
+    )
+    clean = spark.read.parquet(str(workdir / "output" / "clean.parquet"))
+    dropped = spark.read.parquet(str(workdir / "output" / "dropped.parquet"))
+    assert [r.doc_id for r in clean.collect()] == [2]
+    drow = dropped.collect()
+    assert len(drow) == 1 and drow[0].doc_id == 1
+    assert drow[0].nearest_bench_id == 9
+    assert drow[0].max_cosine > 0.8
+
+
+def test_decontaminate_task_rejects_unknown_method(spark, workdir):
+    with open(workdir / "input" / "docs.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "a b c"}) + "\n")
+    with open(workdir / "input" / "bench.json", "w", encoding="utf-8") as f:
+        f.write(json.dumps({"bid": 9, "text": "a b c"}) + "\n")
+    with pytest.raises(Exception, match="unknown method"):
+        run_tasks(
+            spark,
+            workdir,
+            {
+                "tasks": [
+                    {
+                        "name": "decon-bad",
+                        "type": "decontaminate",
+                        "method": "telepathy",
+                        "source": {
+                            "kind": "json",
+                            "file": "docs.json",
+                            "schema": "doc_id BIGINT, text STRING",
+                        },
+                        "bench": {
+                            "kind": "json",
+                            "file": "bench.json",
+                            "schema": "bid BIGINT, text STRING",
+                        },
+                        "id_field": "doc_id",
+                        "target": {"file": "c.parquet", "truncate": True},
+                    }
+                ]
+            },
+        )
