@@ -59,8 +59,12 @@ def semantic_contamination(
     carries |train| rows of (id, struct), never the pair stream. The
     cosine is the deterministic left-fold (functions/vectors), so the
     flag replays bit-for-bit in the SQL oracle; the argmax tie-break
-    (cosine DESC, bench id ASC) is encoded as max over
-    struct(cosine, -bench_id).
+    (cosine DESC, bench id ASC) is encoded as MIN over
+    struct(-cosine, bench_id) — negating the cosine (exact: a double
+    sign flip loses no bits, and ``-(-x)`` restores them) rather than
+    the id, so bench ids of ANY orderable type work (a string
+    question_id would cast to NULL under id negation and silently
+    break the argmax).
 
     The norms are computed ONCE per row and carried as columns —
     naively calling cosine_sim per pair re-folds BOTH norms for
@@ -105,17 +109,17 @@ def semantic_contamination(
         scored.filter(F.col("_cos") >= F.lit(float(threshold)))
         .groupBy("_tid")
         .agg(
-            F.max(
+            F.min(
                 F.struct(
-                    F.col("_cos").alias("c"), (-F.col("_bid")).alias("nb")
+                    (-F.col("_cos")).alias("nc"), F.col("_bid").alias("nb")
                 )
             ).alias("s")
         )
     )
     return best.select(
         F.col("_tid").alias(id_col),
-        (-F.col("s.nb")).alias("nearest_bench_id"),
-        F.col("s.c").alias("max_cosine"),
+        F.col("s.nb").alias("nearest_bench_id"),
+        (-F.col("s.nc")).alias("max_cosine"),
     )
 
 

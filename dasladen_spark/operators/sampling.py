@@ -244,7 +244,12 @@ def kcenter_coreset(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    seed = e.orderBy("_id").limit(1).collect()[0]
+    seed_rows = e.orderBy("_id").limit(1).collect()
+    if not seed_rows:
+        raise ValueError(
+            "kcenter_coreset: input frame is empty — no seed vector"
+        )
+    seed = seed_rows[0]
     picks = [(0, seed["_id"], None)]
     center_vecs = [seed["_v"]]
 
@@ -272,6 +277,17 @@ def kcenter_coreset(
             .limit(1)
             .collect()[0]
         )
+        if far["_d2"] == 0.0:
+            # every remaining vector coincides with a chosen center:
+            # the greedy step would re-pick the seed forever and the
+            # "coreset" would silently carry duplicate ids — fail
+            # loudly instead (the caller asked for more coverage
+            # than the data has)
+            raise ValueError(
+                f"kcenter_coreset: k={k} exceeds the number of"
+                f" distinct vectors (exhausted after {i} picks) —"
+                " lower k or dedup upstream"
+            )
         picks.append((i, far["_id"], far["_d2"]))
         center_vecs.append(far["_v"])
 

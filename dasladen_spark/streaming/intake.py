@@ -122,6 +122,8 @@ def run_decontaminate_gate(
     method: str = "ngrams",
     vec_col: str = "embedding",
     threshold: float = 0.35,
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
 ):
     """Benchmark decontamination at INGESTION: documents sharing at
     least ``min_hits`` distinct word n-grams with the (static)
@@ -159,9 +161,13 @@ def run_decontaminate_gate(
         )
     if method == "semantic":
         # benchmark VECTORS are the broadcast side (method: semantic
-        # of the batch task — paraphrase-robust embedding matching)
+        # of the batch task — paraphrase-robust embedding matching);
+        # bench_id_col/bench_vec_col alias a differently-named bench
+        # layout onto the doc-side names, the batch task's
+        # bench_id_field/bench_vec_field parity
         bench_side = bench_df.select(
-            F.col(id_col), F.col(vec_col)
+            F.col(bench_id_col or id_col).alias(id_col),
+            F.col(bench_vec_col or vec_col).alias(vec_col),
         ).persist()
     else:
         bench_side = bench_gram_set(

@@ -1043,10 +1043,12 @@ def run_decontaminate(ctx: TaskContext, task: dict) -> None:
                   "target": q}, dropped
         )
         hits.unpersist()
-    ctx.log(
-        f"task {task.get('name')}: decontaminated (ngram={n},"
-        f" min_hits={min_hits})"
+    knobs = (
+        f"method=semantic, threshold={float(task.get('threshold', 0.35))}"
+        if method == "semantic"
+        else f"ngram={n}, min_hits={min_hits}"
     )
+    ctx.log(f"task {task.get('name')}: decontaminated ({knobs})")
 
 
 def run_intake(ctx: TaskContext, task: dict) -> None:
@@ -1133,6 +1135,8 @@ def run_intake(ctx: TaskContext, task: dict) -> None:
             method=task.get("method", "ngrams"),
             vec_col=task.get("vec_field", "embedding"),
             threshold=float(task.get("threshold", 0.35)),
+            bench_id_col=task.get("bench_id_field"),
+            bench_vec_col=task.get("bench_vec_field"),
         )
     else:
         raise ValueError(f"unknown intake gate {gate!r}")

@@ -200,7 +200,7 @@ def test_semantic_contamination_matches_numpy_brute_force(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
     mat = np.stack(emb.embedding.map(np.asarray)).astype(np.float64)
     ids = emb.vec_id.to_numpy()
-    bench = ids % 11 == 0
+    bench = (ids % 11 == 0) & (ids < 500)
     norms = np.linalg.norm(mat, axis=1)
     cos = (mat[~bench] @ mat[bench].T) / np.outer(
         norms[~bench], norms[bench]
@@ -218,8 +218,8 @@ def test_semantic_contamination_matches_numpy_brute_force(spark, sf_dir):
         assert row.nearest_bench_id == nb
         assert abs(row.max_cosine - mc) < 1e-9
         assert row.max_cosine >= 0.35
-    # flagged rows are training rows only
-    assert all(v % 11 != 0 for v in res.index)
+    # flagged rows are training rows only (not in the fixed bench)
+    assert all(not (v % 11 == 0 and v < 500) for v in res.index)
 
 
 def test_kcenter_coreset_matches_numpy_greedy(spark, sf_dir):
@@ -262,3 +262,47 @@ def test_kcenter_coreset_matches_numpy_greedy(spark, sf_dir):
     assert (np.diff(got) <= 1e-12).all()
     # picks are distinct corpus members
     assert res.vec_id.is_unique and set(res.vec_id) <= set(ids)
+
+
+def test_kcenter_coreset_guards_empty_and_exhausted(spark):
+    import pytest as _pytest
+
+    from dasladen_spark.operators.sampling import kcenter_coreset
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="empty"):
+        kcenter_coreset(empty, k=3)
+    # three rows, two DISTINCT vectors: the third pick would re-pick
+    # a center with d2=0 — must fail loudly, not duplicate ids
+    dup = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="distinct vectors"):
+        kcenter_coreset(dup, k=3)
+
+
+def test_semantic_contamination_string_bench_ids(spark):
+    """The argmax tie-break must not assume numeric bench ids — a
+    string question_id would cast to NULL under id negation and
+    silently break nearest_bench_id (the min(struct(-cos, id))
+    encoding handles any orderable id type)."""
+    from dasladen_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame(
+        # two bench vectors with IDENTICAL cosine to the train vec:
+        # tie must break to the LESSER string id
+        [("q-b", [2.0, 0.0]), ("q-a", [3.0, 0.0]), ("q-z", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    got = semantic_contamination(train, bench, threshold=0.5).collect()
+    assert len(got) == 1
+    assert got[0]["nearest_bench_id"] == "q-a"
+    assert abs(got[0]["max_cosine"] - 1.0) < 1e-12
