@@ -213,6 +213,15 @@ def main() -> None:
             f"(min {samples[0]}s max {samples[-1]}s, n={reps})",
             file=sys.stderr,
         )
+        # Session hygiene: many operators persist() intermediates the
+        # query function cannot unpersist (their lifetime is the
+        # caller's). 55 queries × 4 reps of leaked cache blocks
+        # degraded the tail of the round-8 run ~4× (per-job overhead,
+        # GC) — measured: the late group runs 0.9-3.9 s in a fresh
+        # session vs 4.4-15.7 s at the end of an unhygienic bench.
+        # Materialized INDEX tables live on disk, not in this cache,
+        # so warm_first amortization is unaffected.
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))

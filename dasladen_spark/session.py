@@ -40,6 +40,16 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Long sessions (bench: 55 queries × 4 reps; oracle gate: 267)
+    # generate thousands of codegen classes; the JVM's default 240 MB
+    # code cache fills, the JIT silently disables, and every later
+    # query runs interpreted ~2-3× slower — measured as progressive
+    # per-query degradation across a bench run. A larger, flushable
+    # code cache keeps late queries at the same steady state as a
+    # fresh session.
+    "spark.driver.extraJavaOptions": (
+        "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing"
+    ),
     # streaming state off-heap: the default HDFS-backed provider keeps
     # every key's state in executor heap, which caps stateful streaming
     # (streaming/stateful.py, matview.py) far below 100 TB key

@@ -121,6 +121,13 @@ def main():
             bad.append(name)
             print(f"FAIL {name}: spark error {type(ex).__name__}: {ex}")
             continue
+        finally:
+            # operators persist() intermediates whose lifetime is the
+            # caller's; 267 queries of leaked cache blocks degrade the
+            # session's per-job overhead severely by the tail (the
+            # bench.py hygiene note). Materialized index TABLES are
+            # disk-backed — unaffected.
+            spark.catalog.clearCache()
         if name not in oracles:
             noracle.append(name)
             print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
