@@ -291,7 +291,16 @@ def kcenter_coreset(
         picks.append((i, far["_id"], far["_d2"]))
         center_vecs.append(far["_v"])
 
+    from pyspark.sql import types as T
+
     spark = df.sparkSession
-    return spark.createDataFrame(
-        picks, schema=f"pick_order int, {id_col} bigint, d2 double"
+    schema = T.StructType(
+        [
+            T.StructField("pick_order", T.IntegerType()),
+            # id keeps the INPUT's type (a string doc key must come
+            # back joinable, not coerced to bigint)
+            T.StructField(id_col, e.schema["_id"].dataType),
+            T.StructField("d2", T.DoubleType()),
+        ]
     )
+    return spark.createDataFrame(picks, schema=schema)

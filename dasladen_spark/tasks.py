@@ -853,6 +853,11 @@ def run_sample(ctx: TaskContext, task: dict) -> None:
       ``keep_fraction`` by per-token weight (exact-percentile
       threshold, ties kept) — the task-file spelling of
       quality-targeted corpus selection
+    - ``method: coreset`` — greedy k-center over ``vec_field``
+      embeddings (operators/sampling.kcenter_coreset): the ``k``
+      source rows that COVER the embedding space, each stamped with
+      its pick_order and squared distance to the prior centers —
+      the task-file spelling of diversity-first selection
     """
     from dasladen_spark.operators.sampling import (
         deterministic_sample,
@@ -901,6 +906,24 @@ def run_sample(ctx: TaskContext, task: dict) -> None:
         tgt = task["target"]
         _write_sink(ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out)
         ctx.log(f"task {task.get('name')}: sample written (dsir)")
+        return
+    if method == "coreset":
+        from pyspark.sql import functions as F
+
+        from dasladen_spark.operators.sampling import kcenter_coreset
+
+        picks = kcenter_coreset(
+            df,
+            vec_col=task.get("vec_field", "embedding"),
+            id_col=id_field,
+            k=int(task.get("k", 8)),
+        )
+        # picks is k rows — broadcast it back onto the source so the
+        # output carries every source column plus the audit pair
+        out = df.join(F.broadcast(picks), id_field).orderBy("pick_order")
+        tgt = task["target"]
+        _write_sink(ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out)
+        ctx.log(f"task {task.get('name')}: sample written (coreset)")
         return
     if method == "deterministic":
         out = deterministic_sample(

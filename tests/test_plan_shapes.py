@@ -404,6 +404,8 @@ _EXPECTED_FLAGS = {
     # brute-force ANN: tiny query set broadcast against the corpus
     "ann_cosine_topk": {"bnlj"},
     "dedup_embedding_cosine": {"bnlj"},
+    # fixed-size benchmark slice broadcast against one corpus scan
+    "decontaminate_semantic": {"bnlj"},
     "dedup_semantic_pairs_audit": {"bnlj"},  # brute pairs for oracle exactness
     # exact baseline is the broadcast brute scan; per-method 1-row summaries
     "ann_recall_report": {"bnlj", "single-partition"},

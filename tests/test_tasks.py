@@ -1634,3 +1634,55 @@ def test_decontaminate_task_rejects_unknown_method(spark, workdir):
                 ]
             },
         )
+
+
+def test_sample_task_coreset_method(spark, workdir):
+    """sample task, method: coreset — writes the k greedy k-center
+    picks with every source column plus (pick_order, d2); the seed is
+    the lowest id and picks are distinct."""
+    import json as _json
+
+    rows = [
+        {"vec_id": 1, "embedding": [0.0, 0.0], "label": "a"},
+        {"vec_id": 2, "embedding": [10.0, 0.0], "label": "b"},
+        {"vec_id": 3, "embedding": [0.0, 10.0], "label": "c"},
+        {"vec_id": 4, "embedding": [0.1, 0.1], "label": "d"},
+    ]
+    with open(workdir / "input" / "vecs.json", "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "core",
+                    "type": "sample",
+                    "method": "coreset",
+                    "k": 3,
+                    "source": {
+                        "kind": "json",
+                        "file": "vecs.json",
+                        "schema": "vec_id BIGINT, embedding ARRAY<DOUBLE>,"
+                                  " label STRING",
+                    },
+                    "id_field": "vec_id",
+                    "target": {"file": "core.parquet", "truncate": True},
+                }
+            ]
+        },
+    )
+    out = (
+        spark.read.parquet(str(workdir / "output" / "core.parquet"))
+        .orderBy("pick_order")
+        .collect()
+    )
+    assert [r.pick_order for r in out] == [0, 1, 2]
+    assert out[0].vec_id == 1          # seed = lowest id
+    assert out[0].d2 is None
+    # the two far corners are picked before the near-duplicate of
+    # the seed
+    assert {out[1].vec_id, out[2].vec_id} == {2, 3}
+    assert {r.label for r in out} <= {"a", "b", "c", "d"}
+    assert all(r.d2 > 1.0 for r in out[1:])
