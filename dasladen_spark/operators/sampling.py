@@ -10,6 +10,8 @@ document keeps/loses its membership even if the corpus is re-sharded.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -240,6 +242,8 @@ def kcenter_coreset(
     SQL oracle (min over doubles is associative: the oracle's running
     least() chain equals the operator's least-over-all-centers).
     """
+    if k < 1:
+        raise ValueError(f"kcenter_coreset: k must be ≥ 1, got {k}")
     e = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -250,6 +254,13 @@ def kcenter_coreset(
             "kcenter_coreset: input frame is empty — no seed vector"
         )
     seed = seed_rows[0]
+    if seed["_id"] is None or seed["_v"] is None:
+        # ascending sort puts NULLs first: a NULL id would become the
+        # seed and then silently vanish from any downstream equi-join
+        raise ValueError(
+            "kcenter_coreset: NULL id or vector in the input — filter"
+            " or repair upstream"
+        )
     picks = [(0, seed["_id"], None)]
     center_vecs = [seed["_v"]]
 
@@ -277,7 +288,18 @@ def kcenter_coreset(
             .limit(1)
             .collect()[0]
         )
-        if far["_d2"] == 0.0:
+        d2v = far["_d2"]
+        if d2v is None or not math.isfinite(d2v):
+            # NaN sorts ABOVE every double, so a single NaN embedding
+            # would be picked here and then re-picked forever (its
+            # distance to itself is NaN, not 0, defeating the
+            # exhaustion guard below) — fail loudly instead
+            raise ValueError(
+                f"kcenter_coreset: non-finite distance {d2v!r} at"
+                f" pick {i} (id {far['_id']!r}) — NaN/Inf in an"
+                " embedding; repair or filter upstream"
+            )
+        if d2v == 0.0:
             # every remaining vector coincides with a chosen center:
             # the greedy step would re-pick the seed forever and the
             # "coreset" would silently carry duplicate ids — fail

@@ -46,7 +46,14 @@ DEFAULT_CONF: dict[str, str] = {
     # query runs interpreted ~2-3× slower — measured as progressive
     # per-query degradation across a bench run. A larger, flushable
     # code cache keeps late queries at the same steady state as a
-    # fresh session.
+    # fresh session. CAVEATS: this only takes effect when THIS
+    # builder launches the JVM (the local/test/bench path); under
+    # spark-submit client mode the driver JVM already exists and the
+    # setting is silently inert — pass the same flags via
+    # --driver-java-options there. It also REPLACES (not appends to)
+    # any spark.driver.extraJavaOptions from spark-defaults.conf on
+    # the local path; callers needing extra flags should pass them
+    # through get_spark(extra_conf=...) including these.
     "spark.driver.extraJavaOptions": (
         "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing"
     ),

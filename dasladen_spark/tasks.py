@@ -912,17 +912,50 @@ def run_sample(ctx: TaskContext, task: dict) -> None:
 
         from dasladen_spark.operators.sampling import kcenter_coreset
 
-        picks = kcenter_coreset(
-            df,
-            vec_col=task.get("vec_field", "embedding"),
-            id_col=id_field,
-            k=int(task.get("k", 8)),
-        )
-        # picks is k rows — broadcast it back onto the source so the
-        # output carries every source column plus the audit pair
-        out = df.join(F.broadcast(picks), id_field).orderBy("pick_order")
-        tgt = task["target"]
-        _write_sink(ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out)
+        for reserved in ("pick_order", "d2"):
+            if reserved in df.columns:
+                raise ValueError(
+                    f"sample task (coreset): source column {reserved!r}"
+                    " collides with an audit column — rename it upstream"
+                )
+        # loud id guard (the decontaminate task's invariant): a NULL
+        # id seeds the greedy pick then vanishes from the equi-join;
+        # duplicate ids fan the broadcast join out into >k rows with
+        # d2 stamped on rows it was never computed for
+        stats = df.agg(
+            F.count(id_field).alias("n_ids"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(id_field).alias("n_distinct"),
+        ).collect()[0]
+        if stats.n_ids != stats.n_rows or stats.n_distinct != stats.n_rows:
+            raise ValueError(
+                f"sample task (coreset): id_field {id_field!r} must be"
+                f" non-null and unique ({stats.n_rows} rows,"
+                f" {stats.n_ids} non-null, {stats.n_distinct} distinct)"
+            )
+        # the greedy loop scans the source k times — persist so those
+        # scans hit memory, not the source parser (the operator's
+        # at-scale contract)
+        df = df.persist()
+        try:
+            picks = kcenter_coreset(
+                df,
+                vec_col=task.get("vec_field", "embedding"),
+                id_col=id_field,
+                k=int(task.get("k", 8)),
+            )
+            # picks is k rows — broadcast it back onto the source so
+            # the output carries every source column plus the audit
+            # pair
+            out = df.join(F.broadcast(picks), id_field).orderBy(
+                "pick_order"
+            )
+            tgt = task["target"]
+            _write_sink(
+                ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out
+            )
+        finally:
+            df.unpersist()
         ctx.log(f"task {task.get('name')}: sample written (coreset)")
         return
     if method == "deterministic":

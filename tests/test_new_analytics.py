@@ -306,3 +306,26 @@ def test_semantic_contamination_string_bench_ids(spark):
     assert len(got) == 1
     assert got[0]["nearest_bench_id"] == "q-a"
     assert abs(got[0]["max_cosine"] - 1.0) < 1e-12
+
+
+def test_kcenter_coreset_rejects_nan_null_and_bad_k(spark):
+    import pytest as _pytest
+
+    from dasladen_spark.operators.sampling import kcenter_coreset
+
+    nan = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [float("nan"), 0.0]), (3, [5.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="non-finite"):
+        kcenter_coreset(nan, k=3)
+    nulls = spark.createDataFrame(
+        [(None, [0.0]), (2, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="NULL id"):
+        kcenter_coreset(nulls, k=2)
+    ok = spark.createDataFrame(
+        [(1, [0.0]), (2, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="k must be"):
+        kcenter_coreset(ok, k=0)

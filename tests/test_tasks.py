@@ -1686,3 +1686,33 @@ def test_sample_task_coreset_method(spark, workdir):
     assert {out[1].vec_id, out[2].vec_id} == {2, 3}
     assert {r.label for r in out} <= {"a", "b", "c", "d"}
     assert all(r.d2 > 1.0 for r in out[1:])
+
+
+def test_sample_task_coreset_rejects_dup_ids_and_reserved_cols(
+    spark, workdir
+):
+    import json as _json
+
+    with open(workdir / "input" / "v.json", "w", encoding="utf-8") as f:
+        f.write(_json.dumps({"vec_id": 1, "embedding": [0.0]}) + "\n")
+        f.write(_json.dumps({"vec_id": 1, "embedding": [1.0]}) + "\n")
+    base = {
+        "name": "core-bad",
+        "type": "sample",
+        "method": "coreset",
+        "k": 2,
+        "source": {"kind": "json", "file": "v.json",
+                   "schema": "vec_id BIGINT, embedding ARRAY<DOUBLE>"},
+        "id_field": "vec_id",
+        "target": {"file": "c.parquet", "truncate": True},
+    }
+    with pytest.raises(Exception, match="non-null and unique"):
+        run_tasks(spark, workdir, {"tasks": [base]})
+    with open(workdir / "input" / "v2.json", "w", encoding="utf-8") as f:
+        f.write(_json.dumps(
+            {"vec_id": 1, "embedding": [0.0], "d2": 9.0}) + "\n")
+    bad2 = {**base, "source": {
+        "kind": "json", "file": "v2.json",
+        "schema": "vec_id BIGINT, embedding ARRAY<DOUBLE>, d2 DOUBLE"}}
+    with pytest.raises(Exception, match="audit column"):
+        run_tasks(spark, workdir, {"tasks": [bad2]})
