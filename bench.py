@@ -119,9 +119,11 @@ HEADLINE = [
     # round 8b: embedding-space curation — paraphrase-robust
     # decontamination (broadcast bench, per-vector aggregated max)
     # and greedy k-center coreset selection (k corpus scans, k
-    # single-row collects)
+    # single-row collects) — and the exact-oracle portable HLL
+    # (integer-only mergeable sketch, daily→monthly per-bucket max)
     "decontaminate_semantic",
     "sample_coreset_kcenter",
+    "q_hll_portable_rollup",
 ]
 
 

@@ -133,3 +133,160 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_coreset(
         _t(spark, sf_dir, "embeddings"), k=_CORESET_K
     )
+
+
+# -------------------------------------------------- portable HLL rollup
+
+_HLL_M = 16  #: buckets (alpha for m=16 is the classic 0.673)
+_HLL_MAXRHO = 49  #: rank ceiling: md5-52-bit hash minus 4 bucket bits + 1
+_HLL_TOP = 562949953421312  #: 2^49 — the empty-bucket term, exact in double
+
+
+@query(
+    "q_hll_portable_rollup",
+    oracle=f"""
+    WITH h AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             strftime(ts, '%Y-%m') AS month,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS hv
+      FROM events
+    ), rb AS (
+      SELECT day, month, hv & 15 AS bucket, hv >> 4 AS r FROM h
+    ), rho AS (
+      SELECT day, month, bucket,
+             CASE WHEN r = 0 THEN {_HLL_MAXRHO}
+                  ELSE bit_count((r & -r) - 1) + 1 END AS rho
+      FROM rb
+    ), daily AS (
+      SELECT day, month, bucket, MAX(rho) AS m_j
+      FROM rho GROUP BY day, month, bucket
+    ), monthly AS (
+      SELECT month, bucket, MAX(m_j) AS m_j FROM daily
+      GROUP BY month, bucket
+    ), dsum AS (
+      SELECT day AS period,
+             SUM(CAST(1 AS BIGINT) << ({_HLL_MAXRHO} - m_j))
+               + ({_HLL_M} - COUNT(*)) * {_HLL_TOP} AS s
+      FROM daily GROUP BY day
+    ), msum AS (
+      SELECT month AS period,
+             SUM(CAST(1 AS BIGINT) << ({_HLL_MAXRHO} - m_j))
+               + ({_HLL_M} - COUNT(*)) * {_HLL_TOP} AS s
+      FROM monthly GROUP BY month
+    ), dexact AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS period,
+             COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    ), mexact AS (
+      SELECT strftime(ts, '%Y-%m') AS period,
+             COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT 'day' AS level, d.period,
+           CAST(0.673 AS DOUBLE) * {_HLL_M} * {_HLL_M} * {_HLL_TOP}
+             / CAST(d.s AS DOUBLE) AS est_distinct,
+           e.exact_distinct
+    FROM dsum d JOIN dexact e USING (period)
+    UNION ALL
+    SELECT 'month', m.period,
+           CAST(0.673 AS DOUBLE) * {_HLL_M} * {_HLL_M} * {_HLL_TOP}
+             / CAST(m.s AS DOUBLE),
+           e.exact_distinct
+    FROM msum m JOIN mexact e USING (period)
+    """,
+)
+def q_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch with an EXACT oracle — the
+    engine-portable HyperLogLog: bucket = low 4 md5 bits, rank =
+    trailing zeros of the remaining 48 (the same geometric statistic
+    as leading zeros, and a pure integer op both engines share:
+    bit_count((r & -r) - 1) + 1). Daily sketches roll up to monthly
+    by per-bucket MAX — the merge IS the aggregation, so the monthly
+    estimate computed FROM the daily sketches equals one computed
+    from raw events (max is associative), which the oracle verifies
+    by building monthly from daily exactly as the query does.
+    The estimator keeps the harmonic sum in EXACT integers
+    (Σ 2^(49-M_j) as shifted bigints, empty buckets as 2^49) so the
+    only float ops are one multiply chain and one divide —
+    bit-identical everywhere, no pow()/ln() (not portable). The
+    q_approx_sketches / q_hll_mergeable_rollup siblings use Spark's
+    native HLL++ (the production path); this query is the proof that
+    the mergeable-rollup SHAPE is right, exact to the last bit.
+    """
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    base = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        h.alias("hv"),
+        F.col("user_id"),
+    )
+    rb = base.select(
+        "day",
+        "month",
+        "user_id",
+        (F.col("hv").bitwiseAND(F.lit(15))).alias("bucket"),
+        F.shiftright("hv", 4).alias("r"),
+    )
+    rho = rb.select(
+        "day",
+        "month",
+        "bucket",
+        F.when(F.col("r") == 0, F.lit(_HLL_MAXRHO))
+        .otherwise(
+            F.bit_count(
+                (F.col("r").bitwiseAND(-F.col("r"))) - F.lit(1)
+            )
+            + F.lit(1)
+        )
+        .alias("rho"),
+    )
+    daily = rho.groupBy("day", "month", "bucket").agg(
+        F.max("rho").alias("m_j")
+    )
+    monthly = daily.groupBy("month", "bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+
+    def _est(sketch: DataFrame, period_col: str) -> DataFrame:
+        s = sketch.groupBy(F.col(period_col).alias("period")).agg(
+            (
+                # SQL shiftleft takes a column shift amount (the
+                # Python wrapper insists on an int literal)
+                F.sum(F.expr(f"shiftleft(1L, {_HLL_MAXRHO} - m_j)"))
+                + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_TOP)
+            ).alias("s")
+        )
+        return s.select(
+            "period",
+            (
+                F.lit(0.673)
+                * F.lit(_HLL_M)
+                * F.lit(_HLL_M)
+                * F.lit(_HLL_TOP)
+                / F.col("s").cast("double")
+            ).alias("est_distinct"),
+        )
+
+    dexact = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("period")
+    ).agg(F.count_distinct("user_id").alias("exact_distinct"))
+    mexact = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("period")
+    ).agg(F.count_distinct("user_id").alias("exact_distinct"))
+    d = (
+        _est(daily, "day")
+        .join(dexact, "period")
+        .select(F.lit("day").alias("level"), "period", "est_distinct",
+                "exact_distinct")
+    )
+    m = (
+        _est(monthly, "month")
+        .join(mexact, "period")
+        .select(F.lit("month").alias("level"), "period", "est_distinct",
+                "exact_distinct")
+    )
+    return d.unionByName(m)

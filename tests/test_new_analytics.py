@@ -329,3 +329,35 @@ def test_kcenter_coreset_rejects_nan_null_and_bad_k(spark):
     )
     with _pytest.raises(ValueError, match="k must be"):
         kcenter_coreset(ok, k=0)
+
+
+def test_hll_portable_rollup_accuracy_and_merge(spark, sf_dir):
+    """The portable HLL: estimates land within the m=16 error
+    envelope of the exact counts, and the monthly row (built by
+    MERGING daily sketches) is as accurate as the daily ones — the
+    mergeable-rollup property the query exists to demonstrate. The
+    DuckDB oracle already pins every bit; this checks the sketch is
+    a USEFUL estimator, not just a replayable one."""
+    df = (
+        QUERIES["q_hll_portable_rollup"](spark, sf_dir)
+        .toPandas()
+        .assign(
+            rel_err=lambda d: (d.est_distinct - d.exact_distinct).abs()
+            / d.exact_distinct
+        )
+    )
+    assert (df.exact_distinct > 0).all()
+    assert set(df.level) == {"day", "month"}
+    # raw HLL (no linear-counting correction — ln() isn't
+    # engine-portable, and the correction would cost the exact
+    # oracle) is only calibrated above ~3m distinct; hold those rows
+    # to the 1.04/sqrt(16)=26% envelope (3 sigma worst-row), and the
+    # small-range rows to a loose known-bias sanity bound
+    big = df[df.exact_distinct >= 3 * 16]
+    if len(big):
+        assert big.rel_err.mean() < 0.2, big.rel_err.mean()
+        assert big.rel_err.max() < 0.8, big.rel_err.max()
+    assert df.rel_err.max() < 1.5, df.rel_err.max()
+    # monthly covers at least as many users as its busiest day
+    mx_day = df[df.level == "day"].exact_distinct.max()
+    assert (df[df.level == "month"].exact_distinct >= mx_day).all()
