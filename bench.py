@@ -124,6 +124,9 @@ HEADLINE = [
     "decontaminate_semantic",
     "sample_coreset_kcenter",
     "q_hll_portable_rollup",
+    # KMV k-minimum-values sketch: the set-INTERSECTION estimate HLL
+    # cannot give — crawl-overlap audit shipping k longs per source
+    "text_kmv_gram_overlap",
 ]
 
 

@@ -11,7 +11,7 @@ DuckDB (see functions/vectors).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dasladen_spark.plans.registry import query
@@ -290,3 +290,161 @@ def q_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "exact_distinct")
     )
     return d.unionByName(m)
+
+
+# ------------------------------------------------ KMV overlap sketch
+
+_KMV_K = 256  #: sketch size; every fixture source has ≥1300 grams
+_KMV_SCALE = 4503599627370496  #: 2^52 — the md5-52-bit hash space
+
+
+@query(
+    "text_kmv_gram_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, regexp_split_to_array(text, ' ') AS words
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), g AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(
+               generate_series(1, greatest(len(words) - 2, 0)),
+               i -> array_to_string(words[i:i + 2], ' '))) AS ng
+      FROM w
+    ), h AS (
+      SELECT source, ng,
+             CAST(('0x' || substr(md5(ng), 1, 13)) AS BIGINT) AS hv
+      FROM g
+    ), rk AS (
+      SELECT source, hv,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+      FROM h
+    ), sk AS (SELECT source, hv FROM rk WHERE rn <= {_KMV_K}),
+    thetas AS (
+      SELECT MAX(CASE WHEN source = 'src0' THEN hv END) AS ta,
+             MAX(CASE WHEN source = 'src1' THEN hv END) AS tb
+      FROM sk
+    ), uni AS (
+      SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT hv FROM sk)
+    ), tu AS (SELECT hv AS theta_u FROM uni WHERE rn = {_KMV_K}),
+    d AS (
+      SELECT COUNT(*) AS n_common
+      FROM (SELECT hv FROM sk WHERE source = 'src0') a
+      JOIN (SELECT hv FROM sk WHERE source = 'src1') b USING (hv),
+           thetas
+      WHERE hv < least(thetas.ta, thetas.tb)
+    ), ex AS (
+      SELECT COUNT(DISTINCT ng) AS exact_union,
+             COUNT(DISTINCT CASE WHEN in_both THEN ng END)
+               AS exact_intersection
+      FROM (
+        SELECT ng, COUNT(DISTINCT source) = 2 AS in_both FROM g GROUP BY ng
+      )
+    )
+    SELECT 'src0|src1' AS pair,
+           CAST(d.n_common AS DOUBLE) * {_KMV_SCALE}
+             / CAST(least(t.ta, t.tb) AS DOUBLE) AS est_intersection,
+           ex.exact_intersection,
+           CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_SCALE}
+             / CAST(tu.theta_u AS DOUBLE) AS est_union,
+           ex.exact_union
+    FROM d, thetas t, tu, ex
+    """,
+)
+def text_kmv_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap from K-MINIMUM-VALUES sketches —
+    the set-INTERSECTION estimate HLL cannot give, exact-oracle
+    because the sketch is pure integer selection (the k smallest
+    md5-52-bit gram hashes per source, ROW_NUMBER-ranked) and the
+    estimators are one division each. A sketch truncated at θ =
+    min(θ_a, θ_b) provably contains EVERY set element hashing below
+    θ, so the matched-mins count D is exactly |A∩B ∩ [0,θ)| and
+    est_∩ = D·2⁵²/θ (Beyer et al.); the union estimate is the
+    classic (k-1)·2⁵²/θ_u over the merged mins. At 100 TB this is
+    the crawl-overlap audit that ships k longs per source instead of
+    the gram sets; text_source_overlap is the exact small-scale
+    sibling the fixture verifies against."""
+    k = _KMV_K
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    from dasladen_spark.functions.text import word_ngrams
+
+    g = (
+        d.select(
+            "source",
+            F.explode(
+                word_ngrams(F.split(F.col("text"), " "), 3)
+            ).alias("ng"),
+        )
+        .distinct()
+    )
+    h = g.select(
+        "source",
+        "ng",
+        F.conv(F.substring(F.md5("ng"), 1, 13), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    rk = h.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("hv")
+        ),
+    )
+    sk = rk.filter(F.col("rn") <= k).select("source", "hv")
+    thetas = sk.agg(
+        F.max(F.when(F.col("source") == "src0", F.col("hv"))).alias("ta"),
+        F.max(F.when(F.col("source") == "src1", F.col("hv"))).alias("tb"),
+    )
+    uni = (
+        sk.select("hv")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy("hv")
+            ),
+        )
+    )
+    tu = uni.filter(F.col("rn") == k).select(
+        F.col("hv").alias("theta_u")
+    )
+    a = sk.filter(F.col("source") == "src0").select("hv")
+    b = sk.filter(F.col("source") == "src1").select("hv")
+    dcount = (
+        a.join(b, "hv")
+        .crossJoin(F.broadcast(thetas))
+        .filter(F.col("hv") < F.least(F.col("ta"), F.col("tb")))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ex = (
+        g.groupBy("ng")
+        .agg((F.count_distinct("source") == 2).alias("both"))
+        .agg(
+            F.count_distinct("ng").alias("exact_union"),
+            F.count_distinct(F.when(F.col("both"), F.col("ng"))).alias(
+                "exact_intersection"
+            ),
+        )
+    )
+    return (
+        dcount.crossJoin(thetas)
+        .crossJoin(tu)
+        .crossJoin(ex)
+        .select(
+            F.lit("src0|src1").alias("pair"),
+            (
+                F.col("n_common").cast("double")
+                * F.lit(_KMV_SCALE)
+                / F.least(F.col("ta"), F.col("tb")).cast("double")
+            ).alias("est_intersection"),
+            "exact_intersection",
+            (
+                F.lit(float(k - 1))
+                * F.lit(_KMV_SCALE)
+                / F.col("theta_u").cast("double")
+            ).alias("est_union"),
+            "exact_union",
+        )
+    )

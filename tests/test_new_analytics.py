@@ -361,3 +361,22 @@ def test_hll_portable_rollup_accuracy_and_merge(spark, sf_dir):
     # monthly covers at least as many users as its busiest day
     mx_day = df[df.level == "day"].exact_distinct.max()
     assert (df[df.level == "month"].exact_distinct >= mx_day).all()
+
+
+def test_kmv_overlap_estimates_within_envelope(spark, sf_dir):
+    """KMV sketch accuracy: the union and intersection estimates land
+    within the k=256 relative-error envelope (~1/sqrt(k) ≈ 6.3%, give
+    3 sigma) of the exact counts the same query reports — the oracle
+    pins the bits; this pins the statistics."""
+    row = QUERIES["text_kmv_gram_overlap"](spark, sf_dir).collect()[0]
+    assert row["exact_union"] > 256  # sketch is genuinely lossy here
+    rel_u = abs(row["est_union"] - row["exact_union"]) / row["exact_union"]
+    assert rel_u < 0.2, rel_u
+    # the intersection estimator divides by a smaller effective k —
+    # allow a wider band, but it must be in the right ballpark
+    rel_i = (
+        abs(row["est_intersection"] - row["exact_intersection"])
+        / max(row["exact_intersection"], 1)
+    )
+    assert rel_i < 0.5, rel_i
+    assert row["exact_intersection"] <= row["exact_union"]

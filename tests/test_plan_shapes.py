@@ -406,6 +406,9 @@ _EXPECTED_FLAGS = {
     "dedup_embedding_cosine": {"bnlj"},
     # fixed-size benchmark slice broadcast against one corpus scan
     "decontaminate_semantic": {"bnlj"},
+    # k-sized sketch scalars (thetas, union theta, match count)
+    # cross-joined into the single result row — all 1-row frames
+    "text_kmv_gram_overlap": {"bnlj", "single-partition"},
     "dedup_semantic_pairs_audit": {"bnlj"},  # brute pairs for oracle exactness
     # exact baseline is the broadcast brute scan; per-method 1-row summaries
     "ann_recall_report": {"bnlj", "single-partition"},
