@@ -392,7 +392,12 @@ def text_kmv_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("source").orderBy("hv")
         ),
     )
-    sk = rk.filter(F.col("rn") <= k).select("source", "hv")
+    # 2·k rows feeding FIVE downstream branches (thetas, union ranks,
+    # both join sides, the match count) — without the persist each
+    # branch re-derives the sketch from its own corpus scan (6 scans
+    # of documents; the winnowing persisted-fanout lesson). The bench
+    # and oracle harnesses clearCache() per query.
+    sk = rk.filter(F.col("rn") <= k).select("source", "hv").persist()
     thetas = sk.agg(
         F.max(F.when(F.col("source") == "src0", F.col("hv"))).alias("ta"),
         F.max(F.when(F.col("source") == "src1", F.col("hv"))).alias("tb"),
