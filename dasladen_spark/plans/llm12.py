@@ -311,7 +311,7 @@ _KMV_SCALE = 4503599627370496  #: 2^52 — the md5-52-bit hash space
                i -> array_to_string(words[i:i + 2], ' '))) AS ng
       FROM w
     ), h AS (
-      SELECT source, ng,
+      SELECT source,
              CAST(('0x' || substr(md5(ng), 1, 13)) AS BIGINT) AS hv
       FROM g
     ), rk AS (
@@ -321,18 +321,29 @@ _KMV_SCALE = 4503599627370496  #: 2^52 — the md5-52-bit hash space
     ), sk AS (SELECT source, hv FROM rk WHERE rn <= {_KMV_K}),
     thetas AS (
       SELECT MAX(CASE WHEN source = 'src0' THEN hv END) AS ta,
-             MAX(CASE WHEN source = 'src1' THEN hv END) AS tb
+             COUNT(CASE WHEN source = 'src0' THEN 1 END) AS n_a,
+             MAX(CASE WHEN source = 'src1' THEN hv END) AS tb,
+             COUNT(CASE WHEN source = 'src1' THEN 1 END) AS n_b
       FROM sk
+    ), te AS (
+      SELECT least(
+               CASE WHEN n_a < {_KMV_K} THEN {_KMV_SCALE} ELSE ta END,
+               CASE WHEN n_b < {_KMV_K} THEN {_KMV_SCALE} ELSE tb END
+             ) AS theta
+      FROM thetas
     ), uni AS (
       SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
       FROM (SELECT DISTINCT hv FROM sk)
-    ), tu AS (SELECT hv AS theta_u FROM uni WHERE rn = {_KMV_K}),
-    d AS (
+    ), us AS (
+      SELECT MAX(rn) AS n_u,
+             MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS theta_u
+      FROM uni
+    ), d AS (
       SELECT COUNT(*) AS n_common
       FROM (SELECT hv FROM sk WHERE source = 'src0') a
       JOIN (SELECT hv FROM sk WHERE source = 'src1') b USING (hv),
-           thetas
-      WHERE hv < least(thetas.ta, thetas.tb)
+           te
+      WHERE hv < te.theta
     ), ex AS (
       SELECT COUNT(DISTINCT ng) AS exact_union,
              COUNT(DISTINCT CASE WHEN in_both THEN ng END)
@@ -343,12 +354,13 @@ _KMV_SCALE = 4503599627370496  #: 2^52 — the md5-52-bit hash space
     )
     SELECT 'src0|src1' AS pair,
            CAST(d.n_common AS DOUBLE) * {_KMV_SCALE}
-             / CAST(least(t.ta, t.tb) AS DOUBLE) AS est_intersection,
+             / CAST(te.theta AS DOUBLE) AS est_intersection,
            ex.exact_intersection,
-           CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_SCALE}
-             / CAST(tu.theta_u AS DOUBLE) AS est_union,
+           CASE WHEN us.n_u < {_KMV_K} THEN CAST(us.n_u AS DOUBLE)
+                ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_SCALE}
+                     / CAST(us.theta_u AS DOUBLE) END AS est_union,
            ex.exact_union
-    FROM d, thetas t, tu, ex
+    FROM d, te, us, ex
     """,
 )
 def text_kmv_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,36 +368,42 @@ def text_kmv_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the set-INTERSECTION estimate HLL cannot give, exact-oracle
     because the sketch is pure integer selection (the k smallest
     md5-52-bit gram hashes per source, ROW_NUMBER-ranked) and the
-    estimators are one division each. A sketch truncated at θ =
-    min(θ_a, θ_b) provably contains EVERY set element hashing below
-    θ, so the matched-mins count D is exactly |A∩B ∩ [0,θ)| and
-    est_∩ = D·2⁵²/θ (Beyer et al.); the union estimate is the
-    classic (k-1)·2⁵²/θ_u over the merged mins. At 100 TB this is
-    the crawl-overlap audit that ships k longs per source instead of
-    the gram sets; text_source_overlap is the exact small-scale
-    sibling the fixture verifies against."""
+    estimators are one division each. A sketch truncated at θ
+    provably contains EVERY set element hashing below θ, so the
+    matched-mins count D is exactly |A∩B ∩ [0,θ)| and est_∩ =
+    D·2⁵²/θ (Beyer et al.); the union estimate is the classic
+    (k-1)·2⁵²/θ_u over the merged mins. NOT-FULL sketches fall back
+    to the exact regime instead of extrapolating: a side with < k
+    grams is wholly known, so its effective θ is the full hash space,
+    and a merged-mins set under k returns its own size as the union
+    (standard KMV; without this, tiny sources would silently
+    over-estimate and an under-filled union rank would return ZERO
+    rows). At 100 TB this is the crawl-overlap audit that ships k
+    longs per source instead of the gram sets; text_source_overlap
+    is the exact small-scale sibling the fixture verifies against."""
     k = _KMV_K
     d = _t(spark, sf_dir, "documents").filter(
         F.col("source").isin("src0", "src1")
     )
     from dasladen_spark.functions.text import word_ngrams
+    from dasladen_spark.operators.dedup import portable_md5_int
 
+    # split PROJECTED to a named column before the n-gram HOF —
+    # inlining it re-evaluates the split once per gram position
+    # (functions/text contract; the round-6 winnowing regression)
+    w = d.select("source", F.split(F.col("text"), " ").alias("_w"))
+    # the distinct gram frame feeds BOTH the sketch build and the
+    # exact ground-truth branch — persist so the corpus is scanned
+    # once (production drops the exact branch and with it this
+    # persist; the harnesses clearCache() per query)
     g = (
-        d.select(
-            "source",
-            F.explode(
-                word_ngrams(F.split(F.col("text"), " "), 3)
-            ).alias("ng"),
+        w.select(
+            "source", F.explode(word_ngrams(F.col("_w"), 3)).alias("ng")
         )
         .distinct()
+        .persist()
     )
-    h = g.select(
-        "source",
-        "ng",
-        F.conv(F.substring(F.md5("ng"), 1, 13), 16, 10)
-        .cast("bigint")
-        .alias("hv"),
-    )
+    h = g.select("source", portable_md5_int(F.col("ng"), 13).alias("hv"))
     rk = h.withColumn(
         "rn",
         F.row_number().over(
@@ -394,13 +412,25 @@ def text_kmv_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 2·k rows feeding FIVE downstream branches (thetas, union ranks,
     # both join sides, the match count) — without the persist each
-    # branch re-derives the sketch from its own corpus scan (6 scans
-    # of documents; the winnowing persisted-fanout lesson). The bench
-    # and oracle harnesses clearCache() per query.
+    # branch re-derives the sketch from its own scan (the winnowing
+    # persisted-fanout lesson)
     sk = rk.filter(F.col("rn") <= k).select("source", "hv").persist()
     thetas = sk.agg(
         F.max(F.when(F.col("source") == "src0", F.col("hv"))).alias("ta"),
+        F.count(F.when(F.col("source") == "src0", F.lit(1))).alias("n_a"),
         F.max(F.when(F.col("source") == "src1", F.col("hv"))).alias("tb"),
+        F.count(F.when(F.col("source") == "src1", F.lit(1))).alias("n_b"),
+    )
+    # a side with < k grams is wholly known → its θ is the full space
+    te = thetas.select(
+        F.least(
+            F.when(F.col("n_a") < k, F.lit(_KMV_SCALE)).otherwise(
+                F.col("ta")
+            ),
+            F.when(F.col("n_b") < k, F.lit(_KMV_SCALE)).otherwise(
+                F.col("tb")
+            ),
+        ).alias("theta")
     )
     uni = (
         sk.select("hv")
@@ -412,44 +442,47 @@ def text_kmv_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tu = uni.filter(F.col("rn") == k).select(
-        F.col("hv").alias("theta_u")
+    us = uni.agg(
+        F.max("rn").alias("n_u"),
+        F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("theta_u"),
     )
     a = sk.filter(F.col("source") == "src0").select("hv")
     b = sk.filter(F.col("source") == "src1").select("hv")
     dcount = (
         a.join(b, "hv")
-        .crossJoin(F.broadcast(thetas))
-        .filter(F.col("hv") < F.least(F.col("ta"), F.col("tb")))
+        .crossJoin(F.broadcast(te))
+        .filter(F.col("hv") < F.col("theta"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     ex = (
         g.groupBy("ng")
-        .agg((F.count_distinct("source") == 2).alias("both"))
+        .agg((F.count_distinct("source") == 2).alias("in_both"))
         .agg(
             F.count_distinct("ng").alias("exact_union"),
-            F.count_distinct(F.when(F.col("both"), F.col("ng"))).alias(
-                "exact_intersection"
-            ),
+            F.count_distinct(
+                F.when(F.col("in_both"), F.col("ng"))
+            ).alias("exact_intersection"),
         )
     )
     return (
-        dcount.crossJoin(thetas)
-        .crossJoin(tu)
+        dcount.crossJoin(te)
+        .crossJoin(us)
         .crossJoin(ex)
         .select(
             F.lit("src0|src1").alias("pair"),
             (
                 F.col("n_common").cast("double")
                 * F.lit(_KMV_SCALE)
-                / F.least(F.col("ta"), F.col("tb")).cast("double")
+                / F.col("theta").cast("double")
             ).alias("est_intersection"),
             "exact_intersection",
-            (
+            F.when(F.col("n_u") < k, F.col("n_u").cast("double"))
+            .otherwise(
                 F.lit(float(k - 1))
                 * F.lit(_KMV_SCALE)
                 / F.col("theta_u").cast("double")
-            ).alias("est_union"),
+            )
+            .alias("est_union"),
             "exact_union",
         )
     )

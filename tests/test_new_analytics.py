@@ -380,3 +380,19 @@ def test_kmv_overlap_estimates_within_envelope(spark, sf_dir):
     )
     assert rel_i < 0.5, rel_i
     assert row["exact_intersection"] <= row["exact_union"]
+
+
+def test_kmv_overlap_not_full_sketch_is_exact(spark, sf_dir, monkeypatch):
+    """With k raised above every source's gram count the sketches are
+    wholly known, and the fallback must return the EXACT union and
+    intersection (effective theta = full hash space, union = merged
+    size) — not an extrapolation, and never zero rows (the
+    under-filled union rank bug)."""
+    import dasladen_spark.plans.llm12 as llm12
+
+    monkeypatch.setattr(llm12, "_KMV_K", 1 << 20)
+    row = llm12.text_kmv_gram_overlap(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["est_union"] == float(r["exact_union"])
+    assert r["est_intersection"] == float(r["exact_intersection"])
