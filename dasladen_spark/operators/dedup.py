@@ -164,7 +164,7 @@ def exact_dedup(
 
 def _hash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     rng = random.Random(_SEED)
-    # a,b < 2^20 and shingle hash < 2^31 keep a*h+b < 2^52 (ANSI-safe)
+    # a,b < 2^20 and shingle hash < 2^32 keep a*h+b < 2^52 (ANSI-safe)
     return [
         (rng.randrange(1, 1 << 20), rng.randrange(0, 1 << 20))
         for _ in range(num_hashes)
@@ -681,6 +681,11 @@ def duplicated_spans(
     """(doc_a, doc_b, a_start, b_start, span_tokens, span_md5) — every
     maximal shared token run of ≥ ``min_span`` tokens, with 1-based
     token start positions in both docs and the span's content hash.
+    Maximality holds for runs whose seeds all fall under ``max_df``:
+    the hub cap can drop a mid-run seed of a pathologically frequent
+    8-gram, reporting that run as two overlapping shorter spans (and
+    losing sub-runs under ``min_span``). ``cut_duplicate_spans`` is
+    unaffected — its interval merge re-joins the fragments.
 
     Scale shape: seeding is the winnowing staged projection (one
     md5 per position, no shuffle); the seed join is hash-keyed with a

@@ -235,8 +235,11 @@ def kcenter_coreset(
     BROADCAST literal centers, reduced by a global top-1 — the only
     driver traffic is k single-row collects (the same provably-bounded
     pattern as the kmeans centroid updates). Total work O(k²·n) fold
-    steps with k tiny; callers at 100 TB should cache the projected
-    (id, vector) frame so the k scans hit memory, not the parquet.
+    steps with k tiny. For k > 2 the (id, vector) projection is
+    persisted for the duration (and unpersisted on exit) so the k
+    scans hit memory, not the parquet — the projection is a straight
+    narrow scan (no shuffle beneath), so caching pins nothing AQE
+    would want to re-plan.
     The distance fold is the deterministic left-fold, so every pick —
     hence the whole trajectory — replays bit-for-bit in the unrolled
     SQL oracle (min over doubles is associative: the oracle's running
@@ -248,6 +251,14 @@ def kcenter_coreset(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    e = e.persist()
+    try:
+        return _kcenter_greedy(df, e, id_col, k)
+    finally:
+        e.unpersist()
+
+
+def _kcenter_greedy(df: DataFrame, e: DataFrame, id_col: str, k: int):
     seed_rows = e.orderBy("_id").limit(1).collect()
     if not seed_rows:
         raise ValueError(
@@ -262,7 +273,6 @@ def kcenter_coreset(
             " or repair upstream"
         )
     picks = [(0, seed["_id"], None)]
-    center_vecs = [seed["_v"]]
 
     def _d2_to(vec: list[float]) -> Column:
         # interpreted HOF fold ON PURPOSE: every iteration is a NEW
@@ -271,23 +281,63 @@ def kcenter_coreset(
         # for one tiny scan each (measured 3.2 s → 14 s at sf0.1);
         # the interpreter evaluates a per-iteration expression
         # immediately (and an unrolled chain doesn't JIT anyway —
-        # see the note in functions/vectors).
-        lit = F.array(*[F.lit(float(x)) for x in vec])
+        # see the note in functions/vectors). F.lit(list) builds the
+        # center literal in ONE py4j call — 64 scalar F.lit calls per
+        # center measured as the dominant driver-side cost.
         diff = F.zip_with(
-            F.col("_v"), lit, lambda x, y: (x - y) * (x - y)
+            F.col("_v"),
+            F.lit([float(x) for x in vec]),
+            lambda x, y: (x - y) * (x - y),
         )
         return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
 
+    # incremental running-min: round i folds ONLY the newest center
+    # against the persisted (id, v, d2) frame from round i-1 — O(k·n)
+    # fold steps instead of the naive O(k²·n) re-fold of every center
+    # each round, and the same bits (the explicit least() chain
+    # evaluates in exactly this order; the SQL oracle replays this
+    # same incremental shape). Each round's frame is persisted and the
+    # previous one released only AFTER the top-1 collect materializes
+    # the new cache, so no round ever recomputes the fold chain from
+    # parquet (round-6's unpersisted-fanout lesson).
+    frames = [
+        e.select("_id", "_v", _d2_to(seed["_v"]).alias("_d2")).persist(),
+        None,  # [cur, prev]
+    ]
+    try:
+        picks = _kcenter_rounds(frames, _d2_to, picks, k)
+    finally:
+        for f in frames:
+            if f is not None:
+                f.unpersist()
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("pick_order", T.IntegerType()),
+            # id keeps the INPUT's type (a string doc key must come
+            # back joinable, not coerced to bigint)
+            T.StructField(id_col, e.schema["_id"].dataType),
+            T.StructField("d2", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(picks, schema=schema)
+
+
+def _kcenter_rounds(frames, _d2_to, picks, k):
+    """Rounds 1..k-1 of the greedy; ``frames`` is the caller's
+    [cur, prev] cell so the finally-cleanup sees the live handles
+    even when a guard raises mid-trajectory."""
     for i in range(1, k):
-        d2 = _d2_to(center_vecs[0])
-        for c in center_vecs[1:]:
-            d2 = F.least(d2, _d2_to(c))
+        cur, prev = frames
         far = (
-            e.select("_id", "_v", d2.alias("_d2"))
-            .orderBy(F.desc("_d2"), F.asc("_id"))
-            .limit(1)
-            .collect()[0]
+            cur.orderBy(F.desc("_d2"), F.asc("_id")).limit(1).collect()[0]
         )
+        if prev is not None:
+            prev.unpersist()
+            frames[1] = None
         d2v = far["_d2"]
         if d2v is None or not math.isfinite(d2v):
             # NaN sorts ABOVE every double, so a single NaN embedding
@@ -311,18 +361,11 @@ def kcenter_coreset(
                 " lower k or dedup upstream"
             )
         picks.append((i, far["_id"], far["_d2"]))
-        center_vecs.append(far["_v"])
-
-    from pyspark.sql import types as T
-
-    spark = df.sparkSession
-    schema = T.StructType(
-        [
-            T.StructField("pick_order", T.IntegerType()),
-            # id keeps the INPUT's type (a string doc key must come
-            # back joinable, not coerced to bigint)
-            T.StructField(id_col, e.schema["_id"].dataType),
-            T.StructField("d2", T.DoubleType()),
-        ]
-    )
-    return spark.createDataFrame(picks, schema=schema)
+        if i < k - 1:
+            frames[1] = cur
+            frames[0] = cur.select(
+                "_id",
+                "_v",
+                F.least(F.col("_d2"), _d2_to(far["_v"])).alias("_d2"),
+            ).persist()
+    return picks

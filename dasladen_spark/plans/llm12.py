@@ -30,14 +30,25 @@ _COS = (
     "decontaminate_semantic",
     oracle=f"""
     WITH b AS (
-      SELECT vec_id AS bid, embedding::DOUBLE[] AS bv
+      SELECT vec_id AS bid, embedding::DOUBLE[] AS bv,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                          x -> x * x))) AS bn
       FROM embeddings WHERE vec_id % 11 = 0 AND vec_id < 500
     ), t AS (
-      SELECT vec_id, embedding::DOUBLE[] AS tv
+      SELECT vec_id, embedding::DOUBLE[] AS tv,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                          x -> x * x))) AS tn
       FROM embeddings WHERE NOT (vec_id % 11 = 0 AND vec_id < 500)
     ), s AS (
+      -- denom guard mirrors the Spark operator (a zero vector scores
+      -- 0.0, never NULL/NaN) so degenerate embeddings in a future
+      -- fixture cannot diverge the engines
       SELECT t.vec_id, b.bid,
-             {_COS.format(a="t.tv", b="b.bv")} AS c
+             CASE WHEN t.tn * b.bn = 0 THEN 0.0
+                  ELSE list_sum(list_transform(list_zip(t.tv, b.bv),
+                                               p -> p[1] * p[2]))
+                       / (t.tn * b.bn)
+             END AS c
       FROM t CROSS JOIN b
     ), r AS (
       SELECT vec_id, bid, c,

@@ -416,9 +416,18 @@ def _kcore_oracle() -> str:
       SELECT e.u, e.v FROM e{r - 1} e
       WHERE e.u IN (SELECT u FROM k{r}) AND e.v IN (SELECT u FROM k{r})
     )""")
+    # convergence guard: the Spark operator peels to FIXPOINT while
+    # this unroll runs a fixed _KCORE_ROUNDS — if a larger sf ever
+    # needed more rounds, the last two edge sets would differ and the
+    # WHERE below returns 0 rows, failing the gate loudly (row-count
+    # mismatch) instead of silently hash-mismatching on a
+    # non-converged peel
+    n, p = _KCORE_ROUNDS, _KCORE_ROUNDS - 1
     parts.append(f"""
     SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS degree
-    FROM e{_KCORE_ROUNDS} GROUP BY u
+    FROM e{n}
+    WHERE (SELECT COUNT(*) FROM e{p}) = (SELECT COUNT(*) FROM e{n})
+    GROUP BY u
     ORDER BY degree DESC, id LIMIT 20
     """)
     return "".join(parts)

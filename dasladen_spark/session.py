@@ -46,14 +46,15 @@ DEFAULT_CONF: dict[str, str] = {
     # query runs interpreted ~2-3× slower — measured as progressive
     # per-query degradation across a bench run. A larger, flushable
     # code cache keeps late queries at the same steady state as a
-    # fresh session. CAVEATS: this only takes effect when THIS
+    # fresh session. CAVEAT: this only takes effect when THIS
     # builder launches the JVM (the local/test/bench path); under
     # spark-submit client mode the driver JVM already exists and the
     # setting is silently inert — pass the same flags via
-    # --driver-java-options there. It also REPLACES (not appends to)
-    # any spark.driver.extraJavaOptions from spark-defaults.conf on
-    # the local path; callers needing extra flags should pass them
-    # through get_spark(extra_conf=...) including these.
+    # --driver-java-options there. get_spark MERGES this with any
+    # extraJavaOptions from spark-defaults.conf or extra_conf (theirs
+    # first, these appended) rather than replacing, so a deployment's
+    # GC/agent flags survive; a caller-supplied ReservedCodeCacheSize
+    # wins (see _merge_java_options).
     "spark.driver.extraJavaOptions": (
         "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing"
     ),
@@ -74,6 +75,55 @@ DEFAULT_CONF: dict[str, str] = {
 def default_parallelism() -> int:
     """CPU budget: SPARK_GRAFT_CPUS env, else all local cores."""
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+_JAVA_OPTS_KEY = "spark.driver.extraJavaOptions"
+
+
+def _spark_defaults_java_options() -> str:
+    """``spark.driver.extraJavaOptions`` from spark-defaults.conf, if
+    a conf dir exists ($SPARK_CONF_DIR, else $SPARK_HOME/conf) — the
+    local-launch path never reads that file through SparkConf (the
+    JVM doesn't exist yet), so a deployment's GC/agent flags would
+    otherwise be silently dropped by our code-cache default."""
+    conf_dir = os.environ.get("SPARK_CONF_DIR") or (
+        os.path.join(os.environ["SPARK_HOME"], "conf")
+        if "SPARK_HOME" in os.environ
+        else None
+    )
+    if not conf_dir:
+        return ""
+    path = os.path.join(conf_dir, "spark-defaults.conf")
+    try:
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line.startswith(_JAVA_OPTS_KEY):
+                    rest = line[len(_JAVA_OPTS_KEY):].lstrip(" \t=")
+                    return rest
+    except OSError:
+        return ""
+    return ""
+
+
+def _merge_java_options(*values: str | None) -> str:
+    """Merge driver java-option strings left-to-right, dropping exact
+    duplicate flags and letting a LATER value of a ``-XX:name=``-style
+    option override an earlier one (JVMs take the last occurrence, but
+    deduping keeps the line readable and the intent explicit). Empty /
+    None values are skipped."""
+    seen: dict[str, int] = {}
+    out: list[str] = []
+    for value in values:
+        for flag in (value or "").split():
+            # -XX:Name=V and -Dname=v override by their name part
+            key = flag.split("=", 1)[0] if "=" in flag else flag
+            if key in seen:
+                out[seen[key]] = flag
+            else:
+                seen[key] = len(out)
+                out.append(flag)
+    return " ".join(out)
 
 
 def get_spark(
@@ -101,6 +151,15 @@ def get_spark(
     )
     if extra_conf:
         conf.update(extra_conf)
+    # merge, never replace, driver java options: a deployment's flags
+    # (spark-defaults.conf) and a caller's (extra_conf) both survive
+    # alongside the code-cache defaults; the caller's value is last so
+    # e.g. its own -XX:ReservedCodeCacheSize wins
+    conf[_JAVA_OPTS_KEY] = _merge_java_options(
+        _spark_defaults_java_options(),
+        DEFAULT_CONF[_JAVA_OPTS_KEY],
+        (extra_conf or {}).get(_JAVA_OPTS_KEY),
+    )
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
