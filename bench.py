@@ -176,6 +176,9 @@ def main() -> None:
         # the 64-column signature aggregate; warm reps measure the
         # ~2.5s execution that actually scales with data
         "dedup_minhash_lsh",
+        # same signature-aggregate compile profile since round 9's
+        # pure-JVM hyperplane kernel (64 quantized-dot sum columns)
+        "ann_lsh_topk",
     }
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dasladen_spark.functions.vectors import cosine_sim
-from dasladen_spark.operators.dedup import _spread, hyperplane_bucket_udf
+from dasladen_spark.operators.dedup import _spread, hyperplane_table_buckets
 from dasladen_spark.operators.similarity import (
     centroid_assign_udf,
     fit_ivf_centroids,
@@ -110,11 +110,8 @@ def build_ann_index(
         "neighbor_id",
     )
     if method == "lsh":
-        bucket_udf = hyperplane_bucket_udf(num_tables, bits_per_table, dim)
-        postings = c.select(
-            "neighbor_id",
-            "cv",
-            F.posexplode(bucket_udf(F.col("cv"))).alias("t", "bkt"),
+        postings = hyperplane_table_buckets(
+            c, "cv", num_tables, bits_per_table, dim
         ).select(
             (F.col("t").cast("bigint") * (1 << bits_per_table) + F.col("bkt"))
             .alias("probe"),
@@ -179,11 +176,13 @@ def build_ann_index(
                 pq_ksub,
                 pq_iters,
                 lloyd_iters,
+                _HASH_VERSION,
             )
         ],
         "method STRING, dim INT, num_tables INT, bits_per_table INT,"
         " n_centroids INT, n_buckets INT, tag STRING, compress STRING,"
-        " pq_m INT, pq_ksub INT, pq_iters INT, lloyd_iters INT",
+        " pq_m INT, pq_ksub INT, pq_iters INT, lloyd_iters INT,"
+        " hash_version INT",
     ).write.mode("overwrite").saveAsTable(f"{table}_meta")
 
 
@@ -196,13 +195,8 @@ def _postings_for(
     path: new corpus rows join the index without a rebuild."""
     meta = spark.table(f"{table}_meta").collect()[0]
     if meta["method"] == "lsh":
-        bucket_udf = hyperplane_bucket_udf(
-            meta["num_tables"], meta["bits_per_table"], meta["dim"]
-        )
-        post = vecs.select(
-            "neighbor_id",
-            "cv",
-            F.posexplode(bucket_udf(F.col("cv"))).alias("t", "bkt"),
+        post = hyperplane_table_buckets(
+            vecs, "cv", meta["num_tables"], meta["bits_per_table"], meta["dim"]
         ).select(
             (
                 F.col("t").cast("bigint") * (1 << meta["bits_per_table"])
@@ -271,10 +265,21 @@ def append_to_ann_index(
     )
 
 
+#: bucket-hash generation. 2 = pure-JVM quantized-integer dots
+#: (hyperplane_table_buckets); 1 (implicit — old metas have no
+#: hash_version column) was the numpy-matmul pandas UDF, whose sign
+#: bits can differ from the quantized sum near zero. An index whose
+#: stored version differs from the code's is stale BY CONSTRUCTION
+#: (probe keys would be hashed differently than its postings), so
+#: ensure_ann_index rebuilds it.
+_HASH_VERSION = 2
+
 #: every geometry knob a build can take, with build_ann_index's
 #: defaults — ensure_ann_index compares ALL of them against the
 #: persisted _meta row so no parameter change can silently serve a
-#: stale index (any kwarg differing from the stored value rebuilds)
+#: stale index (any kwarg differing from the stored value rebuilds).
+#: hash_version is not a caller knob but joins the comparison so a
+#: code upgrade invalidates old indexes.
 _GEOMETRY_DEFAULTS = {
     "method": "lsh",
     "dim": 64,
@@ -287,6 +292,7 @@ _GEOMETRY_DEFAULTS = {
     "pq_ksub": 32,
     "pq_iters": 2,
     "lloyd_iters": 1,
+    "hash_version": _HASH_VERSION,
 }
 
 
@@ -303,7 +309,10 @@ def _relevant_geometry(kwargs: dict) -> set[str]:
     compress = kwargs.get("compress", _GEOMETRY_DEFAULTS["compress"])
     params = {"method", "dim", "n_buckets", "compress"}
     if method == "lsh":
-        params |= {"num_tables", "bits_per_table"}
+        # hash_version: the LSH probe-key function itself (callers
+        # never pass it; the code's current value is the "default",
+        # so an index hashed by older code always rebuilds)
+        params |= {"num_tables", "bits_per_table", "hash_version"}
     elif method == "ivf":
         params |= {"n_centroids", "lloyd_iters"}
     if compress == "pq":
@@ -379,13 +388,8 @@ def search_ann_index(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
     )
     if meta["method"] == "lsh":
-        bucket_udf = hyperplane_bucket_udf(
-            meta["num_tables"], meta["bits_per_table"], meta["dim"]
-        )
-        probes = q.select(
-            "query_id",
-            "qv",
-            F.posexplode(bucket_udf(F.col("qv"))).alias("t", "bkt"),
+        probes = hyperplane_table_buckets(
+            q, "qv", meta["num_tables"], meta["bits_per_table"], meta["dim"]
         ).select(
             "query_id",
             "qv",

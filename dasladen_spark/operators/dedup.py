@@ -26,7 +26,7 @@ so Spark 4 ANSI mode can never hit bigint overflow.
 from __future__ import annotations
 
 import random
-from functools import reduce
+from functools import lru_cache, reduce
 from operator import add
 
 import numpy as np
@@ -864,32 +864,149 @@ def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
 
 
-def hyperplane_bucket_udf(num_tables: int, bits_per_table: int, dim: int):
-    """Vectorized random-hyperplane signatures: one Arrow batch →
-    one (rows × planes) matmul → per-table bucket ids. Returns a
-    pandas_udf producing array<bigint>[num_tables]."""
-    planes_mat = np.array(
-        _hyperplanes(num_tables * bits_per_table, dim), dtype=np.float64
+#: fixed-point quantum for the hyperplane dot products. Each term is
+#: floor(x·c·1e6 + 0.5) as BIGINT — pure IEEE multiply/add/floor, so
+#: every engine (and the DuckDB oracle) computes the same integer, and
+#: integer SUM is order-independent, so the sign bit (hence every
+#: bucket id) is bit-replayable regardless of partial-agg order. The
+#: ≤0.5/1e6-per-term rounding only matters for dots within ~dim·5e-7
+#: of zero — any deterministic tie direction is an equally valid hash.
+#: Overflow headroom: |x·c·1e6| must stay ≪ 2^63/dim ≈ 1.4e17 — holds
+#: for any sane embedding magnitude.
+_HYPERPLANE_QUANT = 1e6
+
+
+def hyperplane_table_buckets(
+    df: DataFrame,
+    vec_col: str,
+    num_tables: int,
+    bits_per_table: int,
+    dim: int,
+) -> DataFrame:
+    """``df``'s columns + (t, bkt) — one posting row per hash table,
+    ``bkt`` the table's random-hyperplane sign-bucket of ``vec_col``.
+    Pure JVM (no Python worker): explode the vector's positions, then
+    one codegen'd hash-aggregate computes every plane's quantized dot
+    product as a SUM of ``floor(x·c·Q + 0.5)`` BIGINTs (the MinHash
+    explode+agg-columns shape — map-side combine, whole-stage
+    codegen); sign bits pack into per-table bucket ids.
+
+    Scale shape: the exploded positions of one row never leave its
+    input partition, so the partial aggregate finishes map-side and
+    the exchange carries ONE row per input row (its columns + P
+    longs) — comparable to the posting-write / bucket-join shuffle
+    every caller performs right after. Deterministic: integer sums
+    commute, so bucket membership replays bit-for-bit across runs,
+    engines, and the SQL oracle (see _HYPERPLANE_QUANT).
+
+    ``df`` must be unique by its NON-vector columns (they are the
+    aggregate's group key). The vector rides through the aggregate as
+    ``dim`` separate DOUBLE columns carried by ``first()`` — doubles
+    are fixed-width, so the whole thing stays one codegen'd
+    HashAggregate. The two tempting simpler shapes are both traps:
+    ``first(vec)`` on the ARRAY demotes the stage to an un-codegen'd
+    SortAggregate (array-typed aggregation buffer; measured 4× the
+    whole kernel), and re-joining the vector afterwards adds a
+    broadcast + join stage whose fixed overhead dominates small
+    batches. The vector comes back as array<double> (every consumer
+    folds in doubles anyway). Plan: scan → posexplode → partial agg
+    (map-side: one row per input row survives) → ONE exchange on the
+    key → final agg → posexplode of the bucket array.
+
+    The expression surface is built as SQL text and parsed JVM-side
+    in a handful of calls: the Column-API equivalent is dim py4j
+    round trips per plane literal (F.lit(list) recurses into
+    per-element lit calls) — measured ~20 s of pure driver time per
+    kernel construction. Each plane literal is encoded as ONE string
+    literal + split + cast rather than an array(...) of per-element
+    literals: ConstantFolding collapses it to the identical array
+    before execution, but the ANALYZED tree is 3 nodes per plane
+    instead of dim+1 — Dataset construction analyzes eagerly, and
+    the 4096-literal tree cost ~0.6 s of driver time per call
+    (string-encode: ~0.09 s, verified bit-identical; repr(float) and
+    Spark's string→double cast are both correctly rounded)."""
+    cols = df.columns
+    keys = [c for c in cols if c != vec_col]
+    if not keys:
+        raise ValueError(
+            "hyperplane_table_buckets: df needs at least one id column"
+            " besides the vector (it is the aggregate's group key)"
+        )
+    sums_sql, firsts_sql, rebuild_sql, buckets_sql = _hyperplane_sql(
+        num_tables, bits_per_table, dim
     )
-    weights = (np.int64(1) << np.arange(bits_per_table, dtype=np.int64))
+    kq = [f"`{k}`" for k in keys]
+    elems_sql = (
+        "struct("
+        + ",".join(
+            f"cast(element_at(`{vec_col}`, {i + 1}) as double) as _v{i}"
+            for i in range(dim)
+        )
+        + ") as _vs"
+    )
+    exploded = df.selectExpr(
+        *kq,
+        elems_sql,
+        f"posexplode(cast(`{vec_col}` as array<double>)) as (_pos, _x)",
+    )
+    agged = exploded.groupBy(*keys).agg(
+        F.expr(sums_sql).alias("_s"), F.expr(firsts_sql).alias("_f")
+    )
+    return agged.select(
+        *kq,
+        F.expr(rebuild_sql).alias(vec_col),
+        F.posexplode(F.expr(buckets_sql)).alias("t", "bkt"),
+    ).select(*cols, "t", "bkt")
 
-    @F.pandas_udf("array<bigint>")
-    def buckets(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (x @ planes_mat.T >= 0).astype(np.int64)  # (rows, T*B)
-        out = []
-        for row in bits:
-            out.append(
-                [
-                    int((row[t * bits_per_table : (t + 1) * bits_per_table] * weights).sum())
-                    for t in range(num_tables)
-                ]
+
+@lru_cache(maxsize=32)
+def _hyperplane_sql(
+    num_tables: int, bits_per_table: int, dim: int
+) -> tuple[str, str, str, str]:
+    """(sums struct, vector firsts struct, vector rebuild, bucket
+    array) SQL for hyperplane_table_buckets — pure strings, safe to
+    cache across sessions; the plane family is seed-deterministic."""
+    planes = _hyperplanes(num_tables * bits_per_table, dim)
+    qlit = repr(float(_HYPERPLANE_QUANT))
+
+    def _sum_sql(plane: list[float]) -> str:
+        packed = ",".join(repr(float(c)) for c in plane)
+        arr = f"cast(split('{packed}', ',') as array<double>)"
+        return (
+            f"sum(cast(floor(_x * element_at({arr}, _pos + 1)"
+            f" * {qlit}D + 0.5D) as bigint))"
+        )
+
+    sums_sql = (
+        "struct("
+        + ",".join(
+            f"{_sum_sql(plane)} as _s{p}" for p, plane in enumerate(planes)
+        )
+        + ")"
+    )
+    firsts_sql = (
+        "struct("
+        + ",".join(f"first(_vs._v{i}) as _f{i}" for i in range(dim))
+        + ")"
+    )
+    rebuild_sql = (
+        "array(" + ",".join(f"_f._f{i}" for i in range(dim)) + ")"
+    )
+    buckets_sql = (
+        "array("
+        + ",".join(
+            "("
+            + " + ".join(
+                f"shiftleft(cast((_s._s{t * bits_per_table + b} >= 0)"
+                f" as bigint), {b})"
+                for b in range(bits_per_table)
             )
-        return pd.Series(out)
-
-    return buckets
+            + ")"
+            for t in range(num_tables)
+        )
+        + ")"
+    )
+    return sums_sql, firsts_sql, rebuild_sql, buckets_sql
 
 
 def embedding_near_dup_pairs(
@@ -927,9 +1044,8 @@ def embedding_near_dup_pairs(
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    bucket_udf = hyperplane_bucket_udf(num_tables, bits_per_table, dim)
-    exploded = _spread(base, "id").select(
-        "id", "vec", F.posexplode(bucket_udf(F.col("vec"))).alias("t", "bkt")
+    exploded = hyperplane_table_buckets(
+        _spread(base, "id"), "vec", num_tables, bits_per_table, dim
     )
     # max_bucket=None: hyperplane buckets do NOT imply similarity, so
     # the star degrade would drop true pairs whose spokes fail the

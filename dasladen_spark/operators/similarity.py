@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dasladen_spark.functions.vectors import cosine_sim
-from dasladen_spark.operators.dedup import _spread, hyperplane_bucket_udf
+from dasladen_spark.operators.dedup import _spread, hyperplane_table_buckets
 
 
 def cosine_topk(
@@ -85,23 +85,35 @@ def lsh_cosine_topk(
     with the report: more tables -> recall, more bits -> smaller
     buckets (fewer candidates per probe).
     """
-    bucket_udf = hyperplane_bucket_udf(num_tables, bits_per_table, dim)
-
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_vec).alias("qv"),
-        F.posexplode(bucket_udf(F.col(query_vec))).alias("t", "bkt"),
-    ).select("query_id", "qv", "t", "bkt")
-    c = _spread(
-        corpus.select(
-            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
+    # ONE kernel pass over queries ∪ corpus (the side tag joins the
+    # group key): half the signature-pipeline stages and half the
+    # driver-side plan analysis of running the kernel per side
+    both = hyperplane_table_buckets(
+        queries.select(
+            F.lit(True).alias("_is_q"),
+            F.col(query_id).alias("_id"),
+            F.col(query_vec).cast("array<double>").alias("_v"),
+        ).unionByName(
+            _spread(
+                corpus.select(
+                    F.lit(False).alias("_is_q"),
+                    F.col(corpus_id).alias("_id"),
+                    F.col(corpus_vec).cast("array<double>").alias("_v"),
+                ),
+                "_id",
+            )
         ),
-        "neighbor_id",
-    ).select(
-        "neighbor_id",
-        "cv",
-        F.posexplode(bucket_udf(F.col("cv"))).alias("t", "bkt"),
-    ).select("neighbor_id", "cv", "t", "bkt")
+        "_v",
+        num_tables,
+        bits_per_table,
+        dim,
+    )
+    q = both.filter(F.col("_is_q")).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv"), "t", "bkt"
+    )
+    c = both.filter(~F.col("_is_q")).select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"), "t", "bkt"
+    )
     cand = q.join(c, on=["t", "bkt"]).dropDuplicates(["query_id", "neighbor_id"])
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
