@@ -11,7 +11,7 @@ DuckDB (see functions/vectors).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dasladen_spark.plans.registry import query
@@ -225,62 +225,20 @@ def q_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     native HLL++ (the production path); this query is the proof that
     the mergeable-rollup SHAPE is right, exact to the last bit.
     """
+    from dasladen_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
-    ).cast("bigint")
     base = ev.select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.date_format("ts", "yyyy-MM").alias("month"),
-        h.alias("hv"),
         F.col("user_id"),
     )
-    rb = base.select(
-        "day",
-        "month",
-        "user_id",
-        (F.col("hv").bitwiseAND(F.lit(15))).alias("bucket"),
-        F.shiftright("hv", 4).alias("r"),
-    )
-    rho = rb.select(
-        "day",
-        "month",
-        "bucket",
-        F.when(F.col("r") == 0, F.lit(_HLL_MAXRHO))
-        .otherwise(
-            F.bit_count(
-                (F.col("r").bitwiseAND(-F.col("r"))) - F.lit(1)
-            )
-            + F.lit(1)
-        )
-        .alias("rho"),
-    )
-    daily = rho.groupBy("day", "month", "bucket").agg(
-        F.max("rho").alias("m_j")
-    )
-    monthly = daily.groupBy("month", "bucket").agg(
-        F.max("m_j").alias("m_j")
-    )
-
-    def _est(sketch: DataFrame, period_col: str) -> DataFrame:
-        s = sketch.groupBy(F.col(period_col).alias("period")).agg(
-            (
-                # SQL shiftleft takes a column shift amount (the
-                # Python wrapper insists on an int literal)
-                F.sum(F.expr(f"shiftleft(1L, {_HLL_MAXRHO} - m_j)"))
-                + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(_HLL_TOP)
-            ).alias("s")
-        )
-        return s.select(
-            "period",
-            (
-                F.lit(0.673)
-                * F.lit(_HLL_M)
-                * F.lit(_HLL_M)
-                * F.lit(_HLL_TOP)
-                / F.col("s").cast("double")
-            ).alias("est_distinct"),
-        )
+    daily = hll_sketch(base, ["day", "month"], "user_id", m=_HLL_M)
+    monthly = hll_merge(daily, ["month"])
 
     dexact = ev.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("period")
@@ -289,13 +247,15 @@ def q_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM").alias("period")
     ).agg(F.count_distinct("user_id").alias("exact_distinct"))
     d = (
-        _est(daily, "day")
+        hll_estimate(daily, ["day"], m=_HLL_M)
+        .withColumnRenamed("day", "period")
         .join(dexact, "period")
         .select(F.lit("day").alias("level"), "period", "est_distinct",
                 "exact_distinct")
     )
     m = (
-        _est(monthly, "month")
+        hll_estimate(monthly, ["month"], m=_HLL_M)
+        .withColumnRenamed("month", "period")
         .join(mexact, "period")
         .select(F.lit("month").alias("level"), "period", "est_distinct",
                 "exact_distinct")
@@ -397,7 +357,10 @@ def text_kmv_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin("src0", "src1")
     )
     from dasladen_spark.functions.text import word_ngrams
-    from dasladen_spark.operators.dedup import portable_md5_int
+    from dasladen_spark.operators.sketches import (
+        kmv_overlap_pair,
+        kmv_sketch,
+    )
 
     # split PROJECTED to a named column before the n-gram HOF —
     # inlining it re-evaluates the split once per gram position
@@ -414,57 +377,14 @@ def text_kmv_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    h = g.select("source", portable_md5_int(F.col("ng"), 13).alias("hv"))
-    rk = h.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("source").orderBy("hv")
-        ),
-    )
-    # 2·k rows feeding FIVE downstream branches (thetas, union ranks,
-    # both join sides, the match count) — without the persist each
-    # branch re-derives the sketch from its own scan (the winnowing
-    # persisted-fanout lesson)
-    sk = rk.filter(F.col("rn") <= k).select("source", "hv").persist()
-    thetas = sk.agg(
-        F.max(F.when(F.col("source") == "src0", F.col("hv"))).alias("ta"),
-        F.count(F.when(F.col("source") == "src0", F.lit(1))).alias("n_a"),
-        F.max(F.when(F.col("source") == "src1", F.col("hv"))).alias("tb"),
-        F.count(F.when(F.col("source") == "src1", F.lit(1))).alias("n_b"),
-    )
-    # a side with < k grams is wholly known → its θ is the full space
-    te = thetas.select(
-        F.least(
-            F.when(F.col("n_a") < k, F.lit(_KMV_SCALE)).otherwise(
-                F.col("ta")
-            ),
-            F.when(F.col("n_b") < k, F.lit(_KMV_SCALE)).otherwise(
-                F.col("tb")
-            ),
-        ).alias("theta")
-    )
-    uni = (
-        sk.select("hv")
-        .distinct()
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(F.lit(1)).orderBy("hv")
-            ),
-        )
-    )
-    us = uni.agg(
-        F.max("rn").alias("n_u"),
-        F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("theta_u"),
-    )
-    a = sk.filter(F.col("source") == "src0").select("hv")
-    b = sk.filter(F.col("source") == "src1").select("hv")
-    dcount = (
-        a.join(b, "hv")
-        .crossJoin(F.broadcast(te))
-        .filter(F.col("hv") < F.col("theta"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # ≤ 2·k rows feeding FIVE downstream branches (thetas, union
+    # ranks, both join sides, the match count) — without the persist
+    # each branch re-derives the sketch from its own scan (the
+    # winnowing persisted-fanout lesson)
+    sk = kmv_sketch(
+        g, ["source"], "ng", k=k, assume_distinct=True
+    ).persist()
+    est = kmv_overlap_pair(sk, "source", "src0", "src1", k=k)
     ex = (
         g.groupBy("ng")
         .agg((F.count_distinct("source") == 2).alias("in_both"))
@@ -475,25 +395,10 @@ def text_kmv_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_intersection"),
         )
     )
-    return (
-        dcount.crossJoin(te)
-        .crossJoin(us)
-        .crossJoin(ex)
-        .select(
-            F.lit("src0|src1").alias("pair"),
-            (
-                F.col("n_common").cast("double")
-                * F.lit(_KMV_SCALE)
-                / F.col("theta").cast("double")
-            ).alias("est_intersection"),
-            "exact_intersection",
-            F.when(F.col("n_u") < k, F.col("n_u").cast("double"))
-            .otherwise(
-                F.lit(float(k - 1))
-                * F.lit(_KMV_SCALE)
-                / F.col("theta_u").cast("double")
-            )
-            .alias("est_union"),
-            "exact_union",
-        )
+    return est.crossJoin(ex).select(
+        "pair",
+        "est_intersection",
+        "exact_intersection",
+        "est_union",
+        "exact_union",
     )

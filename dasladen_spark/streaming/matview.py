@@ -111,17 +111,22 @@ def run_incremental_matview(
     checkpoint: str,
     key_cols: list[str] | str,
     agg_exprs: dict[str, str],
+    combine: dict[str, str] | None = None,
 ) -> None:
-    """Maintain per-key ADDITIVE aggregates of ``stream`` in a
+    """Maintain per-key MERGEABLE aggregates of ``stream`` in a
     parquet snapshot. ``agg_exprs`` maps output column → SQL
     aggregate over the batch (e.g. {"n": "count(1)",
-    "total": "sum(value)"}); measures must be sum-combinable.
+    "total": "sum(value)"}); ``combine`` maps a column to the
+    function merging a batch value into the snapshot value (default
+    "sum" — counts/sums; "max"/"min" for bucket-maximum sketches
+    like the HLL table, where the merge is additionally idempotent).
 
     Merging batch aggregates (not raw rows) keeps the shuffle to the
     batch's key set; the result equals a full batch recompute."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     spark = stream.sparkSession
     marker = snapshot_path + ".last_batch"
+    combine_fn = {c: (combine or {}).get(c, "sum") for c in agg_exprs}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         _recover_snapshot(snapshot_path)
@@ -135,7 +140,12 @@ def run_incremental_matview(
             combined = (
                 prev.unionByName(batch_agg)
                 .groupBy(*keys)
-                .agg(*[F.sum(c).alias(c) for c in agg_exprs])
+                .agg(
+                    *[
+                        F.expr(f"{combine_fn[c]}({c})").alias(c)
+                        for c in agg_exprs
+                    ]
+                )
             )
         else:
             combined = batch_agg

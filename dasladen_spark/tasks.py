@@ -1358,6 +1358,79 @@ def run_ann_index(ctx: TaskContext, task: dict) -> None:
     ctx.log(f"task {task.get('name')}: search results written")
 
 
+def run_sketch(ctx: TaskContext, task: dict) -> None:
+    """Sketch task (beyond the reference): maintain mergeable
+    distinct-count / overlap sketch TABLES from task files — the
+    persisted form of operators/sketches, so a daily pipeline ships
+    m (or k) longs per key per period instead of raw value sets.
+
+    - ``action: build``    source rows → sketch rows → target (run
+      daily with an append-mode target to accumulate the daily
+      sketch table; streaming/sketchsync maintains the same shape)
+    - ``action: merge``    source SKETCH table → coarser ``keys``
+      (daily → monthly) → target
+    - ``action: estimate`` source SKETCH table → per-``keys``
+      distinct-count estimates → target
+    - ``action: overlap``  (kmv only) source SKETCH table keyed by
+      ``keys[0]`` → intersection/union estimates for ``pair`` →
+      target
+
+    ``method: hll`` (default; m buckets) or ``kmv`` (k minimum
+    values); ``value`` names the counted column for ``build``."""
+    from dasladen_spark.operators import sketches as sk
+
+    method = task.get("method", "hll")
+    action = task.get("action", "build")
+    keys = list(task.get("keys", []))
+    src = task["source"]
+    df = _read_source(ctx, {**task, "type": src.get("kind", "parquet") + "-x"})
+    df = _transformed(ctx, task, df)
+    if method == "hll":
+        m = int(task.get("m", 16))
+        if action == "build":
+            out = sk.hll_sketch(df, keys, task["value"], m=m)
+        elif action == "merge":
+            out = sk.hll_merge(df, keys)
+        elif action == "estimate":
+            out = sk.hll_estimate(df, keys, m=m)
+        else:
+            raise ValueError(f"unknown hll sketch action {action!r}")
+    elif method == "kmv":
+        k = int(task.get("k", 256))
+        if action == "build":
+            out = sk.kmv_sketch(df, keys, task["value"], k=k)
+        elif action == "merge":
+            out = sk.kmv_merge(df, keys, k=k)
+        elif action == "estimate":
+            out = sk.kmv_estimate_distinct(df, keys, k=k)
+        elif action == "overlap":
+            pair = task["pair"]
+            cached = df.persist()  # feeds four branches, ≤ 2k rows
+            try:
+                out = sk.kmv_overlap_pair(
+                    cached, keys[0], pair[0], pair[1], k=k
+                )
+                tgt = task["target"]
+                _write_sink(
+                    ctx,
+                    {**task, "type": "x-" + tgt.get("kind", "parquet")},
+                    out,
+                )
+            finally:
+                cached.unpersist()
+            ctx.log(f"task {task.get('name')}: kmv overlap written")
+            return
+        else:
+            raise ValueError(f"unknown kmv sketch action {action!r}")
+    else:
+        raise ValueError(f"unknown sketch method {method!r}")
+    tgt = task["target"]
+    _write_sink(ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out)
+    ctx.log(
+        f"task {task.get('name')}: sketch {method}/{action} written"
+    )
+
+
 TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "csv-db": run_etl,
     "db-csv": run_etl,
@@ -1384,6 +1457,7 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "score": run_score,
     "decontaminate": run_decontaminate,
     "intake": run_intake,
+    "sketch": run_sketch,
 }
 
 # Beyond the reference's seven ETL shapes: the full source×sink matrix
