@@ -45,6 +45,10 @@ def semantic_contamination(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.35,
+    method: str = "exact",
+    num_tables: int = 16,
+    bits_per_table: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """(id, nearest_bench_id, max_cosine) for every training vector
     whose embedding cosine to SOME benchmark vector ≥ ``threshold`` —
@@ -74,8 +78,38 @@ def semantic_contamination(
     (A codegen'd fixed-width unrolled dot chain was tried and is
     ~4× SLOWER than the interpreted fold here: a 64-term expression
     tree generates a method too large for the JIT, so the whole
-    stage runs as interpreted bytecode. Don't resurrect it.)"""
+    stage runs as interpreted bytecode. Don't resurrect it.)
+
+    ``method="exact"`` (default) is the shape above — right when the
+    benchmark is audit-sized (the |corpus| × |bench| pair stream is
+    one broadcast scan). ``method="ann"`` prefilters through the
+    shared random-hyperplane kernel (operators/dedup
+    .hyperplane_table_buckets, ONE pass over train ∪ bench): only
+    pairs sharing a (table, bucket) are exact-rescored, cutting the
+    pair stream from |train|·|bench| to the bucket-collision set —
+    the shape for a realistic 100k-question eval suite, where the
+    exact path multiplies the hot scan 2000×. The prefilter is
+    deterministic (quantized-integer sign bits), so the candidate
+    set — hence the whole ann output — replays bit-for-bit in a SQL
+    oracle; recall vs the exact path depends on
+    num_tables/bits_per_table and the threshold's cosine angle
+    (tests/test_sketches verify the fixture geometry loses nothing;
+    decontamination at production τ ≥ 0.8 is the easy LSH regime)."""
     from dasladen_spark.functions.vectors import dot, l2_norm
+
+    if method == "ann":
+        return _semantic_contamination_ann(
+            train,
+            bench,
+            vec_col,
+            id_col,
+            threshold,
+            num_tables,
+            bits_per_table,
+            dim,
+        )
+    if method != "exact":
+        raise ValueError(f"unknown semantic_contamination method {method!r}")
 
     b = F.broadcast(
         bench.select(
@@ -123,21 +157,115 @@ def semantic_contamination(
     )
 
 
+def _semantic_contamination_ann(
+    train: DataFrame,
+    bench: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    num_tables: int,
+    bits_per_table: int,
+    dim: int,
+) -> DataFrame:
+    """The ann prefilter path (see semantic_contamination): one
+    hyperplane-kernel pass over train ∪ bench (side tag in the group
+    key), candidates = (train, bench) pairs sharing a (table,
+    bucket), deduped, exact-rescored with the same guarded cosine,
+    then the same threshold-before-argmax reduction as the exact
+    path — output schema and semantics identical, pair stream
+    bucket-bounded."""
+    from dasladen_spark.functions.vectors import dot, l2_norm
+    from dasladen_spark.operators.dedup import hyperplane_table_buckets
+
+    # norms fold ONCE per input row and ride through the kernel as
+    # part of its group key (a scalar double — cheap to hash); folding
+    # them per candidate pair instead tripled the rescore stage, the
+    # same lesson the exact path documents above
+    t = train.select(
+        F.lit(False).alias("_is_b"),
+        F.col(id_col).alias("_id"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    b = bench.select(
+        F.lit(True).alias("_is_b"),
+        F.col(id_col).alias("_id"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    both = hyperplane_table_buckets(
+        t.unionByName(b), "_v", num_tables, bits_per_table, dim
+    )
+    tb = both.filter(~F.col("_is_b")).select(
+        F.col("_id").alias("_tid"),
+        F.col("_v").alias("_tv"),
+        F.col("_n").alias("_tn"),
+        "t",
+        "bkt",
+    )
+    bb = both.filter(F.col("_is_b")).select(
+        F.col("_id").alias("_bid"),
+        F.col("_v").alias("_bv"),
+        F.col("_n").alias("_bn"),
+        "t",
+        "bkt",
+    )
+    cand = tb.join(bb, on=["t", "bkt"]).dropDuplicates(["_tid", "_bid"])
+    denom = F.col("_tn") * F.col("_bn")
+    scored = cand.select(
+        "_tid",
+        "_bid",
+        F.when(denom == 0.0, F.lit(0.0))
+        .otherwise(dot(F.col("_tv"), F.col("_bv")) / denom)
+        .alias("_cos"),
+    )
+    best = (
+        scored.filter(F.col("_cos") >= F.lit(float(threshold)))
+        .groupBy("_tid")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_cos")).alias("nc"), F.col("_bid").alias("nb")
+                )
+            ).alias("s")
+        )
+    )
+    return best.select(
+        F.col("_tid").alias(id_col),
+        F.col("s.nb").alias("nearest_bench_id"),
+        (-F.col("s.nc")).alias("max_cosine"),
+    )
+
+
 def semantic_hits(
     df: DataFrame,
     bench_df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.35,
+    method: str = "exact",
+    num_tables: int = 16,
+    bits_per_table: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """``contamination_hits``'s embedding-space sibling, in the same
     anti-join contract: (_did, nearest_bench_id, max_cosine) for
     every doc whose vector sits within ``threshold`` cosine of some
     benchmark vector. Shared by the batch ``decontaminate`` task
     (method: semantic) and the streaming intake gate so both drop
-    exactly the same docs."""
+    exactly the same docs. ``method="ann"`` routes through the
+    hyperplane prefilter (see semantic_contamination) for
+    realistically-sized eval suites."""
     return semantic_contamination(
-        df, bench_df, vec_col=vec_col, id_col=id_col, threshold=threshold
+        df,
+        bench_df,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        method=method,
+        num_tables=num_tables,
+        bits_per_table=bits_per_table,
+        dim=dim,
     ).select(
         F.col(id_col).alias("_did"), "nearest_bench_id", "max_cosine"
     )

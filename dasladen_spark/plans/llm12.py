@@ -88,6 +88,104 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------- ANN-prefiltered decontamination
+
+_SEM_ANN_TABLES = 48  #: 48×4-bit tables: candidate parity with the
+#: exact path on the fixture at τ=0.35 (verified at sf0.001/0.01;
+#: production τ ≥ 0.8 needs far fewer — low thresholds are the hard
+#: LSH regime)
+_SEM_ANN_BITS = 4
+
+
+def _semantic_ann_oracle() -> str:
+    """The LSH candidate set replayed EXACTLY in SQL — possible
+    because bucket membership is quantized-integer (operators/dedup
+    hyperplane_table_buckets: sign of Σ floor(x·c·1e6 + 0.5), integer
+    sums commute): the oracle computes the same 192 plane dots, packs
+    the same 4-bit buckets, joins candidates on (table, bucket), and
+    exact-rescores the survivors with the same guarded cosine — the
+    MinHash playbook applied to the hyperplane family."""
+    from dasladen_spark.operators.dedup import _hyperplanes
+
+    planes = _hyperplanes(_SEM_ANN_TABLES * _SEM_ANN_BITS, 64)
+    values = ",\n".join(
+        f"({p}, [{','.join(repr(c) for c in plane)}]::DOUBLE[])"
+        for p, plane in enumerate(planes)
+    )
+    norm = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+    tn, bn = norm.format(v="te.v"), norm.format(v="be.v")
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (vec_id % 11 = 0 AND vec_id < 500) AS is_b
+      FROM embeddings
+    ), planes(p, coef) AS (
+      VALUES {values}
+    ), dots AS MATERIALIZED (
+      SELECT e.vec_id, e.is_b, pl.p,
+             list_sum(list_transform(list_zip(e.v, pl.coef),
+               q -> CAST(floor(q[1] * q[2] * 1000000.0 + 0.5)
+                         AS BIGINT))) AS dot
+      FROM e CROSS JOIN planes pl
+    ), buckets AS MATERIALIZED (
+      SELECT vec_id, is_b, p // {_SEM_ANN_BITS} AS t,
+             SUM(CASE WHEN dot >= 0
+                      THEN 1 << (p % {_SEM_ANN_BITS}) ELSE 0 END) AS bkt
+      FROM dots GROUP BY vec_id, is_b, p // {_SEM_ANN_BITS}
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS tid, b.vec_id AS bid
+      FROM buckets a JOIN buckets b ON a.t = b.t AND a.bkt = b.bkt
+      WHERE NOT a.is_b AND b.is_b
+    ), s AS (
+      SELECT c.tid AS vec_id, c.bid,
+             CASE WHEN {tn} * {bn} = 0 THEN 0.0
+                  ELSE list_sum(list_transform(list_zip(te.v, be.v),
+                                               q -> q[1] * q[2]))
+                       / ({tn} * {bn})
+             END AS c
+      FROM cand c
+      JOIN e te ON te.vec_id = c.tid
+      JOIN e be ON be.vec_id = c.bid
+    ), r AS (
+      SELECT vec_id, bid, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY c DESC, bid) AS rn
+      FROM s
+    )
+    SELECT vec_id, bid AS nearest_bench_id, c AS max_cosine
+    FROM r WHERE rn = 1 AND c >= CAST({_SEM_TAU} AS DOUBLE)
+    """
+
+
+@query("decontaminate_semantic_ann", oracle=_semantic_ann_oracle())
+def decontaminate_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontaminate_semantic's at-scale shape: the same flags, but
+    the |train|·|bench| pair stream is prefiltered through the shared
+    random-hyperplane kernel — only pairs sharing a (table, bucket)
+    are exact-rescored. With a realistic 100k-question eval suite the
+    exact BroadcastNestedLoopJoin multiplies the corpus scan 2000×;
+    this path bounds the rescore to bucket collisions. EXACT oracle:
+    the quantized-integer bucket hash replays bit-for-bit in DuckDB
+    (see _semantic_ann_oracle), so even the approximate candidate set
+    is verified, not just spot-checked — at the fixture geometry the
+    output additionally EQUALS the exact path's
+    (tests/test_operators parity test)."""
+    from dasladen_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    is_bench = (F.col("vec_id") % 11 == 0) & (F.col("vec_id") < 500)
+    return semantic_contamination(
+        e.filter(~is_bench),
+        e.filter(is_bench),
+        threshold=_SEM_TAU,
+        method="ann",
+        num_tables=_SEM_ANN_TABLES,
+        bits_per_table=_SEM_ANN_BITS,
+    )
+
+
 _CORESET_K = 8
 
 

@@ -37,6 +37,13 @@ DEFAULT_CONF: dict[str, str] = {
     # at 100 TB a single 1 GiB row-group-dense file must still split
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # signature aggregates (MinHash min-folds, hyperplane quantized
+    # dots) carry 128-260 buffer fields; the default maxFields=100
+    # silently drops those stages out of whole-stage codegen (the
+    # stage still runs, interpreted). Janino splits oversized
+    # methods, and hugeMethodLimit still guards the pathological
+    # case, so a higher ceiling only widens codegen coverage.
+    "spark.sql.codegen.maxFields": "384",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -1069,6 +1069,13 @@ def run_decontaminate(ctx: TaskContext, task: dict) -> None:
             vec_col=vec_field,
             id_col=id_field,
             threshold=float(task.get("threshold", 0.35)),
+            # prefilter: "ann" bounds the rescore to hyperplane-bucket
+            # collisions — the shape for eval suites too large for the
+            # exact |corpus|×|bench| broadcast scan
+            method="ann" if task.get("prefilter") == "ann" else "exact",
+            num_tables=int(task.get("num_tables", 16)),
+            bits_per_table=int(task.get("bits_per_table", 4)),
+            dim=int(task.get("dim", 64)),
         )
     else:
         bench_grams = bench_gram_set(bench_df, text_col=bench_text, n=n)

@@ -1889,3 +1889,69 @@ def test_kcore_empty_when_overpeeled(spark):
 
     edges = spark.createDataFrame([(1, 2), (2, 3)], "u LONG, v LONG")
     assert kcore(edges, k=3).count() == 0
+
+
+def test_semantic_contamination_ann_matches_exact_at_fixture_geometry(
+    spark, sf_dir
+):
+    """The LSH-prefiltered decontamination path must flag exactly the
+    same vectors with the same argmax pair as the exact BNLJ path at
+    the shipped geometry (48×4-bit tables, fixture τ) — the prefilter
+    is allowed to cut the pair stream, not the answers. Deterministic:
+    the bucket hash is seeded and quantized-integer."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+    from dasladen_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    is_bench = (F.col("vec_id") % 11 == 0) & (F.col("vec_id") < 500)
+    tr, be = e.filter(~is_bench), e.filter(is_bench)
+    exact = {
+        (r["vec_id"], r["nearest_bench_id"], r["max_cosine"])
+        for r in semantic_contamination(tr, be, threshold=0.35).collect()
+    }
+    ann = {
+        (r["vec_id"], r["nearest_bench_id"], r["max_cosine"])
+        for r in semantic_contamination(
+            tr,
+            be,
+            threshold=0.35,
+            method="ann",
+            num_tables=48,
+            bits_per_table=4,
+        ).collect()
+    }
+    assert ann == exact and exact
+
+
+def test_semantic_contamination_ann_is_subset_at_weak_geometry(spark, sf_dir):
+    """A deliberately weak geometry (4 tables) may MISS pairs but can
+    never invent one: every ann flag must appear in the exact flags
+    with the same or lower max cosine (a missed argmax pair lowers
+    the reported max, never raises it)."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+    from dasladen_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    is_bench = (F.col("vec_id") % 11 == 0) & (F.col("vec_id") < 500)
+    tr, be = e.filter(~is_bench), e.filter(is_bench)
+    exact = {
+        r["vec_id"]: r["max_cosine"]
+        for r in semantic_contamination(tr, be, threshold=0.35).collect()
+    }
+    ann = {
+        r["vec_id"]: r["max_cosine"]
+        for r in semantic_contamination(
+            tr, be, threshold=0.35, method="ann", num_tables=4
+        ).collect()
+    }
+    assert set(ann) <= set(exact)
+    for vid, c in ann.items():
+        assert c <= exact[vid]
