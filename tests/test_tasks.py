@@ -1716,3 +1716,107 @@ def test_sample_task_coreset_rejects_dup_ids_and_reserved_cols(
         "schema": "vec_id BIGINT, embedding ARRAY<DOUBLE>, d2 DOUBLE"}}
     with pytest.raises(Exception, match="audit column"):
         run_tasks(spark, workdir, {"tasks": [bad2]})
+
+
+def test_ftp_upload_task_pushes_over_real_ftp(spark, workdir):
+    """'ftp-upload' against a loopback FTP server speaking just
+    enough RFC 959 (USER/PASS/TYPE/CWD/PASV/STOR/QUIT): the task's
+    stdlib ftplib client performs a REAL passive-mode upload — the
+    reference's FTP path (task.py:441-456) exercised live with no
+    external network, closing round 8's 'implemented, never
+    executed' caveat."""
+    import socket
+    import threading
+
+    received: dict = {}
+    ctrl = socket.create_server(("127.0.0.1", 0))
+    port = ctrl.getsockname()[1]
+
+    def session():
+        conn, _ = ctrl.accept()
+        f = conn.makefile("rwb")
+
+        def send(line):
+            f.write((line + "\r\n").encode())
+            f.flush()
+
+        send("220 mini ftp ready")
+        data_listener = None
+        while True:
+            raw = f.readline()
+            if not raw:
+                break
+            cmd, _, arg = raw.decode().rstrip("\r\n").partition(" ")
+            cmd = cmd.upper()
+            if cmd == "USER":
+                received["user"] = arg
+                send("331 send password")
+            elif cmd == "PASS":
+                received["pass"] = arg
+                send("230 logged in")
+            elif cmd == "TYPE":
+                send("200 type set")
+            elif cmd == "CWD":
+                received["cwd"] = arg
+                send("250 cwd ok")
+            elif cmd == "PASV":
+                data_listener = socket.create_server(("127.0.0.1", 0))
+                p = data_listener.getsockname()[1]
+                send(
+                    "227 Entering Passive Mode "
+                    f"(127,0,0,1,{p >> 8},{p & 255})"
+                )
+            elif cmd == "STOR":
+                send("150 opening data connection")
+                d, _ = data_listener.accept()
+                chunks = []
+                while True:
+                    buf = d.recv(65536)
+                    if not buf:
+                        break
+                    chunks.append(buf)
+                d.close()
+                data_listener.close()
+                received[arg] = b"".join(chunks)
+                send("226 transfer complete")
+            elif cmd == "QUIT":
+                send("221 bye")
+                break
+            else:
+                send("502 not implemented")
+        conn.close()
+        ctrl.close()
+
+    threading.Thread(target=session, daemon=True).start()
+    (workdir / "output" / "report.csv").write_text("a;b\n1;2\n")
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "connections": [
+                {
+                    "name": "ftpbox",
+                    "driver": "ftp",
+                    "host": "127.0.0.1",
+                    "port": port,
+                    "user": "uploader",
+                    "pass": "secret",
+                }
+            ],
+            "tasks": [
+                {
+                    "name": "push",
+                    "type": "ftp-upload",
+                    "source": {"file": "report.csv"},
+                    "target": {
+                        "connection": "ftpbox",
+                        "path": "/inbox",
+                        "file": "report_final.csv",
+                    },
+                }
+            ],
+        },
+    )
+    assert received["user"] == "uploader" and received["pass"] == "secret"
+    assert received["cwd"] == "/inbox"
+    assert received["report_final.csv"] == b"a;b\n1;2\n"
