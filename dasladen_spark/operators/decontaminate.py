@@ -131,14 +131,21 @@ def semantic_contamination(
         .otherwise(dot(F.col("_tv"), F.col("_bv")) / denom)
         .alias("_cos"),
     )
-    # threshold BEFORE the aggregate: max(struct) is not
-    # hash-aggregable (SortAggregate → a sort of the full pair
-    # stream); contaminated pairs are the rare case, and filtering
-    # first is lossless — a vector whose global max ≥ τ has its
-    # argmax pair in the ≥ τ subset, and one whose max < τ has no
-    # surviving pair at all. The expensive stage is then a pure
-    # codegen'd scan (chain dot + one compare), and the sort-agg
-    # runs on |contaminated pairs|, not |train|·|bench|.
+    return _best_hit(scored, threshold, id_col)
+
+
+def _best_hit(scored: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """Shared (exact + ann) reduction of a (_tid, _bid, _cos) pair
+    stream to (id, nearest_bench_id, max_cosine).
+
+    Threshold BEFORE the aggregate: max(struct) is not
+    hash-aggregable (SortAggregate → a sort of the full pair
+    stream); contaminated pairs are the rare case, and filtering
+    first is lossless — a vector whose global max ≥ τ has its
+    argmax pair in the ≥ τ subset, and one whose max < τ has no
+    surviving pair at all. The expensive stage is then a pure
+    codegen'd scan (chain dot + one compare), and the sort-agg
+    runs on |contaminated pairs|, not the pair stream."""
     best = (
         scored.filter(F.col("_cos") >= F.lit(float(threshold)))
         .groupBy("_tid")
@@ -180,16 +187,23 @@ def _semantic_contamination_ann(
     # norms fold ONCE per input row and ride through the kernel as
     # part of its group key (a scalar double — cheap to hash); folding
     # them per candidate pair instead tripled the rescore stage, the
-    # same lesson the exact path documents above
+    # same lesson the exact path documents above. Each side's id
+    # rides in its OWN typed column (NULL on the other side) so a
+    # string doc id and a bigint benchmark id never meet in a union
+    # type conflict.
+    tid_type = train.schema[id_col].dataType
+    bid_type = bench.schema[id_col].dataType
     t = train.select(
         F.lit(False).alias("_is_b"),
-        F.col(id_col).alias("_id"),
+        F.col(id_col).alias("_t_id"),
+        F.lit(None).cast(bid_type).alias("_b_id"),
         l2_norm(F.col(vec_col)).alias("_n"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     b = bench.select(
         F.lit(True).alias("_is_b"),
-        F.col(id_col).alias("_id"),
+        F.lit(None).cast(tid_type).alias("_t_id"),
+        F.col(id_col).alias("_b_id"),
         l2_norm(F.col(vec_col)).alias("_n"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
@@ -197,14 +211,14 @@ def _semantic_contamination_ann(
         t.unionByName(b), "_v", num_tables, bits_per_table, dim
     )
     tb = both.filter(~F.col("_is_b")).select(
-        F.col("_id").alias("_tid"),
+        F.col("_t_id").alias("_tid"),
         F.col("_v").alias("_tv"),
         F.col("_n").alias("_tn"),
         "t",
         "bkt",
     )
     bb = both.filter(F.col("_is_b")).select(
-        F.col("_id").alias("_bid"),
+        F.col("_b_id").alias("_bid"),
         F.col("_v").alias("_bv"),
         F.col("_n").alias("_bn"),
         "t",
@@ -219,22 +233,7 @@ def _semantic_contamination_ann(
         .otherwise(dot(F.col("_tv"), F.col("_bv")) / denom)
         .alias("_cos"),
     )
-    best = (
-        scored.filter(F.col("_cos") >= F.lit(float(threshold)))
-        .groupBy("_tid")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("_cos")).alias("nc"), F.col("_bid").alias("nb")
-                )
-            ).alias("s")
-        )
-    )
-    return best.select(
-        F.col("_tid").alias(id_col),
-        F.col("s.nb").alias("nearest_bench_id"),
-        (-F.col("s.nc")).alias("max_cosine"),
-    )
+    return _best_hit(scored, threshold, id_col)
 
 
 def semantic_hits(

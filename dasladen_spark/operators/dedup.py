@@ -899,8 +899,12 @@ def hyperplane_table_buckets(
     commute, so bucket membership replays bit-for-bit across runs,
     engines, and the SQL oracle (see _HYPERPLANE_QUANT).
 
-    ``df`` must be unique by its NON-vector columns (they are the
-    aggregate's group key). The vector rides through the aggregate as
+    The group key is ``df``'s non-vector columns PLUS a per-row
+    monotonically_increasing_id salt, so duplicate ids hash each of
+    their rows independently (exactly like the per-row pandas UDF
+    this replaced) instead of silently summing two vectors' plane
+    dots into one garbage signature; the salt never leaves the
+    kernel. The vector rides through the aggregate as
     ``dim`` separate DOUBLE columns carried by ``first()`` — doubles
     are fixed-width, so the whole thing stays one codegen'd
     HashAggregate. The two tempting simpler shapes are both traps:
@@ -944,12 +948,22 @@ def hyperplane_table_buckets(
         )
         + ") as _vs"
     )
-    exploded = df.selectExpr(
+    # per-row salt in its OWN projection: its only job is making the
+    # group key row-unique (duplicate-id inputs hash per row, like
+    # the pandas UDF this replaced). It MUST be assigned below the
+    # explode — placed in the same select as the generator, the
+    # analyzer hoists non-generator expressions into the Project
+    # ABOVE the Generate, handing every exploded position its own
+    # id and shattering each vector into per-element groups
+    # (observed: garbage buckets, 500-row cluster explosions).
+    salted = df.selectExpr("*", "monotonically_increasing_id() as _rid")
+    exploded = salted.selectExpr(
         *kq,
+        "_rid",
         elems_sql,
         f"posexplode(cast(`{vec_col}` as array<double>)) as (_pos, _x)",
     )
-    agged = exploded.groupBy(*keys).agg(
+    agged = exploded.groupBy(*keys, "_rid").agg(
         F.expr(sums_sql).alias("_s"), F.expr(firsts_sql).alias("_f")
     )
     return agged.select(
@@ -957,6 +971,43 @@ def hyperplane_table_buckets(
         F.expr(rebuild_sql).alias(vec_col),
         F.posexplode(F.expr(buckets_sql)).alias("t", "bkt"),
     ).select(*cols, "t", "bkt")
+
+
+def hyperplane_buckets_oracle_cte(
+    num_tables: int,
+    bits_per_table: int,
+    dim: int,
+    relation: str = "e",
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> str:
+    """DuckDB CTE fragment replaying this kernel's buckets exactly:
+    ``planes``/``dots``/``buckets`` CTEs over ``relation`` (which
+    must expose ``id_col`` and a DOUBLE[] ``vec_col``); downstream
+    SQL joins ``buckets`` on (t, bkt). Lives NEXT TO the kernel so
+    the quantum, the plane family, and the bit packing can never
+    drift apart from the Spark side — every oracle that verifies an
+    LSH candidate set builds on this one definition."""
+    planes = _hyperplanes(num_tables * bits_per_table, dim)
+    qlit = repr(float(_HYPERPLANE_QUANT))
+    values = ",\n".join(
+        f"({p}, [{','.join(repr(c) for c in plane)}]::DOUBLE[])"
+        for p, plane in enumerate(planes)
+    )
+    return f"""planes(p, coef) AS (
+      VALUES {values}
+    ), dots AS MATERIALIZED (
+      SELECT r.{id_col}, pl.p,
+             list_sum(list_transform(list_zip(r.{vec_col}, pl.coef),
+               q -> CAST(floor(q[1] * q[2] * {qlit} + 0.5)
+                         AS BIGINT))) AS dot
+      FROM {relation} r CROSS JOIN planes pl
+    ), buckets AS MATERIALIZED (
+      SELECT {id_col}, p // {bits_per_table} AS t,
+             SUM(CASE WHEN dot >= 0
+                      THEN 1 << (p % {bits_per_table}) ELSE 0 END) AS bkt
+      FROM dots GROUP BY {id_col}, p // {bits_per_table}
+    )"""
 
 
 @lru_cache(maxsize=32)

@@ -87,20 +87,28 @@ def lsh_cosine_topk(
     """
     # ONE kernel pass over queries ∪ corpus (the side tag joins the
     # group key): half the signature-pipeline stages and half the
-    # driver-side plan analysis of running the kernel per side
+    # driver-side plan analysis of running the kernel per side. Each
+    # side's id rides in its OWN typed column (NULL on the other
+    # side) so a bigint query id and a string corpus id — which the
+    # separate query_id/corpus_id parameters invite — never meet in
+    # a union type conflict.
+    qid_type = queries.schema[query_id].dataType
+    cid_type = corpus.schema[corpus_id].dataType
     both = hyperplane_table_buckets(
         queries.select(
             F.lit(True).alias("_is_q"),
-            F.col(query_id).alias("_id"),
+            F.col(query_id).alias("_qid"),
+            F.lit(None).cast(cid_type).alias("_nid"),
             F.col(query_vec).cast("array<double>").alias("_v"),
         ).unionByName(
             _spread(
                 corpus.select(
                     F.lit(False).alias("_is_q"),
-                    F.col(corpus_id).alias("_id"),
+                    F.lit(None).cast(qid_type).alias("_qid"),
+                    F.col(corpus_id).alias("_nid"),
                     F.col(corpus_vec).cast("array<double>").alias("_v"),
                 ),
-                "_id",
+                "_nid",
             )
         ),
         "_v",
@@ -109,10 +117,13 @@ def lsh_cosine_topk(
         dim,
     )
     q = both.filter(F.col("_is_q")).select(
-        F.col("_id").alias("query_id"), F.col("_v").alias("qv"), "t", "bkt"
+        F.col("_qid").alias("query_id"), F.col("_v").alias("qv"), "t", "bkt"
     )
     c = both.filter(~F.col("_is_q")).select(
-        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"), "t", "bkt"
+        F.col("_nid").alias("neighbor_id"),
+        F.col("_v").alias("cv"),
+        "t",
+        "bkt",
     )
     cand = q.join(c, on=["t", "bkt"]).dropDuplicates(["query_id", "neighbor_id"])
     if exclude_self:

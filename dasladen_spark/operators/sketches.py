@@ -72,10 +72,21 @@ def hll_rows(
     bucket = low bucket-bits of the 52-bit md5; rho = trailing-zero
     rank of the remaining bits (pure integer:
     bit_count((r & -r) - 1) + 1), the same geometric statistic as
-    leading zeros and portable to every engine."""
+    leading zeros and portable to every engine.
+
+    NULL values and NULL keys are dropped HERE, in the shared row
+    producer: a NULL value would create a NULL-bucket sketch row
+    whose count(1) contribution silently INFLATES every estimate
+    (the harmonic sum skips the NULL term but the empty-bucket count
+    shrinks), and filtering in only one consumer would break the
+    batch-build == streaming-maintainer equality the snapshot
+    promises."""
     bits, max_rho, _ = _hll_geometry(m)
+    clean = df
+    for c in [*key_cols, value_col]:
+        clean = clean.filter(F.col(c).isNotNull())
     hv = portable_md5_int(F.col(value_col).cast("string"), 13)
-    rb = df.select(
+    rb = clean.select(
         *key_cols,
         hv.bitwiseAND(F.lit(m - 1)).alias("bucket"),
         F.shiftright(hv, bits).alias("_r"),
@@ -164,6 +175,11 @@ def kmv_sketch(
     per-key value dedup when the caller already feeds distinct
     (key, value) rows (e.g. a persisted distinct-gram frame)."""
     v = df.select(*key_cols, F.col(value_col).cast("string").alias("_val"))
+    # a NULL value hashes to NULL, and ascending rank puts NULLs
+    # FIRST in Spark — one NULL would silently occupy a sketch slot
+    # (and a NULL key would shadow a real group); drop both
+    for c in [*key_cols, "_val"]:
+        v = v.filter(F.col(c).isNotNull())
     if not assume_distinct:
         v = v.distinct()
     h = v.select(*key_cols, portable_md5_int(F.col("_val"), 13).alias("hv"))

@@ -304,10 +304,48 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("cosine", F.round("cosine", 6))
 
 
-@query("ann_lsh_topk")  # approximate variant — no SQL oracle (recall < 1)
+def _lsh_topk_oracle(num_tables: int = 16, bits: int = 4) -> str:
+    """ann_lsh_topk's APPROXIMATE result replayed exactly: since
+    round 9 the hyperplane buckets are quantized-integer
+    (operators/dedup.hyperplane_table_buckets), so the oracle can
+    rebuild the same 64 plane dots, the same buckets, the same
+    candidate set, and rank the same cosines — recall < 1 no longer
+    blocks an exact oracle because the oracle models the HASH, not
+    the exact answer (the decontaminate_semantic_ann playbook)."""
+    from dasladen_spark.operators.dedup import hyperplane_buckets_oracle_cte
+
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), {hyperplane_buckets_oracle_cte(num_tables, bits, 64)},
+    cand AS MATERIALIZED (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c USING (t, bkt)
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ), s AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_cosine_sql('a.v', 'b.v')} AS cos
+      FROM cand
+      JOIN e a ON a.vec_id = cand.query_id
+      JOIN e b ON b.vec_id = cand.neighbor_id
+    ), r AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM s
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+           ROUND(cos, 6) AS cosine
+    FROM r WHERE rnk <= 5 ORDER BY query_id, rank
+    """
+
+
+@query("ann_lsh_topk", oracle=_lsh_topk_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (the 100 TB scale path: probes
-    buckets instead of scanning the corpus)."""
+    buckets instead of scanning the corpus). EXACT oracle since
+    round 9: the quantized-integer bucket hash replays bit-for-bit
+    in SQL, so even the approximate candidate set is verified."""
     from dasladen_spark.operators.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -319,14 +357,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_indexed_topk")  # approximate; differential-tested vs ann_lsh_topk
+@query("ann_indexed_topk", oracle=_lsh_topk_oracle())
 def ann_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 via the MATERIALIZED LSH index (operators/ann_index):
     posting lists are built once into a table bucketed by probe key;
     the query batch broadcast-joins onto it, so the corpus side runs
     with zero Exchange and zero Python UDF at query time. Same hash
     family and parameters as ann_lsh_topk — row-identical results
-    (asserted in tests), amortized build cost."""
+    (asserted in tests), amortized build cost; since round 9 that
+    also means the SAME exact SQL oracle verifies the index path
+    end-to-end (build, probe keys, candidate join, re-rank)."""
     from dasladen_spark.operators.ann_index import (
         ensure_ann_index,
         search_ann_index,

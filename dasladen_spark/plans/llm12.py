@@ -105,37 +105,24 @@ def _semantic_ann_oracle() -> str:
     the same 4-bit buckets, joins candidates on (table, bucket), and
     exact-rescores the survivors with the same guarded cosine — the
     MinHash playbook applied to the hyperplane family."""
-    from dasladen_spark.operators.dedup import _hyperplanes
+    from dasladen_spark.operators.dedup import hyperplane_buckets_oracle_cte
 
-    planes = _hyperplanes(_SEM_ANN_TABLES * _SEM_ANN_BITS, 64)
-    values = ",\n".join(
-        f"({p}, [{','.join(repr(c) for c in plane)}]::DOUBLE[])"
-        for p, plane in enumerate(planes)
-    )
     norm = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
     tn, bn = norm.format(v="te.v"), norm.format(v="be.v")
+    cte = hyperplane_buckets_oracle_cte(_SEM_ANN_TABLES, _SEM_ANN_BITS, 64)
     return f"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              (vec_id % 11 = 0 AND vec_id < 500) AS is_b
       FROM embeddings
-    ), planes(p, coef) AS (
-      VALUES {values}
-    ), dots AS MATERIALIZED (
-      SELECT e.vec_id, e.is_b, pl.p,
-             list_sum(list_transform(list_zip(e.v, pl.coef),
-               q -> CAST(floor(q[1] * q[2] * 1000000.0 + 0.5)
-                         AS BIGINT))) AS dot
-      FROM e CROSS JOIN planes pl
-    ), buckets AS MATERIALIZED (
-      SELECT vec_id, is_b, p // {_SEM_ANN_BITS} AS t,
-             SUM(CASE WHEN dot >= 0
-                      THEN 1 << (p % {_SEM_ANN_BITS}) ELSE 0 END) AS bkt
-      FROM dots GROUP BY vec_id, is_b, p // {_SEM_ANN_BITS}
-    ), cand AS MATERIALIZED (
+    ), {cte},
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.vec_id AS tid, b.vec_id AS bid
-      FROM buckets a JOIN buckets b ON a.t = b.t AND a.bkt = b.bkt
-      WHERE NOT a.is_b AND b.is_b
+      FROM buckets a
+      JOIN buckets b ON a.t = b.t AND a.bkt = b.bkt
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE NOT ea.is_b AND eb.is_b
     ), s AS (
       SELECT c.tid AS vec_id, c.bid,
              CASE WHEN {tn} * {bn} = 0 THEN 0.0

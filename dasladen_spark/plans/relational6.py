@@ -409,7 +409,11 @@ def _kcore_oracle() -> str:
       UNION SELECT v, u FROM pairs WHERE u <> v
     )"""
     ]
-    for r in range(1, _KCORE_ROUNDS + 1):
+    # one EXTRA round beyond the answer round: the guard below must
+    # verify that e{N} is the fixpoint by peeling it once more, not
+    # by comparing e{N-1} vs e{N} (which would false-fail when the
+    # peel stabilizes exactly at round N)
+    for r in range(1, _KCORE_ROUNDS + 2):
         parts.append(f""", k{r} AS MATERIALIZED (
       SELECT u FROM e{r - 1} GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
     ), e{r} AS MATERIALIZED (
@@ -418,15 +422,16 @@ def _kcore_oracle() -> str:
     )""")
     # convergence guard: the Spark operator peels to FIXPOINT while
     # this unroll runs a fixed _KCORE_ROUNDS — if a larger sf ever
-    # needed more rounds, the last two edge sets would differ and the
+    # needed more rounds, peeling e{N} once more would shrink it
+    # (e{N+1} ⊂ e{N}, counts differ: the peel only removes) and the
     # WHERE below returns 0 rows, failing the gate loudly (row-count
     # mismatch) instead of silently hash-mismatching on a
     # non-converged peel
-    n, p = _KCORE_ROUNDS, _KCORE_ROUNDS - 1
+    n, g = _KCORE_ROUNDS, _KCORE_ROUNDS + 1
     parts.append(f"""
     SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS degree
     FROM e{n}
-    WHERE (SELECT COUNT(*) FROM e{p}) = (SELECT COUNT(*) FROM e{n})
+    WHERE (SELECT COUNT(*) FROM e{n}) = (SELECT COUNT(*) FROM e{g})
     GROUP BY u
     ORDER BY degree DESC, id LIMIT 20
     """)

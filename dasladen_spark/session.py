@@ -101,16 +101,23 @@ def _spark_defaults_java_options() -> str:
     if not conf_dir:
         return ""
     path = os.path.join(conf_dir, "spark-defaults.conf")
+    found = ""
     try:
         with open(path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
-                if line.startswith(_JAVA_OPTS_KEY):
-                    rest = line[len(_JAVA_OPTS_KEY):].lstrip(" \t=")
-                    return rest
+                if not line or line.startswith("#"):
+                    continue
+                # whitespace-separated key/value (Spark's own
+                # spark-defaults format — '=' belongs to the value,
+                # e.g. -XX:ReservedCodeCacheSize=512m), exact-key
+                # match, LAST occurrence wins (properties semantics)
+                parts = line.split(None, 1)
+                if parts[0] == _JAVA_OPTS_KEY:
+                    found = parts[1].strip() if len(parts) > 1 else ""
     except OSError:
         return ""
-    return ""
+    return found
 
 
 def _merge_java_options(*values: str | None) -> str:

@@ -25,7 +25,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dasladen_spark.operators.sketches import hll_estimate, hll_rows
+from dasladen_spark.operators.sketches import (
+    hll_estimate,
+    hll_merge,
+    hll_rows,
+)
 from dasladen_spark.streaming.matview import run_incremental_matview
 
 
@@ -38,17 +42,10 @@ def run_streaming_hll_sketch(
     m: int = 16,
 ) -> None:
     """Drain a stream into the (key_cols..., bucket, m_j) HLL
-    snapshot. Rows with a NULL key or value are dropped (a NULL key
-    would shadow a real group; a NULL value hashes to the md5 of the
-    string 'null' on some paths and to nothing on others — exclude
-    it from cardinalities outright, as the batch build's groupBy
-    does implicitly for the estimate's consumers)."""
-    from pyspark.sql import functions as F
-
-    clean = stream
-    for c in [*key_cols, value_col]:
-        clean = clean.filter(F.col(c).isNotNull())
-    rows = hll_rows(clean, key_cols, value_col, m=m)
+    snapshot. NULL keys/values are dropped inside hll_rows — the
+    SHARED row producer — so the maintained snapshot equals a batch
+    hll_sketch over every row ever delivered, NULLs included."""
+    rows = hll_rows(stream, key_cols, value_col, m=m)
     run_incremental_matview(
         rows,
         snapshot_path,
@@ -66,8 +63,14 @@ def read_sketch_estimates(
     m: int = 16,
 ) -> DataFrame:
     """(group_cols..., est_distinct) from the maintained snapshot —
-    the read side of the sync; rolls up to coarser keys for free
-    because the estimate's groupBy IS the merge."""
+    the read side of the sync. The snapshot is MERGED to the
+    requested keys first (per-bucket MAX): estimating a
+    finer-keyed snapshot directly would SUM duplicate buckets'
+    harmonic terms and count > m rows per group — garbage (even
+    negative-denominator) estimates. Merging to the snapshot's own
+    keys is a no-op, so one code path serves both reads."""
     return hll_estimate(
-        spark.read.parquet(snapshot_path), group_cols, m=m
+        hll_merge(spark.read.parquet(snapshot_path), group_cols),
+        group_cols,
+        m=m,
     )

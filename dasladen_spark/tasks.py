@@ -979,6 +979,20 @@ def run_sample(ctx: TaskContext, task: dict) -> None:
     ctx.log(f"task {task.get('name')}: sample written ({method})")
 
 
+def _semantic_prefilter(task: dict) -> str:
+    """Map the decontaminate task's ``prefilter`` knob to a
+    semantic_contamination method, rejecting unknown values."""
+    pf = task.get("prefilter")
+    if pf in (None, "exact"):
+        return "exact"
+    if pf == "ann":
+        return "ann"
+    raise ValueError(
+        f"decontaminate task: unknown prefilter {pf!r}"
+        " (expected 'ann' or 'exact'/absent)"
+    )
+
+
 def run_decontaminate(ctx: TaskContext, task: dict) -> None:
     """Decontaminate task (beyond the reference): drop source docs
     that share at least ``min_hits`` distinct word n-grams (width
@@ -1071,8 +1085,10 @@ def run_decontaminate(ctx: TaskContext, task: dict) -> None:
             threshold=float(task.get("threshold", 0.35)),
             # prefilter: "ann" bounds the rescore to hyperplane-bucket
             # collisions — the shape for eval suites too large for the
-            # exact |corpus|×|bench| broadcast scan
-            method="ann" if task.get("prefilter") == "ann" else "exact",
+            # exact |corpus|×|bench| broadcast scan; anything else
+            # (typo, wrong case) fails loudly rather than silently
+            # running the 2000×-slower exact scan
+            method=_semantic_prefilter(task),
             num_tables=int(task.get("num_tables", 16)),
             bits_per_table=int(task.get("bits_per_table", 4)),
             dim=int(task.get("dim", 64)),
@@ -1399,7 +1415,10 @@ def run_sketch(ctx: TaskContext, task: dict) -> None:
         elif action == "merge":
             out = sk.hll_merge(df, keys)
         elif action == "estimate":
-            out = sk.hll_estimate(df, keys, m=m)
+            # merge-first: estimating a finer-keyed sketch table
+            # directly would sum duplicate buckets (garbage
+            # estimates); merging to the table's own keys is a no-op
+            out = sk.hll_estimate(sk.hll_merge(df, keys), keys, m=m)
         else:
             raise ValueError(f"unknown hll sketch action {action!r}")
     elif method == "kmv":
@@ -1409,7 +1428,11 @@ def run_sketch(ctx: TaskContext, task: dict) -> None:
         elif action == "merge":
             out = sk.kmv_merge(df, keys, k=k)
         elif action == "estimate":
-            out = sk.kmv_estimate_distinct(df, keys, k=k)
+            # merge-first, same reason as the hll branch (re-ranking
+            # an already-k-min sketch at its own keys is a no-op)
+            out = sk.kmv_estimate_distinct(
+                sk.kmv_merge(df, keys, k=k), keys, k=k
+            )
         elif action == "overlap":
             pair = task["pair"]
             cached = df.persist()  # feeds four branches, ≤ 2k rows

@@ -40,10 +40,21 @@ def test_spark_defaults_file_is_read(tmp_path, monkeypatch):
     (tmp_path / "spark-defaults.conf").write_text(
         "# comment\n"
         "spark.executor.memory 4g\n"
+        "spark.driver.extraJavaOptionsAndMore -Dnot=this\n"
         "spark.driver.extraJavaOptions  -XX:+UseZGC -Dagent=x\n"
     )
     monkeypatch.setenv("SPARK_CONF_DIR", str(tmp_path))
     assert _spark_defaults_java_options() == "-XX:+UseZGC -Dagent=x"
+
+
+def test_spark_defaults_last_occurrence_wins(tmp_path, monkeypatch):
+    (tmp_path / "spark-defaults.conf").write_text(
+        "spark.driver.extraJavaOptions -Dstale=1\n"
+        "spark.driver.extraJavaOptions -Dfresh=1 -Dsize=a=b\n"
+    )
+    monkeypatch.setenv("SPARK_CONF_DIR", str(tmp_path))
+    # last wins (Spark properties semantics) and '=' stays in values
+    assert _spark_defaults_java_options() == "-Dfresh=1 -Dsize=a=b"
 
 
 def test_spark_defaults_missing_file_is_empty(tmp_path, monkeypatch):
