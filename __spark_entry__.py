@@ -3,9 +3,11 @@
 entry(spark)   — flagship query smoke check on sf0.001
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  north-star extensions), (spark, sf_dir) → DataFrame
-oracle_sql()   — equivalent DuckDB SQL per query (omitted for the
-                 signature/LSH ops whose output is not
-                 SQL-expressible → rows-only check)
+oracle_sql()   — equivalent DuckDB SQL per query (omitted only for
+                 float-geometry / native-sketch ops — PCA, kmeans,
+                 IVF/PQ ANN, HLL++ — whose outputs are not
+                 SQL-expressible → rows-only check; the signature and
+                 LSH families are integer-exact and fully oracled)
 """
 
 from __future__ import annotations

@@ -215,6 +215,15 @@ def main() -> None:
                 f"# {name}: untimed warm reps {warm_times}",
                 file=sys.stderr,
             )
+        else:
+            # one untimed warm rep for EVERY query: the first
+            # execution pays whole-stage-codegen compilation (and any
+            # first-touch parquet footer reads), which round 8's
+            # spread audit showed landing in the min-max spread of
+            # ann_cosine_topk / text_corpus_cleanup /
+            # text_lm_perplexity / dedup_winnowing (>2×). Medians
+            # absorbed it; the spread gate shouldn't have to.
+            fn(spark, sf_dir).count()
         for _ in range(reps):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
