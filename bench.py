@@ -157,6 +157,23 @@ def main() -> None:
 
     spark.range(1000, numPartitions=32).select(F.sum(_warm("id"))).collect()
 
+    # Machine-phase calibration: this box's effective CPU speed swings
+    # 2-5× between runs (VM co-tenancy — measured identical code at
+    # 0.15 s and 0.95 s an hour apart with zero local load). A fixed
+    # pure-JVM codegen loop, measured right here, anchors every run:
+    # compare `calibration_s` across rounds before reading any
+    # per-query delta as a regression. Median of 3 after one warm rep.
+    def _calib() -> float:
+        t0 = time.time()
+        spark.range(200_000_000, numPartitions=32).selectExpr(
+            "sum(id * 2 + 1)"
+        ).collect()
+        return time.time() - t0
+
+    _calib()
+    calibration = sorted(_calib() for _ in range(3))[1]
+    print(f"# calibration: {calibration:.3f}s", file=sys.stderr)
+
     # median-of-N per query: single-run timings on UDF-heavy queries
     # showed ±2.9× run-to-run swings (GC / Python-worker reuse), which
     # is unusable as a regression gate.  The median of 3 in-process
@@ -271,6 +288,7 @@ def main() -> None:
         "warmed_first": sorted(warm_first),
         "sf": sf,
         "cpus": cpus,
+        "calibration_s": round(calibration, 3),
         "ceiling_s": ceiling,
         "slow": slow,
     }
@@ -289,6 +307,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "calibration_s": round(calibration, 3),
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 2000:
