@@ -348,10 +348,123 @@ def q_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(m)
 
 
+# ------------------------------------------- KMV distinct-count rollup
+
+_KMV_ROLLUP_K = 64  #: daily users < 64 at sf0.001 (exact fallback)
+#: and > 64 at sf0.01+ (the estimator engages) — both regimes gated
+_KMV_SCALE = 4503599627370496  #: 2^52 — the md5-52-bit hash space
+
+
+@query(
+    "q_kmv_distinct_rollup",
+    oracle=f"""
+    WITH e AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             strftime(ts, '%Y-%m') AS month, user_id
+      FROM events
+    ), h AS (
+      SELECT day, month,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS hv
+      FROM (SELECT DISTINCT day, month, user_id FROM e)
+    ), rk AS (
+      SELECT day, month, hv,
+             ROW_NUMBER() OVER (PARTITION BY day, month ORDER BY hv) AS rn
+      FROM h
+    ), sk AS (
+      SELECT day, month, hv FROM rk WHERE rn <= {_KMV_ROLLUP_K}
+    ), mrk AS (
+      SELECT month, hv,
+             ROW_NUMBER() OVER (PARTITION BY month ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT month, hv FROM sk)
+    ), msk AS (
+      SELECT month, hv FROM mrk WHERE rn <= {_KMV_ROLLUP_K}
+    ), dagg AS (
+      SELECT day AS period, COUNT(*) AS n, MAX(hv) AS theta
+      FROM sk GROUP BY day
+    ), magg AS (
+      SELECT month AS period, COUNT(*) AS n, MAX(hv) AS theta
+      FROM msk GROUP BY month
+    ), dex AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS period,
+             COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    ), mex AS (
+      SELECT strftime(ts, '%Y-%m') AS period,
+             COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT 'day' AS level, d.period,
+           CASE WHEN d.n < {_KMV_ROLLUP_K} THEN CAST(d.n AS DOUBLE)
+                ELSE CAST({_KMV_ROLLUP_K - 1} AS DOUBLE)
+                     * {_KMV_SCALE} / CAST(d.theta AS DOUBLE)
+           END AS est_distinct,
+           e.exact_distinct
+    FROM dagg d JOIN dex e USING (period)
+    UNION ALL
+    SELECT 'month', m.period,
+           CASE WHEN m.n < {_KMV_ROLLUP_K} THEN CAST(m.n AS DOUBLE)
+                ELSE CAST({_KMV_ROLLUP_K - 1} AS DOUBLE)
+                     * {_KMV_SCALE} / CAST(m.theta AS DOUBLE)
+           END AS est_distinct,
+           e.exact_distinct
+    FROM magg m JOIN mex e USING (period)
+    """,
+)
+def q_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sibling of q_hll_portable_rollup on the SHARED sketch
+    operators (operators/sketches): k=64 minimum md5 hashes of
+    user_id per day, merged to monthly by distinct-re-rank, estimated
+    by (k−1)·2⁵²/θ with the not-full exact fallback — the sf0.001
+    fixture stays under k (every daily estimate equals the exact
+    count) while sf0.01+ engages the estimator, so the gate covers
+    BOTH regimes. Exact oracle: pure integer selection + one float
+    division (the round-8 sketch recipes). Next to HLL this is the
+    sketch you pick when you ALSO need intersections later — the
+    same sketch rows feed kmv_overlap_pair."""
+    from dasladen_spark.operators.sketches import (
+        kmv_estimate_distinct,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = _KMV_ROLLUP_K
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "user_id",
+    )
+    daily = kmv_sketch(base, ["day", "month"], "user_id", k=k)
+    monthly = kmv_merge(daily, ["month"], k=k)
+    dex = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("period")
+    ).agg(F.count_distinct("user_id").alias("exact_distinct"))
+    mex = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("period")
+    ).agg(F.count_distinct("user_id").alias("exact_distinct"))
+    d = (
+        kmv_estimate_distinct(
+            kmv_merge(daily, ["day"], k=k), ["day"], k=k
+        )
+        .withColumnRenamed("day", "period")
+        .join(dex, "period")
+        .select(F.lit("day").alias("level"), "period", "est_distinct",
+                "exact_distinct")
+    )
+    m = (
+        kmv_estimate_distinct(monthly, ["month"], k=k)
+        .withColumnRenamed("month", "period")
+        .join(mex, "period")
+        .select(F.lit("month").alias("level"), "period", "est_distinct",
+                "exact_distinct")
+    )
+    return d.unionByName(m)
+
+
 # ------------------------------------------------ KMV overlap sketch
 
 _KMV_K = 256  #: sketch size; every fixture source has ≥1300 grams
-_KMV_SCALE = 4503599627370496  #: 2^52 — the md5-52-bit hash space
 
 
 @query(
