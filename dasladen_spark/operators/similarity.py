@@ -126,8 +126,12 @@ def lsh_cosine_topk(
         "bkt",
     )
     cand = q.join(c, on=["t", "bkt"]).dropDuplicates(["query_id", "neighbor_id"])
-    if exclude_self:
+    if exclude_self and qid_type == cid_type:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    # differing id types = differing keyspaces: no corpus row can BE
+    # the query row, and a cross-type != would coerce (a non-numeric
+    # string casts to NULL against a bigint, the NULL predicate drops
+    # EVERY candidate) — so self-exclusion is correctly a no-op there
     scored = cand.select(
         "query_id",
         "neighbor_id",

@@ -304,7 +304,19 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("cosine", F.round("cosine", 6))
 
 
-def _lsh_topk_oracle(num_tables: int = 16, bits: int = 4) -> str:
+# ONE definition of the ann_lsh_topk / ann_indexed_topk geometry,
+# passed EXPLICITLY to the operator call, the index build, and the
+# oracle — relying on each side's own defaults would let a future
+# operator retune silently desynchronize the Spark plan from its
+# oracle (the same single-source rule hyperplane_buckets_oracle_cte
+# enforces for the quantum and bit packing)
+_ANN_LSH_TABLES = 16
+_ANN_LSH_BITS = 4
+
+
+def _lsh_topk_oracle(
+    num_tables: int = _ANN_LSH_TABLES, bits: int = _ANN_LSH_BITS
+) -> str:
     """ann_lsh_topk's APPROXIMATE result replayed exactly: since
     round 9 the hyperplane buckets are quantized-integer
     (operators/dedup.hyperplane_table_buckets), so the oracle can
@@ -350,7 +362,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     res = lsh_cosine_topk(
-        emb.filter(F.col("vec_id") < 10), emb, k=5, dim=64
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=5,
+        dim=64,
+        num_tables=_ANN_LSH_TABLES,
+        bits_per_table=_ANN_LSH_BITS,
     )
     return res.withColumn("cosine", F.round("cosine", 6)).orderBy(
         "query_id", "rank"
@@ -373,7 +390,14 @@ def ann_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    ensure_ann_index(emb, "ann_idx_lsh", tag=sf_dir, dim=64)
+    ensure_ann_index(
+        emb,
+        "ann_idx_lsh",
+        tag=sf_dir,
+        dim=64,
+        num_tables=_ANN_LSH_TABLES,
+        bits_per_table=_ANN_LSH_BITS,
+    )
     res = search_ann_index(
         spark, "ann_idx_lsh", emb.filter(F.col("vec_id") < 10), k=5
     )

@@ -363,10 +363,15 @@ _KMV_SCALE = 4503599627370496  #: 2^52 — the md5-52-bit hash space
              strftime(ts, '%Y-%m') AS month, user_id
       FROM events
     ), h AS (
+      -- NULL user_ids are dropped on the Spark side (kmv_sketch's
+      -- shared NULL filter); without this mirror a NULL would hash
+      -- to a NULL hv that sorts NULLS LAST yet still occupies an
+      -- under-filled group's sketch slot, inflating its count
       SELECT day, month,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
                   AS BIGINT) AS hv
-      FROM (SELECT DISTINCT day, month, user_id FROM e)
+      FROM (SELECT DISTINCT day, month, user_id FROM e
+            WHERE user_id IS NOT NULL)
     ), rk AS (
       SELECT day, month, hv,
              ROW_NUMBER() OVER (PARTITION BY day, month ORDER BY hv) AS rn
@@ -444,9 +449,12 @@ def q_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM").alias("period")
     ).agg(F.count_distinct("user_id").alias("exact_distinct"))
     d = (
-        kmv_estimate_distinct(
-            kmv_merge(daily, ["day"], k=k), ["day"], k=k
-        )
+        # estimate daily DIRECTLY (like the HLL sibling): day
+        # determines month, so the (day, month)-keyed sketch already
+        # holds exactly one valid k-min set per day — a merge to
+        # ["day"] would only re-rank already-ranked rows (an extra
+        # distinct + window shuffle for nothing)
+        kmv_estimate_distinct(daily, ["day"], k=k)
         .withColumnRenamed("day", "period")
         .join(dex, "period")
         .select(F.lit("day").alias("level"), "period", "est_distinct",

@@ -18,6 +18,7 @@ on a 1000-executor cluster against ~100 TB:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -108,13 +109,14 @@ def _spark_defaults_java_options() -> str:
                 line = line.strip()
                 if not line or line.startswith("#"):
                     continue
-                # whitespace-separated key/value (Spark's own
-                # spark-defaults format — '=' belongs to the value,
-                # e.g. -XX:ReservedCodeCacheSize=512m), exact-key
-                # match, LAST occurrence wins (properties semantics)
-                parts = line.split(None, 1)
-                if parts[0] == _JAVA_OPTS_KEY:
-                    found = parts[1].strip() if len(parts) > 1 else ""
+                # Spark reads this file via java.util.Properties, so
+                # the key/value separator is the FIRST '=' or
+                # whitespace (keys never contain '='; later '='s —
+                # -XX:ReservedCodeCacheSize=512m — belong to the
+                # value). Exact-key match, LAST occurrence wins.
+                m = re.match(r"^([^\s=]+)[\s=]+(.*)$", line)
+                if m and m.group(1) == _JAVA_OPTS_KEY:
+                    found = m.group(2).strip()
     except OSError:
         return ""
     return found
