@@ -263,6 +263,13 @@ def main() -> None:
         # so warm_first amortization is unaffected.
         spark.catalog.clearCache()
 
+    # re-measure the phase AFTER the run: a start-only anchor missed
+    # a mid-run co-tenancy collapse (observed: start calib 0.36 s,
+    # but late queries 10× their quiet-phase times) — a large
+    # start/end disagreement marks the whole record as phase-polluted
+    calibration_end = sorted(_calib() for _ in range(3))[1]
+    print(f"# calibration_end: {calibration_end:.3f}s", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     # per-query ceiling: a headline query whose MEDIAN exceeds this is
@@ -289,6 +296,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "calibration_s": round(calibration, 3),
+        "calibration_end_s": round(calibration_end, 3),
         "ceiling_s": ceiling,
         "slow": slow,
     }
@@ -308,6 +316,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "calibration_s": round(calibration, 3),
+        "calibration_end_s": round(calibration_end, 3),
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 2000:
