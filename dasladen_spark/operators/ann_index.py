@@ -36,16 +36,17 @@ import os
 import shutil
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dasladen_spark.functions.vectors import cosine_sim
 from dasladen_spark.operators.dedup import _spread, hyperplane_table_buckets
+from dasladen_spark.operators.pq import PQ_VERSION
 from dasladen_spark.operators.similarity import (
-    centroid_assign_udf,
+    IVF_VERSION,
     fit_ivf_centroids,
-    probe_cells_udf,
+    probe_cells_driver,
+    with_cells,
 )
 from dasladen_spark.sinks.bucketed import write_bucketed
 
@@ -120,8 +121,8 @@ def build_ann_index(
         )
     elif method == "ivf":
         cent = fit_ivf_centroids(c, n_centroids, lloyd_iters)
-        postings = c.select(
-            centroid_assign_udf(cent)(F.col("cv")).cast("bigint").alias("probe"),
+        postings = with_cells(c, cent, "cv").select(
+            F.col("cell").cast("bigint").alias("probe"),
             "neighbor_id",
             "cv",
         )
@@ -133,7 +134,7 @@ def build_ann_index(
         raise ValueError(f"unknown ANN index method {method!r}")
 
     if compress == "pq":
-        from dasladen_spark.operators.pq import fit_pq_codebooks, pq_encode_udf
+        from dasladen_spark.operators.pq import fit_pq_codebooks, with_codes
 
         books = fit_pq_codebooks(
             c,
@@ -144,10 +145,8 @@ def build_ann_index(
             ksub=pq_ksub,
             iters=pq_iters,
         )
-        postings = postings.select(
-            "probe",
-            "neighbor_id",
-            pq_encode_udf(books)(F.col("cv")).alias("codes"),
+        postings = with_codes(
+            postings.select("probe", "neighbor_id", "cv"), books, "cv"
         )
         spark.createDataFrame(
             [
@@ -177,12 +176,14 @@ def build_ann_index(
                 pq_iters,
                 lloyd_iters,
                 _HASH_VERSION,
+                PQ_VERSION,
+                IVF_VERSION,
             )
         ],
         "method STRING, dim INT, num_tables INT, bits_per_table INT,"
         " n_centroids INT, n_buckets INT, tag STRING, compress STRING,"
         " pq_m INT, pq_ksub INT, pq_iters INT, lloyd_iters INT,"
-        " hash_version INT",
+        " hash_version INT, pq_version INT, ivf_version INT",
     ).write.mode("overwrite").saveAsTable(f"{table}_meta")
 
 
@@ -208,19 +209,17 @@ def _postings_for(
     else:
         cent_rows = spark.table(f"{table}_centroids").orderBy("cell").collect()
         cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
-        post = vecs.select(
-            centroid_assign_udf(cent)(F.col("cv")).cast("bigint").alias("probe"),
+        post = with_cells(vecs, cent, "cv").select(
+            F.col("cell").cast("bigint").alias("probe"),
             "neighbor_id",
             "cv",
         )
     if "compress" in meta.asDict() and meta["compress"] == "pq":
-        from dasladen_spark.operators.pq import pq_encode_udf
+        from dasladen_spark.operators.pq import with_codes
 
         books = _load_pq_books(spark, table)
-        return post.select(
-            "probe",
-            "neighbor_id",
-            pq_encode_udf(books)(F.col("cv")).alias("codes"),
+        return with_codes(
+            post.select("probe", "neighbor_id", "cv"), books, "cv"
         )
     # match the stored element type (e.g. float corpus, double input)
     cv_type = spark.table(table).schema["cv"].dataType
@@ -293,6 +292,15 @@ _GEOMETRY_DEFAULTS = {
     "pq_iters": 2,
     "lloyd_iters": 1,
     "hash_version": _HASH_VERSION,
+    # not a caller knob: the PQ encode kernel's algorithm version
+    # (operators/pq.PQ_VERSION) — indexes whose stored codes came from
+    # an older kernel rebuild on first ensure (round 8's numpy argmax
+    # encode is version 1 and its meta lacks the field entirely, so
+    # .get() yields None != PQ_VERSION)
+    "pq_version": PQ_VERSION,
+    # same discipline for the IVF cell-assignment kernel
+    # (operators/similarity.IVF_VERSION)
+    "ivf_version": IVF_VERSION,
 }
 
 
@@ -314,9 +322,9 @@ def _relevant_geometry(kwargs: dict) -> set[str]:
         # so an index hashed by older code always rebuilds)
         params |= {"num_tables", "bits_per_table", "hash_version"}
     elif method == "ivf":
-        params |= {"n_centroids", "lloyd_iters"}
+        params |= {"n_centroids", "lloyd_iters", "ivf_version"}
     if compress == "pq":
-        params |= {"pq_m", "pq_ksub", "pq_iters"}
+        params |= {"pq_m", "pq_ksub", "pq_iters", "pq_version"}
     return params
 
 
@@ -399,16 +407,21 @@ def search_ann_index(
             ).alias("probe"),
         )
     else:
+        from dasladen_spark.operators.pq import normalized_query_rows
+
         cent_rows = (
             spark.table(f"{table}_centroids").orderBy("cell").collect()
         )
         cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
-        probes = q.select(
-            "query_id",
-            "qv",
-            F.explode(probe_cells_udf(cent, n_probe)(F.col("qv"))).alias(
-                "cell"
+        pq_rows = normalized_query_rows(queries, query_id, query_vec)
+        probes = q.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    probe_cells_driver(cent, pq_rows, n_probe),
+                    "query_id long, cell int",
+                )
             ),
+            "query_id",
         ).select(
             "query_id", "qv", F.col("cell").cast("bigint").alias("probe")
         )
@@ -423,15 +436,20 @@ def search_ann_index(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     if compress == "pq":
-        from dasladen_spark.operators.pq import exact_rerank
+        from dasladen_spark.operators.pq import (
+            adc_score_expr,
+            exact_rerank,
+            normalized_query_rows,
+            query_lut,
+        )
 
-        q_rows = q.collect()
-        if not q_rows:
+        qn_rows = normalized_query_rows(queries, query_id, query_vec)
+        if not qn_rows:
             return spark.createDataFrame(
                 [], "query_id long, rank int, neighbor_id long, cosine double"
             )
         books = _load_pq_books(spark, table)
-        adc = _adc_score_udf(books, q_rows)
+        q_ids, lut = query_lut(books, qn_rows)
         wa = Window.partitionBy("query_id").orderBy(
             F.col("adc").desc(), F.col("neighbor_id").asc()
         )
@@ -439,7 +457,7 @@ def search_ann_index(
             cand.select(
                 "query_id",
                 "neighbor_id",
-                adc(F.col("query_id"), F.col("codes")).alias("adc"),
+                adc_score_expr(q_ids, lut, "query_id", "codes").alias("adc"),
             )
             .withColumn("arank", F.row_number().over(wa))
             .filter(F.col("arank") <= k * rerank_mult)
@@ -465,30 +483,6 @@ def search_ann_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
-
-
-def _adc_score_udf(books: np.ndarray, q_rows):
-    """Pandas UDF (query_id, codes) → approximate cosine via the
-    shared pq.query_lut table — one fancy-indexed gather per
-    subspace per Arrow batch, no vector math per row."""
-    from dasladen_spark.operators.pq import query_lut
-
-    m = books.shape[0]
-    q_ids, lut = query_lut(books, q_rows)
-    qmap = {qid: i for i, qid in enumerate(q_ids)}
-
-    @F.pandas_udf("double")
-    def adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
-        if len(qid) == 0:
-            return pd.Series([], dtype="float64")
-        idx = qid.map(qmap).to_numpy()
-        c = np.stack(codes.to_numpy())
-        s = np.zeros(len(idx))
-        for j in range(m):
-            s += lut[idx, j, c[:, j]]
-        return pd.Series(s)
-
-    return adc
 
 
 def compact_ann_index(spark: SparkSession, table: str) -> None:

@@ -11,7 +11,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -147,80 +146,198 @@ def lsh_cosine_topk(
     )
 
 
-def centroid_assign_udf(cent_mat: np.ndarray):
-    """Pandas UDF mapping a vector column to its nearest (by cosine)
-    centroid's cell id. The centroid matrix (n_centroids × dim) is
-    closure-broadcast; each Arrow batch is one numpy matmul."""
-    norm = cent_mat / np.maximum(
-        np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-12
+#: the IVF cell-assignment kernel's algorithm version, persisted in
+#: ann_index meta (like pq_version): round 9 replaced the numpy
+#: cosine-argmax pandas UDF with operators/pq's quantized-integer
+#: lattice argmin (m=1 product quantization IS nearest-centroid
+#: assignment), so indexes with version-1 cells rebuild on ensure
+IVF_VERSION = 2
+
+
+def assign_cells(
+    df: DataFrame,
+    cent_mat: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    out_col: str = "cell",
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, cell) — each vector's nearest-centroid cell on the shared
+    integer lattice (operators/pq module doctrine): normalize with
+    :func:`pq.lattice_denom`, quantize coordinates, and argmin the
+    pure-BIGINT distances with a lowest-index tie-break (for unit
+    vectors, L2-argmin is cosine-argmax). The single spelling shared
+    by the inverted-list build, the index append path, the Lloyd
+    rounds, and the SQL oracle replay.
+
+    Execution shape: positions explode (dim rows per vector) into ONE
+    codegen'd hash aggregate with ``n_centroids`` BIGINT SUM cells —
+    ``d_c = Σ_pos (zx_pos - zc_{c,pos})²`` via element_at lookups into
+    per-cell split-string literals. A flat per-cell expression chain
+    (the PQ encode shape, right at dsub=4) blows janino's 64 KB
+    method limit at dsub=64 and silently falls back to interpreted —
+    this shape keeps each generated aggregate update small. Map-side
+    complete (the explode never crosses partitions; a row-unique salt
+    keys duplicates), so the exchange carries one row per vector.
+
+    ``normalize=False`` assigns in RAW coordinate space
+    (``zx = floor(x·Q + 0.5)``, the ``x/1.0`` division is exact) —
+    the k-means flavor (operators/clustering)."""
+    from dasladen_spark.operators.pq import PQ_QUANT, _lat, _zc_lit, lattice_denom
+
+    cm = np.asarray(cent_mat, np.float64)
+    ksub, dim = cm.shape
+    zc = [[_lat(v) for v in row] for row in cm]
+    denom = (
+        lattice_denom(F.col(vec_col)) if normalize else F.lit(1.0)
+    )
+    ex = df.select(
+        F.col(id_col).alias("_aid"),
+        F.monotonically_increasing_id().alias("_asalt"),
+        F.col(vec_col).cast("array<double>").alias("_av"),
+        denom.alias("_adenom"),
+    ).select(
+        "_aid",
+        "_asalt",
+        "_adenom",
+        F.posexplode("_av").alias("_pos", "_x"),
+    )
+    ex = ex.select(
+        "_aid",
+        "_asalt",
+        "_pos",
+        F.floor(
+            (F.col("_x") / F.col("_adenom")) * F.lit(PQ_QUANT) + F.lit(0.5)
+        ).alias("_zx"),
+    )
+    sums = [
+        F.expr(
+            f"sum((_zx - element_at({_zc_lit(zc[c])}, _pos + 1))"
+            f" * (_zx - element_at({_zc_lit(zc[c])}, _pos + 1)))"
+        ).alias(f"_ad{c}")
+        for c in range(ksub)
+    ]
+    agg = ex.groupBy("_aid", "_asalt").agg(*sums)
+    darr = F.array(*[F.col(f"_ad{c}") for c in range(ksub)])
+    return agg.select(
+        F.col("_aid").alias(id_col),
+        (F.array_position(darr, F.array_min(darr)) - 1)
+        .cast("int")
+        .alias(out_col),
     )
 
-    @F.pandas_udf("int")
-    def assign(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="int32")
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        return pd.Series((x @ norm.T).argmax(axis=1).astype("int32"))
 
-    return assign
-
-
-def probe_cells_udf(cent_mat: np.ndarray, n_probe: int):
-    """Pandas UDF mapping a query vector to its ``n_probe`` nearest
-    cells (array<int>), for the IVF probe explode."""
-    probe_norm = cent_mat / np.maximum(
-        np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-12
+def with_cells(
+    df: DataFrame,
+    cent_mat: np.ndarray,
+    vec_col: str,
+    out_col: str = "cell",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """``df`` + ``out_col`` — :func:`assign_cells` joined back on
+    ``id_col`` so the vector (and any other columns) ride through.
+    ``id_col`` must be unique in ``df`` (corpus contract — same
+    assumption the index build itself makes)."""
+    return df.join(
+        assign_cells(df, cent_mat, id_col, vec_col, out_col), id_col
     )
 
-    @F.pandas_udf("array<int>")
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        sims = x @ probe_norm.T
-        order = np.argsort(-sims, axis=1)[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in order])
 
-    return probe_cells
+def probe_cells_driver(
+    cent_mat: np.ndarray, qn_rows, n_probe: int
+) -> list[tuple]:
+    """[(query_id, cell)] — each query's ``n_probe`` nearest cells by
+    the SAME lattice distance the corpus assignment uses (ties →
+    lowest cell id), computed driver-side from the collected
+    normalized query batch (queries are the small side by
+    construction). Pure-integer math, so the oracle replays it."""
+    from dasladen_spark.operators.pq import _lat
+
+    zc = [[_lat(v) for v in row] for row in np.asarray(cent_mat, np.float64)]
+    out = []
+    for qid, qn in qn_rows:
+        zq = [_lat(x) for x in qn]
+        d = [
+            (sum((a - b) * (a - b) for a, b in zip(zq, row)), c)
+            for c, row in enumerate(zc)
+        ]
+        d.sort()
+        out.extend((qid, c) for _d, c in d[:n_probe])
+    return out
 
 
 def fit_ivf_centroids(
     c: DataFrame, n_centroids: int, lloyd_iters: int
 ) -> np.ndarray:
-    """Fit the IVF centroid matrix over a (neighbor_id, cv) frame.
+    """Fit the IVF centroid matrix over a (neighbor_id, cv) frame —
+    since round 9 this IS pq.fit_pq_codebooks with one subspace
+    spanning the whole vector (same seed discipline with the
+    'ivf-seed' salt, same quantized-integer Lloyd rounds), so the
+    centroids — like the PQ codebooks — are a pure function of the
+    corpus that the SQL oracle re-derives bit-for-bit.
 
     Seeds are the ``n_centroids`` vectors with the smallest
     md5('ivf-seed' || id) — a deterministic hash-ordered sample, so
     the seed set is spread uniformly over the corpus even when ids
-    correlate with content (lowest-id seeding would start every cell
-    in the same content neighborhood). One TakeOrdered pass; then
-    ``lloyd_iters`` distributed k-means steps, each one assign UDF +
-    a (cell, dim)-keyed mean whose group count is independent of
-    corpus size. Only n_centroids × dim floats ever reach the driver."""
-    seeds = (
-        c.orderBy(
-            F.md5(F.concat(F.lit("ivf-seed"), F.col("neighbor_id").cast("string")))
-        )
-        .limit(n_centroids)
-        .select("cv")
-        .collect()
+    correlate with content. Only n_centroids × dim floats ever reach
+    the driver. Assignment goes through :func:`assign_cells` (the
+    agg shape — full-dim flat chains break janino, see there); the
+    Lloyd means are ``Σ floor(xn·Q + 0.5) / (n·Q)`` — the same
+    exact-integer construction as the PQ codebook means."""
+    from dasladen_spark.operators.pq import (
+        PQ_QUANT,
+        collect_normalized,
+        lattice_denom,
     )
-    cent = np.array([r["cv"] for r in seeds], dtype=np.float64)
-    for _ in range(lloyd_iters):
-        assigned = c.withColumn("cell", centroid_assign_udf(cent)(F.col("cv")))
-        means = (
-            assigned.select(
-                "cell", F.posexplode(F.col("cv").cast("array<double>"))
-            )
-            .groupBy("cell", "pos")
-            .agg(F.avg("col").alias("m"))
-            .collect()
+
+    base = c.select(
+        F.col("neighbor_id").alias("_id"), F.col("cv").alias("_v")
+    ).persist()
+    try:
+        seeds = collect_normalized(
+            base.orderBy(
+                F.md5(
+                    F.concat(F.lit("ivf-seed"), F.col("_id").cast("string"))
+                )
+            ).limit(n_centroids),
+            "_id",
+            "_v",
         )
-        for r in means:
-            cent[r["cell"], r["pos"]] = r["m"]
-    return cent
+        if len(seeds) < n_centroids:
+            raise ValueError(
+                f"fit_ivf_centroids: corpus has {len(seeds)} rows,"
+                f" needs at least n_centroids={n_centroids}"
+            )
+        cent = [[float(v) for v in xn] for _sid, xn in seeds]
+        # lattice positions of every vector, shared by all rounds
+        zpos = base.select(
+            "_id",
+            lattice_denom(F.col("_v")).alias("_d"),
+            F.posexplode(F.col("_v").cast("array<double>")).alias(
+                "_pos", "_x"
+            ),
+        ).select(
+            "_id",
+            "_pos",
+            F.floor(
+                (F.col("_x") / F.col("_d")) * F.lit(PQ_QUANT) + F.lit(0.5)
+            ).alias("_zx"),
+        )
+        for _ in range(lloyd_iters):
+            cells = assign_cells(base, np.asarray(cent), "_id", "_v")
+            stats = (
+                zpos.join(cells, "_id")
+                .groupBy("cell", "_pos")
+                .agg(
+                    F.sum("_zx").alias("_s"), F.count(F.lit(1)).alias("_n")
+                )
+                .collect()
+            )
+            for r in stats:
+                cent[r["cell"]][r["_pos"]] = r["_s"] / (r["_n"] * PQ_QUANT)
+    finally:
+        base.unpersist()
+    return np.array(cent, np.float64)
 
 
 def ivf_cosine_topk(
@@ -261,12 +378,20 @@ def ivf_cosine_topk(
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"))
 
     cent = fit_ivf_centroids(c, n_centroids, lloyd_iters)
-    lists = c.withColumn("cell", centroid_assign_udf(cent)(F.col("cv")))
+    lists = with_cells(c, cent, "cv")
 
-    probed = q.select(
+    from dasladen_spark.operators.pq import normalized_query_rows
+
+    qn_rows = normalized_query_rows(queries, query_id, query_vec)
+    spark = queries.sparkSession
+    probed = q.join(
+        F.broadcast(
+            spark.createDataFrame(
+                probe_cells_driver(cent, qn_rows, n_probe),
+                "query_id long, cell int",
+            )
+        ),
         "query_id",
-        "qv",
-        F.explode(probe_cells_udf(cent, n_probe)(F.col("qv"))).alias("cell"),
     )
     cand = probed.join(lists, on="cell")
     if exclude_self:

@@ -559,7 +559,119 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
 
 
-@query("ann_ivf_topk")  # approximate variant — no SQL oracle (recall < 1)
+# the registered IVF geometry — passed explicitly to the operator
+# call and the oracle generator (single-source rule)
+_IVF_CELLS = 16
+_IVF_PROBE = 4
+_IVF_ITERS = 1
+_IVF_DIM = 64
+_IVF_K = 5
+
+
+def _ivf_oracle(
+    cells: int = _IVF_CELLS,
+    n_probe: int = _IVF_PROBE,
+    iters: int = _IVF_ITERS,
+    dim: int = _IVF_DIM,
+    k: int = _IVF_K,
+) -> str:
+    """ann_ivf_topk's APPROXIMATE result replayed exactly — the
+    model-the-method doctrine (see llm6._pq_oracle, whose fit this IS
+    with one subspace spanning the whole vector): quantized-integer
+    norms and coordinates make every seed pick, Lloyd mean, cell
+    assignment, and probe choice a pure integer computation this SQL
+    re-derives bit-for-bit; only the final re-rank cosine is float,
+    and it is ROUND()ed like every other cosine output."""
+    q = "1000000.0::DOUBLE"  # operators/pq.PQ_QUANT
+    zdist = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    parts = [
+        f"""
+    WITH raw AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), xn AS MATERIALIZED (
+      SELECT vec_id, list_transform(v, x -> x / d) AS xn
+      FROM (
+        SELECT vec_id, v,
+               greatest(sqrt(CAST(list_sum(list_transform(v,
+                 x -> CAST(floor(x * x * {q} + 0.5) AS BIGINT)))
+                 AS DOUBLE) / {q}), 1e-12) AS d
+        FROM raw)
+    ), zx AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(xn, x -> CAST(floor(x * {q} + 0.5) AS BIGINT))
+               AS zx
+      FROM xn
+    ), b0 AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, xn AS coef
+      FROM (SELECT md5('ivf-seed' || CAST(vec_id AS VARCHAR)) AS h, xn
+            FROM xn ORDER BY h LIMIT {cells})
+    )"""
+    ]
+    for r in range(1, iters + 2):
+        parts.append(f""", zb{r - 1} AS MATERIALIZED (
+      SELECT c,
+             list_transform(coef, x -> CAST(floor(x * {q} + 0.5) AS BIGINT))
+               AS zc
+      FROM b{r - 1}
+    ), a{r} AS MATERIALIZED (
+      SELECT vec_id, c AS cell FROM (
+        SELECT z.vec_id, b.c,
+               ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                 ORDER BY {zdist.format(a='z.zx', b='b.zc')} ASC,
+                          b.c ASC) AS rn
+        FROM zx z CROSS JOIN zb{r - 1} b)
+      WHERE rn = 1
+    )""")
+        if r <= iters:
+            parts.append(f""", s{r} AS MATERIALIZED (
+      SELECT cell, i, SUM(zv) AS s, COUNT(*) AS n
+      FROM (
+        SELECT a.cell, unnest(generate_series(1, {dim})) AS i,
+               unnest(z.zx) AS zv
+        FROM a{r} a JOIN zx z USING (vec_id))
+      GROUP BY 1, 2
+    ), b{r} AS MATERIALIZED (
+      SELECT p.c,
+             CASE WHEN mm.coef IS NULL THEN p.coef ELSE mm.coef END AS coef
+      FROM b{r - 1} p LEFT JOIN (
+        SELECT cell AS c,
+               list(CAST(s AS DOUBLE) / (n * {q}) ORDER BY i) AS coef
+        FROM s{r} GROUP BY cell) mm USING (c)
+    )""")
+    parts.append(f""", qprobe AS MATERIALIZED (
+      SELECT vec_id AS query_id, c AS cell FROM (
+        SELECT z.vec_id, b.c,
+               ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                 ORDER BY {zdist.format(a='z.zx', b='b.zc')} ASC,
+                          b.c ASC) AS rn
+        FROM zx z CROSS JOIN zb{iters} b
+        WHERE z.vec_id < 10)
+      WHERE rn <= {n_probe}
+    ), scored AS (
+      SELECT p.query_id, l.vec_id AS neighbor_id,
+             {_cosine_sql('qr.v', 'nr.v')} AS cosine
+      FROM qprobe p JOIN a{iters + 1} l USING (cell)
+           JOIN raw qr ON qr.vec_id = p.query_id
+           JOIN raw nr ON nr.vec_id = l.vec_id
+      WHERE l.vec_id <> p.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= {k}
+    """)
+    return "".join(parts)
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle())
+# recall vs the exact baseline additionally audited in
+# tests/test_operators.py::test_ivf_topk_recall_vs_exact
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed approximate top-5 (inverted-file cells + n_probe
     search — the other standard ANN scale path besides LSH)."""
@@ -567,8 +679,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     res = ivf_cosine_topk(
-        emb.filter(F.col("vec_id") < 10), emb, k=5,
-        n_centroids=16, n_probe=4,
+        emb.filter(F.col("vec_id") < 10), emb, k=_IVF_K,
+        n_centroids=_IVF_CELLS, n_probe=_IVF_PROBE,
+        lloyd_iters=_IVF_ITERS,
     )
     return res.withColumn("cosine", F.round("cosine", 6)).orderBy(
         "query_id", "rank"
@@ -1246,8 +1359,85 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kmeans_embeddings")  # iterative algorithm — rows-only (numpy
-# differential test: tests/test_operators.py::test_kmeans_matches_numpy_reference)
+# the registered k-means geometry — single-source for the operator
+# calls and the oracle generator
+_KM_K = 8
+_KM_ITERS = 4
+
+
+def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """CTE chain re-deriving the k-means assignment bit-for-bit
+    (ends in ``ka{iters+1}(vec_id, cluster)``) — the lattice doctrine
+    (operators/pq) in RAW coordinate space: seeds by md5 hash order,
+    ``zx = floor(x·Q + 0.5)`` BIGINT coordinates, integer argmin
+    distances with lowest-index tie-breaks, ``Σzx/(n·Q)`` means —
+    each of the ``iters`` unrolled Lloyd rounds is a pure integer
+    computation both engines replay identically."""
+    q = "1000000.0::DOUBLE"  # operators/pq.PQ_QUANT
+    zdist = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    parts = [
+        f"""
+    WITH kraw AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), kzx AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x * {q} + 0.5) AS BIGINT))
+               AS zx
+      FROM kraw
+    ), kb0 AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, v AS coef
+      FROM (SELECT md5('kmeans-seed' || CAST(vec_id AS VARCHAR)) AS h, v
+            FROM kraw ORDER BY h LIMIT {k})
+    )"""
+    ]
+    for r in range(1, iters + 2):
+        parts.append(f""", kzb{r - 1} AS MATERIALIZED (
+      SELECT c,
+             list_transform(coef, x -> CAST(floor(x * {q} + 0.5) AS BIGINT))
+               AS zc
+      FROM kb{r - 1}
+    ), ka{r} AS MATERIALIZED (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT z.vec_id, b.c,
+               ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                 ORDER BY {zdist.format(a='z.zx', b='b.zc')} ASC,
+                          b.c ASC) AS rn
+        FROM kzx z CROSS JOIN kzb{r - 1} b)
+      WHERE rn = 1
+    )""")
+        if r <= iters:
+            parts.append(f""", ks{r} AS MATERIALIZED (
+      SELECT cluster, i, SUM(zv) AS s, COUNT(*) AS n
+      FROM (
+        SELECT a.cluster, unnest(generate_series(1, len(z.zx))) AS i,
+               unnest(z.zx) AS zv
+        FROM ka{r} a JOIN kzx z USING (vec_id))
+      GROUP BY 1, 2
+    ), kb{r} AS MATERIALIZED (
+      SELECT p.c,
+             CASE WHEN mm.coef IS NULL THEN p.coef ELSE mm.coef END AS coef
+      FROM kb{r - 1} p LEFT JOIN (
+        SELECT cluster AS c,
+               list(CAST(s AS DOUBLE) / (n * {q}) ORDER BY i) AS coef
+        FROM ks{r} GROUP BY cluster) mm USING (c)
+    )""")
+    return "".join(parts)
+
+
+@query(
+    "kmeans_embeddings",
+    # exact since round 9: the lattice k-means (see _kmeans_ctes);
+    # a scalar sequential replica is also asserted equal in
+    # tests/test_operators.py::test_kmeans_matches_numpy_reference
+    oracle=_kmeans_ctes()
+    + f"""
+    SELECT cluster, COUNT(*) AS n_members
+    FROM ka{_KM_ITERS + 1} GROUP BY cluster ORDER BY cluster
+    """,
+)
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means over the embedding corpus (k=8, 4 Lloyd's
     iterations, deterministic lowest-id init): per iteration one
@@ -1258,7 +1448,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dasladen_spark.operators.clustering import kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned = kmeans_fit(emb, "embedding", "vec_id", k=8, iterations=4)
+    assigned = kmeans_fit(
+        emb, "embedding", "vec_id", k=_KM_K, iterations=_KM_ITERS
+    )
     return (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -1266,8 +1458,32 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kmeans_purity")  # kmeans upstream — rows-only (assignment
-# exactness is covered by the numpy differential test)
+@query(
+    "kmeans_purity",
+    # exact since round 9 (same lattice assignment as
+    # kmeans_embeddings; purity is one long→double division)
+    oracle=_kmeans_ctes()
+    + f"""
+    , kcounts AS (
+      SELECT a.cluster, e.label, COUNT(*) AS n
+      FROM ka{_KM_ITERS + 1} a JOIN embeddings e USING (vec_id)
+      GROUP BY 1, 2
+    ), ktop AS (
+      SELECT cluster, label, n,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY n DESC, label) AS rk
+      FROM kcounts
+    ), ksizes AS (
+      -- HUGEINT would reach pandas as float64; Spark's sum is LONG
+      SELECT cluster, CAST(SUM(n) AS BIGINT) AS size
+      FROM kcounts GROUP BY cluster
+    )
+    SELECT t.cluster, s.size, t.label AS majority_label,
+           CAST(t.n AS DOUBLE) / CAST(s.size AS DOUBLE) AS purity
+    FROM ktop t JOIN ksizes s USING (cluster)
+    WHERE t.rk = 1 ORDER BY t.cluster
+    """,
+)
 def kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering-quality audit: k-means clusters crossed with the
     corpus's ground-truth labels — per cluster, its size, majority
@@ -1280,7 +1496,9 @@ def kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dasladen_spark.operators.clustering import kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned = kmeans_fit(emb, "embedding", "vec_id", k=8, iterations=4)
+    assigned = kmeans_fit(
+        emb, "embedding", "vec_id", k=_KM_K, iterations=_KM_ITERS
+    )
     crossed = assigned.join(
         emb.select(F.col("vec_id").alias("id"), "label"), "id"
     )

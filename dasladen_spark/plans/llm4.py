@@ -1216,7 +1216,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     drift_tbl = "ann_idx_pq_drift"
     marker = drift_tbl + "_state"
-    want = sf_dir + ":70+30"
+    from dasladen_spark.operators.pq import PQ_VERSION
+
+    # the kernel version joins the marker so a PQ-encode upgrade
+    # rebuilds the drift index instead of serving stale codes
+    want = f"{sf_dir}:70+30:v{PQ_VERSION}"
     fresh = (
         spark.catalog.tableExists(marker)
         # the marker alone isn't enough: a warehouse cleanup can drop

@@ -241,9 +241,165 @@ def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- PQ-compressed ANN
 
 
-@query("ann_pq_topk")  # approximate method — rows-only;
-# tests/test_operators.py::test_pq_reranked_recall audits recall@5 and
+# ONE definition of the registered PQ geometry, passed explicitly to
+# the operator calls and the oracle generator (the ann_lsh_topk
+# single-source rule)
+_PQ_M = 16
+_PQ_KSUB = 32
+_PQ_ITERS = 2
+_PQ_DIM = 64
+_PQ_K = 5
+_PQ_MULT = 8
+
+
+def _pq_oracle(
+    m: int = _PQ_M,
+    ksub: int = _PQ_KSUB,
+    iters: int = _PQ_ITERS,
+    dim: int = _PQ_DIM,
+    k: int = _PQ_K,
+    mult: int = _PQ_MULT,
+    cand_cte: str = "",
+) -> str:
+    """ann_pq_topk's APPROXIMATE result replayed exactly — the
+    _lsh_topk_oracle doctrine (model the METHOD, not the exact
+    answer), applied to the whole PQ pipeline: since round 9 every
+    discrete step is quantized-integer (operators/pq module
+    doctrine), so this generated SQL re-derives the codebooks (seed →
+    iters unrolled Lloyd rounds), the codes, the ADC shortlist, and
+    the exact re-rank bit-for-bit. Quantized norms/coordinates make
+    the sums order-free BIGINTs; centroid coordinates are one float
+    division from exact integers; the LUT/ADC sums are fixed
+    left-assoc chains matching the driver-built literals.
+
+    ``cand_cte``: extra CTE fragment ending in a ``cand(query_id,
+    neighbor_id)`` relation — the ADC stage then scores only those
+    pairs instead of the full cross join (the materialized-index
+    variant, _pq_indexed_oracle)."""
+    dsub = dim // m
+    q = "1000000.0::DOUBLE"  # operators/pq.PQ_QUANT
+    parts = [
+        f"""
+    WITH raw AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), xn AS MATERIALIZED (
+      SELECT vec_id, list_transform(v, x -> x / d) AS xn
+      FROM (
+        SELECT vec_id, v,
+               greatest(sqrt(CAST(list_sum(list_transform(v,
+                 x -> CAST(floor(x * x * {q} + 0.5) AS BIGINT)))
+                 AS DOUBLE) / {q}), 1e-12) AS d
+        FROM raw)
+    ), zx AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(xn, x -> CAST(floor(x * {q} + 0.5) AS BIGINT))
+               AS zx
+      FROM xn
+    ), seeds AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, xn
+      FROM (SELECT md5('pq-seed' || CAST(vec_id AS VARCHAR)) AS h, xn
+            FROM xn ORDER BY h LIMIT {ksub})
+    ), b0 AS MATERIALIZED (
+      SELECT jj.j, s.c, s.xn[jj.j*{dsub}+1 : jj.j*{dsub}+{dsub}] AS coef
+      FROM seeds s CROSS JOIN (SELECT unnest(range({m})) AS j) jj
+    )"""
+    ]
+    for r in range(1, iters + 2):
+        # assignment a{r} under books b{r-1} (a{iters+1} = final codes)
+        parts.append(f""", zb{r - 1} AS MATERIALIZED (
+      SELECT j, c,
+             list_transform(coef, x -> CAST(floor(x * {q} + 0.5) AS BIGINT))
+               AS zc
+      FROM b{r - 1}
+    ), a{r} AS MATERIALIZED (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT z.vec_id, b.j, b.c,
+               ROW_NUMBER() OVER (PARTITION BY z.vec_id, b.j
+                 ORDER BY list_sum(list_transform(
+                   list_zip(z.zx[b.j*{dsub}+1 : b.j*{dsub}+{dsub}], b.zc),
+                   p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, b.c ASC) AS rn
+        FROM zx z CROSS JOIN zb{r - 1} b)
+      WHERE rn = 1
+    )""")
+        if r <= iters:
+            # Lloyd mean update b{r}; empty cells keep b{r-1}'s coef
+            parts.append(f""", s{r} AS MATERIALIZED (
+      SELECT j, code, i, SUM(zv) AS s, COUNT(*) AS n
+      FROM (
+        SELECT a.j, a.code, unnest(generate_series(1, {dsub})) AS i,
+               unnest(z.zx[a.j*{dsub}+1 : a.j*{dsub}+{dsub}]) AS zv
+        FROM a{r} a JOIN zx z USING (vec_id))
+      GROUP BY 1, 2, 3
+    ), b{r} AS MATERIALIZED (
+      SELECT p.j, p.c,
+             CASE WHEN mm.coef IS NULL THEN p.coef ELSE mm.coef END AS coef
+      FROM b{r - 1} p LEFT JOIN (
+        SELECT j, code AS c,
+               list(CAST(s AS DOUBLE) / (n * {q}) ORDER BY i) AS coef
+        FROM s{r} GROUP BY j, code) mm USING (j, c)
+    )""")
+    lut_dot = " + ".join(
+        f"qq.xn[b.j*{dsub}+{i + 1}] * b.coef[{i + 1}]" for i in range(dsub)
+    )
+    adc_chain = " + ".join(
+        f"l.wss[{j + 1}][cd.codes[{j + 1}] + 1]" for j in range(m)
+    )
+    parts.append(f""", codes AS MATERIALIZED (
+      SELECT vec_id, list(code ORDER BY j) AS codes
+      FROM a{iters + 1} GROUP BY vec_id
+    ), lut AS MATERIALIZED (
+      SELECT qq.vec_id AS qid, b.j, b.c, {lut_dot} AS w
+      FROM (SELECT vec_id, xn FROM xn WHERE vec_id < 10) qq
+           CROSS JOIN b{iters} b
+    ), lutq AS MATERIALIZED (
+      SELECT qid, list(ws ORDER BY j) AS wss FROM (
+        SELECT qid, j, list(w ORDER BY c) AS ws FROM lut GROUP BY qid, j)
+      GROUP BY qid
+    )""")
+    if cand_cte:
+        # indexed variant: ADC only over the bucket-join candidate
+        # set (search_ann_index's dropDuplicates + self-exclusion)
+        parts.append(cand_cte)
+        parts.append(f""", adc AS MATERIALIZED (
+      SELECT ca.query_id, ca.neighbor_id, {adc_chain} AS adc
+      FROM cand ca JOIN lutq l ON l.qid = ca.query_id
+                   JOIN codes cd ON cd.vec_id = ca.neighbor_id
+    ), short AS MATERIALIZED (""")
+    else:
+        parts.append(f""", adc AS MATERIALIZED (
+      SELECT l.qid AS query_id, cd.vec_id AS neighbor_id,
+             {adc_chain} AS adc
+      FROM lutq l CROSS JOIN codes cd
+      WHERE cd.vec_id <> l.qid
+    ), short AS MATERIALIZED (""")
+    parts.append(f"""
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc DESC, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {k * mult}
+    ), scored AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_cosine_sql('qr.v', 'nr.v')} AS cosine
+      FROM short s JOIN raw qr ON qr.vec_id = s.query_id
+                   JOIN raw nr ON nr.vec_id = s.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= {k}
+    """)
+    return "".join(parts)
+
+
+@query("ann_pq_topk", oracle=_pq_oracle())
+# recall@5 additionally audited in
+# tests/test_operators.py::test_pq_reranked_recall;
 # test_pq_matches_numpy_reference proves fit/encode bit-determinism
+# against a scalar sequential replica
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN with exact re-rank — the memory-scale
     path (operators/pq): the corpus scan reads 16-byte codes instead
@@ -258,17 +414,43 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    books = fit_pq_codebooks(emb, m=16, ksub=32, iters=2)
+    books = fit_pq_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
     codes = pq_encode(emb, books)
     q = emb.filter(F.col("vec_id") < 10)
-    return pq_topk_reranked(q, emb, codes, books, k=5, rerank_mult=8).orderBy(
-        "query_id", "rank"
-    )
+    return pq_topk_reranked(
+        q, emb, codes, books, k=_PQ_K, rerank_mult=_PQ_MULT
+    ).orderBy("query_id", "rank")
 
 
-@query("ann_pq_indexed_topk")  # approximate method — rows-only;
-# recall audited in tests/test_operators.py::test_pq_indexed_recall and
-# plan-asserted (zero corpus-side Exchange, code-bytes-only scan) in
+# the LSH geometry of the materialized ann_idx_pq index — passed
+# explicitly to the build AND the oracle (single-source rule)
+_PQIDX_TABLES = 16
+_PQIDX_BITS = 4
+
+
+def _pq_indexed_oracle() -> str:
+    """ann_pq_indexed_topk replayed exactly: the PQ fit/encode/ADC
+    chain of _pq_oracle, with the candidate set restricted to the
+    materialized index's hyperplane bucket joins (the same
+    quantized-integer bucket replay ann_lsh_topk's oracle uses) —
+    i.e. the oracle models BOTH approximations the index makes."""
+    from dasladen_spark.operators.dedup import hyperplane_buckets_oracle_cte
+
+    cand = f""", {hyperplane_buckets_oracle_cte(
+        _PQIDX_TABLES, _PQIDX_BITS, _PQ_DIM,
+        relation="raw", id_col="vec_id", vec_col="v",
+    )}, cand AS MATERIALIZED (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c USING (t, bkt)
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    )"""
+    return _pq_oracle(cand_cte=cand)
+
+
+@query("ann_pq_indexed_topk", oracle=_pq_indexed_oracle())
+# recall additionally audited in
+# tests/test_operators.py::test_pq_indexed_recall and plan-asserted
+# (zero corpus-side Exchange, code-bytes-only scan) in
 # tests/test_plan_shapes.py::test_pq_indexed_search_scans_codes_only
 def ann_pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full at-scale ANN stack: a MATERIALIZED bucketed LSH index
@@ -284,14 +466,24 @@ def ann_pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     ensure_ann_index(
-        emb, "ann_idx_pq", tag=sf_dir, dim=64, compress="pq"
+        emb,
+        "ann_idx_pq",
+        tag=sf_dir,
+        dim=_PQ_DIM,
+        compress="pq",
+        num_tables=_PQIDX_TABLES,
+        bits_per_table=_PQIDX_BITS,
+        pq_m=_PQ_M,
+        pq_ksub=_PQ_KSUB,
+        pq_iters=_PQ_ITERS,
     )
     return search_ann_index(
         spark,
         "ann_idx_pq",
         emb.filter(F.col("vec_id") < 10),
-        k=5,
+        k=_PQ_K,
         corpus=emb,
+        rerank_mult=_PQ_MULT,
     ).orderBy("query_id", "rank")
 
 

@@ -1034,46 +1034,53 @@ def test_pagerank_matches_numpy_reference(spark, sf_dir):
 
 
 def test_kmeans_matches_numpy_reference(spark, sf_dir):
-    """Distributed Lloyd's iterations vs a dense numpy reference
-    running the identical algorithm (same deterministic init, same
-    tie rule): assignments must agree exactly — float sum order can
-    differ only below argmin-flipping magnitude on real-valued
-    embeddings."""
-    import numpy as np
+    """Distributed Lloyd's iterations vs a scalar sequential replica
+    of the round-9 lattice algorithm (same md5 init, same quantized
+    coordinates, same integer argmin tie rule, same Σzx/(n·Q) means):
+    assignments must agree EXACTLY — the lattice makes every round a
+    pure integer computation, so there is no float-order caveat."""
+    import hashlib
+    import math
 
     from dasladen_spark.operators.clustering import kmeans_fit
+    from dasladen_spark.operators.pq import PQ_QUANT as Q
     from dasladen_spark.session import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = sorted(
-        ((r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
-         for r in emb.collect()),
-        key=lambda t: t[0],
-    )
-    ids = np.array([t[0] for t in rows])
-    x = np.stack([t[1] for t in rows])
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    ids = sorted(vecs)
+    zx = {
+        i: [math.floor(x * Q + 0.5) for x in v] for i, v in vecs.items()
+    }
     k, iters = 8, 4
-
-    # same md5 hash-ordered seeding as kmeans_fit (lowercase hex
-    # strings sort identically to Spark's md5 ordering)
-    import hashlib
-
     seed_order = sorted(
-        range(len(ids)),
-        key=lambda i: hashlib.md5(
-            f"kmeans-seed{ids[i]}".encode()
-        ).hexdigest(),
+        ids,
+        key=lambda i: hashlib.md5(f"kmeans-seed{i}".encode()).hexdigest(),
     )
-    c = x[seed_order[:k]].copy()
+    cent = [list(vecs[i]) for i in seed_order[:k]]
+
+    def assign_all():
+        zc = [[math.floor(v * Q + 0.5) for v in row] for row in cent]
+
+        def dist(i, c):
+            return sum((a - b) * (a - b) for a, b in zip(zx[i], zc[c]))
+
+        return {
+            i: min(range(k), key=lambda c: (dist(i, c), c)) for i in ids
+        }
+
     for _ in range(iters):
-        d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
-        a = np.argmin(d, axis=1)
+        a = assign_all()
         for j in range(k):
-            m = a == j
-            if m.any():
-                c[j] = x[m].mean(axis=0)
-    d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
-    want = dict(zip(ids.tolist(), np.argmin(d, axis=1).tolist()))
+            mem = [i for i in ids if a[i] == j]
+            if mem:
+                for p in range(len(cent[j])):
+                    s = sum(zx[i][p] for i in mem)
+                    cent[j][p] = s / (len(mem) * Q)
+    want = assign_all()
 
     got = {
         r["id"]: r["cluster"]
@@ -1549,57 +1556,74 @@ def test_priority_sample_weighted_without_replacement(spark):
 
 
 def _pq_numpy_reference(rows, m, ksub, iters):
-    """Pure-numpy replica of fit_pq_codebooks + pq_encode: same md5
-    seed ordering, same normalize→assign→decimal-mean rounds."""
+    """Pure-Python replica of fit_pq_codebooks + pq_encode on the
+    round-9 integer lattice (operators/pq module doctrine): quantized
+    norm, md5 seed ordering, BIGINT lattice distances with
+    lowest-index tie-breaks, Σzx/(n·Q) means. Scalar loops — no numpy
+    matmul, so the arithmetic order is the spec's, not BLAS's."""
     import hashlib
-    from decimal import ROUND_HALF_UP, Decimal
+    import math
 
     import numpy as np
 
-    ids = np.array([r[0] for r in rows])
-    x = np.stack([np.asarray(r[1], np.float64) for r in rows])
-    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    dim = x.shape[1]
+    from dasladen_spark.operators.pq import PQ_QUANT as Q
+
+    dim = len(rows[0][1])
     dsub = dim // m
+
+    def norm(v):
+        s = sum(math.floor(x * x * Q + 0.5) for x in v)
+        d = max(math.sqrt(s / Q), 1e-12)
+        return [float(x) / d for x in v]
+
+    ids = [r[0] for r in rows]
+    xn = {i: norm([float(x) for x in v]) for i, v in rows}
+    zx = {i: [math.floor(x * Q + 0.5) for x in v] for i, v in xn.items()}
     order = sorted(
-        range(len(ids)),
-        key=lambda i: hashlib.md5(f"pq-seed{ids[i]}".encode()).hexdigest(),
+        ids, key=lambda i: hashlib.md5(f"pq-seed{i}".encode()).hexdigest()
     )
-    seed_mat = x[order[:ksub]]
-    books = np.stack([seed_mat[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+    books = [
+        [
+            [xn[order[c]][j * dsub + i] for i in range(dsub)]
+            for c in range(ksub)
+        ]
+        for j in range(m)
+    ]
 
-    def assign(mat, bks):
-        codes = np.empty((len(mat), m), np.int64)
-        for j in range(m):
-            sub = mat[:, j * dsub : (j + 1) * dsub]
-            codes[:, j] = (sub @ bks[j].T - 0.5 * (bks[j] ** 2).sum(1)).argmax(1)
-        return codes
+    def assign_all():
+        zb = [
+            [[math.floor(v * Q + 0.5) for v in code] for code in sub]
+            for sub in books
+        ]
 
-    q18 = Decimal("1e-18")
+        def dist(i, j, c):
+            return sum(
+                (zx[i][j * dsub + p] - zb[j][c][p]) ** 2 for p in range(dsub)
+            )
+
+        return {
+            i: [
+                min(range(ksub), key=lambda c: (dist(i, j, c), c))
+                for j in range(m)
+            ]
+            for i in ids
+        }
+
     for _ in range(iters):
-        codes = assign(x, books)
-        nxt = books.copy()
+        codes = assign_all()
         for j in range(m):
             for c in range(ksub):
-                mask = codes[:, j] == c
-                if mask.any():
-                    sub = x[mask, j * dsub : (j + 1) * dsub]
+                mem = [i for i in ids if codes[i][j] == c]
+                if mem:
                     for p in range(dsub):
-                        # Spark's double→decimal cast goes through the
-                        # shortest roundtrip string (Java BigDecimal
-                        # .decimal), not the exact binary expansion
-                        s = sum(
-                            (
-                                Decimal(repr(float(v))).quantize(
-                                    q18, ROUND_HALF_UP
-                                )
-                                for v in sub[:, p]
-                            ),
-                            Decimal(0),
-                        )
-                        nxt[j, c, p] = float(s) / mask.sum()
-        books = nxt
-    return books, ids, assign(x, books)
+                        s = sum(zx[i][j * dsub + p] for i in mem)
+                        books[j][c][p] = s / (len(mem) * Q)
+    final = assign_all()
+    return (
+        np.array(books, np.float64),
+        ids,
+        np.array([final[i] for i in ids], np.int64),
+    )
 
 
 def test_pq_matches_numpy_reference(spark, sf_dir):
