@@ -37,6 +37,21 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def cosine_sim_carried(
+    a: Column, b: Column, norm_a: Column, norm_b: Column
+) -> Column:
+    """cosine_sim with the norms CARRIED as columns — bit-identical
+    output (``norm_x`` must be ``l2_norm(x)``: same fold, same sqrt,
+    so ``norm_a * norm_b`` and the zero guard see the same doubles),
+    but the per-PAIR work drops from three interpreted folds to one.
+    Norms are per-ROW quantities: every pair-scoring stage (ANN
+    candidate scoring, brute-force top-k) folds each row's norm once
+    in a projection before the join instead of once per pair — the
+    win (a) the note below prescribes."""
+    denom = norm_a * norm_b
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
 def bounded_window_key(col: Column) -> Column:
     """A non-foldable always-zero partition key for windows whose
     input is BOUNDED by construction (a preceding ``limit``, a
@@ -62,5 +77,7 @@ def bounded_window_key(col: Column) -> Column:
 # Catalyst's lambda interpreter over primitive double arrays is
 # comparatively fast. If a pair-scoring stage needs more speed, the
 # wins that actually work are (a) fold each norm once per ROW and
-# carry it as a column (operators/decontaminate), and (b) filter on
-# the score BEFORE any non-hash aggregate.
+# carry it as a column (cosine_sim_carried — applied across the ANN
+# scorers and stored as the index's build-time ``cnorm`` in round 9;
+# operators/decontaminate does the same), and (b) filter on the
+# score BEFORE any non-hash aggregate.

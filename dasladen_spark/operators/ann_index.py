@@ -14,8 +14,11 @@ per-query top-k window.
 
 Index layout (session catalog tables; Hive/Glue/Unity in production):
 
-- ``{table}``            (probe BIGINT, neighbor_id, cv), bucketed and
-                         sorted by ``probe``
+- ``{table}``            (probe BIGINT, neighbor_id, cv, cnorm),
+                         bucketed and sorted by ``probe`` — ``cnorm``
+                         is the vector's L2 norm folded once at BUILD
+                         time, so query-time candidate scoring carries
+                         it instead of re-folding per pair
 - ``{table}_meta``       one row of build parameters
 - ``{table}_centroids``  IVF only: (cell, centroid) — data-dependent,
                          so persisted with the index
@@ -39,7 +42,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dasladen_spark.functions.vectors import cosine_sim
+from dasladen_spark.functions.vectors import cosine_sim_carried, l2_norm
 from dasladen_spark.operators.dedup import _spread, hyperplane_table_buckets
 from dasladen_spark.operators.pq import PQ_VERSION
 from dasladen_spark.operators.similarity import (
@@ -118,6 +121,11 @@ def build_ann_index(
             .alias("probe"),
             "neighbor_id",
             "cv",
+            # the vector's norm, folded ONCE at build time: search
+            # scores candidates with carried norms (one interpreted
+            # fold per pair instead of three, bit-identical cosines —
+            # functions/vectors.cosine_sim_carried)
+            l2_norm(F.col("cv")).alias("cnorm"),
         )
     elif method == "ivf":
         cent = fit_ivf_centroids(c, n_centroids, lloyd_iters)
@@ -125,6 +133,7 @@ def build_ann_index(
             F.col("cell").cast("bigint").alias("probe"),
             "neighbor_id",
             "cv",
+            l2_norm(F.col("cv")).alias("cnorm"),
         )
         spark.createDataFrame(
             [(i, [float(x) for x in row]) for i, row in enumerate(cent)],
@@ -205,6 +214,7 @@ def _postings_for(
             ).alias("probe"),
             "neighbor_id",
             "cv",
+            l2_norm(F.col("cv")).alias("cnorm"),
         )
     else:
         cent_rows = spark.table(f"{table}_centroids").orderBy("cell").collect()
@@ -213,6 +223,7 @@ def _postings_for(
             F.col("cell").cast("bigint").alias("probe"),
             "neighbor_id",
             "cv",
+            l2_norm(F.col("cv")).alias("cnorm"),
         )
     if "compress" in meta.asDict() and meta["compress"] == "pq":
         from dasladen_spark.operators.pq import with_codes
@@ -271,7 +282,7 @@ def append_to_ann_index(
 #: stored version differs from the code's is stale BY CONSTRUCTION
 #: (probe keys would be hashed differently than its postings), so
 #: ensure_ann_index rebuilds it.
-_HASH_VERSION = 2
+_HASH_VERSION = 3
 
 #: every geometry knob a build can take, with build_ann_index's
 #: defaults — ensure_ann_index compares ALL of them against the
@@ -393,7 +404,11 @@ def search_ann_index(
         raise ValueError("pq-compressed index needs the source corpus "
                          "frame for the exact re-rank")
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        # folded once per query; the candidate scoring carries it
+        # against the index's build-time cnorm
+        l2_norm(F.col(query_vec)).alias("_qn"),
     )
     if meta["method"] == "lsh":
         probes = hyperplane_table_buckets(
@@ -401,6 +416,7 @@ def search_ann_index(
         ).select(
             "query_id",
             "qv",
+            "_qn",
             (
                 F.col("t").cast("bigint") * (1 << meta["bits_per_table"])
                 + F.col("bkt")
@@ -423,7 +439,10 @@ def search_ann_index(
             ),
             "query_id",
         ).select(
-            "query_id", "qv", F.col("cell").cast("bigint").alias("probe")
+            "query_id",
+            "qv",
+            "_qn",
+            F.col("cell").cast("bigint").alias("probe"),
         )
     cand = (
         spark.table(table)
@@ -476,7 +495,9 @@ def search_ann_index(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
+        cosine_sim_carried(
+            F.col("qv"), F.col("cv"), F.col("_qn"), F.col("cnorm")
+        ).alias("cosine"),
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

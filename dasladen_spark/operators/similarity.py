@@ -14,7 +14,11 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dasladen_spark.functions.vectors import cosine_sim
+from dasladen_spark.functions.vectors import (
+    cosine_sim,
+    cosine_sim_carried,
+    l2_norm,
+)
 from dasladen_spark.operators.dedup import _spread, hyperplane_table_buckets
 
 
@@ -33,12 +37,20 @@ def cosine_topk(
     Output: (query_id, neighbor_id, rank, cosine). Rank ties are
     broken by neighbor id so results are fully deterministic.
     """
+    # norms fold once per ROW here, not once per pair in the scoring
+    # select below — bit-identical cosines, 3× fewer interpreted
+    # folds on the |Q|×|corpus| pair stream (see
+    # functions/vectors.cosine_sim_carried)
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        l2_norm(F.col(query_vec)).alias("_qn"),
     )
     c = _spread(
         corpus.select(
-            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("cv")
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("cv"),
+            l2_norm(F.col(corpus_vec)).alias("_cn"),
         ),
         "neighbor_id",
     )
@@ -48,7 +60,9 @@ def cosine_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
+        cosine_sim_carried(
+            F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -94,10 +108,15 @@ def lsh_cosine_topk(
     qid_type = queries.schema[query_id].dataType
     cid_type = corpus.schema[corpus_id].dataType
     both = hyperplane_table_buckets(
+        # per-row norms fold here, BEFORE the kernel and the bucket
+        # join, and ride through as carried columns — the pair-stream
+        # scoring below then does one fold per pair instead of three
+        # (bit-identical cosines; functions/vectors.cosine_sim_carried)
         queries.select(
             F.lit(True).alias("_is_q"),
             F.col(query_id).alias("_qid"),
             F.lit(None).cast(cid_type).alias("_nid"),
+            l2_norm(F.col(query_vec)).alias("_vn"),
             F.col(query_vec).cast("array<double>").alias("_v"),
         ).unionByName(
             _spread(
@@ -105,6 +124,7 @@ def lsh_cosine_topk(
                     F.lit(False).alias("_is_q"),
                     F.lit(None).cast(qid_type).alias("_qid"),
                     F.col(corpus_id).alias("_nid"),
+                    l2_norm(F.col(corpus_vec)).alias("_vn"),
                     F.col(corpus_vec).cast("array<double>").alias("_v"),
                 ),
                 "_nid",
@@ -116,11 +136,16 @@ def lsh_cosine_topk(
         dim,
     )
     q = both.filter(F.col("_is_q")).select(
-        F.col("_qid").alias("query_id"), F.col("_v").alias("qv"), "t", "bkt"
+        F.col("_qid").alias("query_id"),
+        F.col("_v").alias("qv"),
+        F.col("_vn").alias("_qn"),
+        "t",
+        "bkt",
     )
     c = both.filter(~F.col("_is_q")).select(
         F.col("_nid").alias("neighbor_id"),
         F.col("_v").alias("cv"),
+        F.col("_vn").alias("_cn"),
         "t",
         "bkt",
     )
@@ -134,7 +159,9 @@ def lsh_cosine_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
+        cosine_sim_carried(
+            F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -375,10 +402,16 @@ def ivf_cosine_topk(
         ),
         "neighbor_id",
     )
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv"))
+    # per-row norms fold before the cell join; the pair scoring below
+    # carries them (bit-identical, 3× fewer interpreted folds)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        l2_norm(F.col(query_vec)).alias("_qn"),
+    )
 
     cent = fit_ivf_centroids(c, n_centroids, lloyd_iters)
-    lists = with_cells(c, cent, "cv")
+    lists = with_cells(c, cent, "cv").withColumn("_cn", l2_norm(F.col("cv")))
 
     from dasladen_spark.operators.pq import normalized_query_rows
 
@@ -399,7 +432,9 @@ def ivf_cosine_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine_sim(F.col("qv"), F.col("cv")).alias("cosine"),
+        cosine_sim_carried(
+            F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
