@@ -1227,6 +1227,57 @@ def run_intake(ctx: TaskContext, task: dict) -> None:
     ctx.log(f"task {task.get('name')}: intake drained ({gate} gate)")
 
 
+def run_cluster(ctx: TaskContext, task: dict) -> None:
+    """Cluster task (beyond the reference): read any supported
+    source, run the lattice k-means over its embedding column
+    (operators/clustering.kmeans_fit — md5-hash seeds, quantized-
+    integer Lloyd rounds), and write the (id, cluster) assignment to
+    ``target``; ``report`` optionally names a second sink for the
+    per-cluster size rollup. Fully deterministic, so a scheduled
+    re-run over the same corpus writes identical assignments — the
+    task-file spelling of corpus-structure discovery (mix audits,
+    per-cluster sampling quotas).
+
+    Options: ``k`` (default 8), ``iterations`` (default 4),
+    ``id_field`` (default vec_id), ``vector_field`` (default
+    embedding)."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.clustering import kmeans_fit
+
+    src = task["source"]
+    df = _read_source(ctx, {**task, "type": src.get("kind", "parquet") + "-x"})
+    df = _transformed(ctx, task, df)
+    id_field = task.get("id_field", "vec_id")
+    vec_field = task.get("vector_field", "embedding")
+    k = int(task.get("k", 8))
+    assigned = kmeans_fit(
+        df,
+        vec_field,
+        id_field,
+        k=k,
+        iterations=int(task.get("iterations", 4)),
+    ).withColumnRenamed("id", id_field)
+    tgt = task["target"]
+    _write_sink(
+        ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, assigned
+    )
+    report = task.get("report")
+    if report:
+        sizes = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .orderBy("cluster")
+        )
+        _write_sink(
+            ctx,
+            {**task, "target": report,
+             "type": "x-" + report.get("kind", "csv")},
+            sizes,
+        )
+    ctx.log(f"task {task.get('name')}: clustered into {k} cells")
+
+
 def run_score(ctx: TaskContext, task: dict) -> None:
     """Score task (beyond the reference): stamp every source row with
     the heuristic quality score (functions/text.quality_score — the
@@ -1483,6 +1534,7 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "er": run_er,
     "classify": run_classify,
     "ann-index": run_ann_index,
+    "cluster": run_cluster,
     "sample": run_sample,
     "score": run_score,
     "decontaminate": run_decontaminate,

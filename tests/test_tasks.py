@@ -1820,3 +1820,61 @@ def test_ftp_upload_task_pushes_over_real_ftp(spark, workdir):
     assert received["user"] == "uploader" and received["pass"] == "secret"
     assert received["cwd"] == "/inbox"
     assert received["report_final.csv"] == b"a;b\n1;2\n"
+
+
+def test_cluster_task_assigns_and_reports(spark, workdir):
+    """'cluster' task: embeddings source in, deterministic lattice
+    k-means assignment out, per-cluster size rollup to the report
+    sink — and a re-run writes IDENTICAL assignments (the md5-seed +
+    integer-lattice determinism the operator guarantees)."""
+    import shutil
+
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        workdir / "input" / "emb.parquet",
+    )
+    cfg = {
+        "tasks": [
+            {
+                "name": "km",
+                "type": "cluster",
+                "k": 4,
+                "iterations": 2,
+                "source": {"kind": "parquet", "file": "emb.parquet"},
+                "target": {
+                    "kind": "parquet",
+                    "file": "cl.parquet",
+                    "truncate": True,
+                },
+                "report": {
+                    "kind": "csv",
+                    "file": "sizes.csv",
+                    "truncate": True,
+                },
+            }
+        ]
+    }
+    run_tasks(spark, workdir, cfg)
+    first = {
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(
+            str(workdir / "output" / "cl.parquet")
+        ).collect()
+    }
+    n_vecs = spark.read.parquet(
+        str(workdir / "input" / "emb.parquet")
+    ).count()
+    assert len(first) == n_vecs
+    assert len({c for _i, c in first}) > 1  # it actually clusters
+    with open(workdir / "output" / "sizes.csv", encoding="utf-8") as f:
+        header = f.readline().strip().split(";")
+        rows = [dict(zip(header, ln.strip().split(";"))) for ln in f]
+    assert sum(int(r["n_members"]) for r in rows) == n_vecs
+    run_tasks(spark, workdir, cfg)  # determinism across runs
+    second = {
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(
+            str(workdir / "output" / "cl.parquet")
+        ).collect()
+    }
+    assert second == first
