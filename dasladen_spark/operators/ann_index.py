@@ -403,6 +403,8 @@ def search_ann_index(
     if compress == "pq" and corpus is None:
         raise ValueError("pq-compressed index needs the source corpus "
                          "frame for the exact re-rank")
+    from dasladen_spark.operators.pq import lattice_denom
+
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("qv"),
@@ -410,30 +412,45 @@ def search_ann_index(
         # against the index's build-time cnorm
         l2_norm(F.col(query_vec)).alias("_qn"),
     )
+    # ONE collect of the (small by contract) query batch feeds every
+    # driver-side derivation — LSH probe keys, IVF probe cells, and
+    # the PQ LUT normalization — instead of a separate Spark job each
+    q_collected = q.withColumn(
+        "_ld", lattice_denom(F.col("qv"))
+    ).collect()
+    qn_rows = [
+        (r["query_id"], [x / r["_ld"] for x in r["qv"]])
+        for r in q_collected
+    ]
     if meta["method"] == "lsh":
-        probes = hyperplane_table_buckets(
-            q, "qv", meta["num_tables"], meta["bits_per_table"], meta["dim"]
-        ).select(
-            "query_id",
-            "qv",
-            "_qn",
-            (
-                F.col("t").cast("bigint") * (1 << meta["bits_per_table"])
-                + F.col("bkt")
-            ).alias("probe"),
-        )
-    else:
-        from dasladen_spark.operators.pq import normalized_query_rows
+        from dasladen_spark.operators.dedup import hyperplane_probes_driver
 
+        # hash the batch driver-side (bit-identical to the kernel —
+        # see hyperplane_probes_driver) instead of paying the
+        # kernel's two-stage aggregate DAG per search
+        probe_pairs = hyperplane_probes_driver(
+            [(r["query_id"], list(r["qv"])) for r in q_collected],
+            meta["num_tables"],
+            meta["bits_per_table"],
+            meta["dim"],
+        )
+        probes = q.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    probe_pairs, "query_id long, probe bigint"
+                )
+            ),
+            "query_id",
+        ).select("query_id", "qv", "_qn", "probe")
+    else:
         cent_rows = (
             spark.table(f"{table}_centroids").orderBy("cell").collect()
         )
         cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
-        pq_rows = normalized_query_rows(queries, query_id, query_vec)
         probes = q.join(
             F.broadcast(
                 spark.createDataFrame(
-                    probe_cells_driver(cent, pq_rows, n_probe),
+                    probe_cells_driver(cent, qn_rows, n_probe),
                     "query_id long, cell int",
                 )
             ),
@@ -458,11 +475,9 @@ def search_ann_index(
         from dasladen_spark.operators.pq import (
             adc_score_expr,
             exact_rerank,
-            normalized_query_rows,
             query_lut,
         )
 
-        qn_rows = normalized_query_rows(queries, query_id, query_vec)
         if not qn_rows:
             return spark.createDataFrame(
                 [], "query_id long, rank int, neighbor_id long, cosine double"

@@ -973,6 +973,44 @@ def hyperplane_table_buckets(
     ).select(*cols, "t", "bkt")
 
 
+def hyperplane_probes_driver(
+    rows, num_tables: int, bits_per_table: int, dim: int
+) -> list[tuple]:
+    """[(id, probe)] for an already-collected SMALL vector batch —
+    the packed ``t·2^bits + bkt`` probe keys of
+    :func:`hyperplane_table_buckets`, computed driver-side in plain
+    Python. Bit-identical to the kernel (same plane family, the same
+    ``floor(x·c·Q + 0.5)`` term sequence, the same sign packing —
+    asserted by tests/test_operators.py::
+    test_hyperplane_driver_probes_match_kernel), which is exactly why
+    it exists: hashing a ten-row query batch through the kernel's
+    two-stage aggregate DAG costs ~1s of fixed driver/scheduling
+    overhead per search, while this is microseconds. Lives NEXT TO
+    the kernel and the oracle CTE so all three spellings share
+    ``_hyperplanes`` and the quantum. Corpus-sized inputs should
+    still use the distributed kernel."""
+    import math
+
+    planes = _hyperplanes(num_tables * bits_per_table, dim)
+    q = _HYPERPLANE_QUANT
+    out = []
+    for rid, vec in rows:
+        dots = [
+            sum(
+                int(math.floor(float(x) * c * q + 0.5))
+                for x, c in zip(vec, plane)
+            )
+            for plane in planes
+        ]
+        for t in range(num_tables):
+            bkt = 0
+            for b in range(bits_per_table):
+                if dots[t * bits_per_table + b] >= 0:
+                    bkt |= 1 << b
+            out.append((rid, t * (1 << bits_per_table) + bkt))
+    return out
+
+
 def hyperplane_buckets_oracle_cte(
     num_tables: int,
     bits_per_table: int,

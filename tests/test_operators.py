@@ -1979,3 +1979,30 @@ def test_semantic_contamination_ann_is_subset_at_weak_geometry(spark, sf_dir):
     assert set(ann) <= set(exact)
     for vid, c in ann.items():
         assert c <= exact[vid]
+
+
+def test_hyperplane_driver_probes_match_kernel(spark, sf_dir):
+    """The driver-side probe spelling (used for small query batches
+    in search_ann_index) reproduces the distributed kernel's packed
+    probe keys EXACTLY — same plane family, same quantized terms,
+    same sign packing."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.dedup import (
+        hyperplane_probes_driver,
+        hyperplane_table_buckets,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.select(
+        F.col("vec_id").alias("i"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    t_tables, bits, dim = 16, 4, 64
+    kernel = {
+        (r["i"], r["t"] * (1 << bits) + r["bkt"])
+        for r in hyperplane_table_buckets(df, "v", t_tables, bits, dim).collect()
+    }
+    rows = [(r["i"], list(r["v"])) for r in df.collect()]
+    driver = set(hyperplane_probes_driver(rows, t_tables, bits, dim))
+    assert driver == kernel
