@@ -4,10 +4,12 @@ entry(spark)   — flagship query smoke check on sf0.001
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  north-star extensions), (spark, sf_dir) → DataFrame
 oracle_sql()   — equivalent DuckDB SQL per query (omitted only for
-                 float-geometry / native-sketch ops — PCA, kmeans,
-                 IVF/PQ ANN, HLL++ — whose outputs are not
-                 SQL-expressible → rows-only check; the signature and
-                 LSH families are integer-exact and fully oracled)
+                 float-geometry / native-sketch ops — PCA/whitening/
+                 Mahalanobis, recall audits, HLL++ — whose outputs
+                 are not SQL-expressible → rows-only check; the
+                 signature, LSH, PQ, IVF, and k-means families are
+                 integer-lattice exact and fully oracled since
+                 round 9)
 """
 
 from __future__ import annotations
