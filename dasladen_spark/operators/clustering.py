@@ -39,16 +39,27 @@ def kmeans_fit(
     id_col: str,
     k: int = 8,
     iterations: int = 5,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """Run ``iterations`` of Lloyd's algorithm; returns the final
     (id, cluster) assignment. Init = the k vectors with the smallest
     md5('kmeans-seed' || id) — deterministic AND spread uniformly
     over the corpus even when ids correlate with content (lowest-id
     seeding starts every centroid in the same content neighborhood;
-    same hash-ordered scheme as similarity.fit_ivf_centroids)."""
-    base = df.select(
+    same hash-ordered scheme as similarity.fit_ivf_centroids).
+    ``fit_fraction`` runs the seed pick and Lloyd rounds on a
+    deterministic id-hash sample (the 100 TB shape — see
+    pq.fit_pq_codebooks); the FINAL assignment still covers every
+    row."""
+    full = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).persist()
+    )
+    base = full
+    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
+        from dasladen_spark.operators.sampling import deterministic_sample
+
+        base = deterministic_sample(base, fit_fraction, "id")
+    base = base.persist()
     try:
         init = (
             base.orderBy(
@@ -102,7 +113,7 @@ def kmeans_fit(
                     r["_n"] * PQ_QUANT
                 )
         return assign_cells(
-            base, np.asarray(cent), "id", "vec", "cluster",
+            full, np.asarray(cent), "id", "vec", "cluster",
             normalize=False,
         ).select("id", "cluster")
     finally:

@@ -325,6 +325,7 @@ def fit_pq_codebooks(
     ksub: int = 16,
     iters: int = 2,
     seed_salt: str = "pq-seed",
+    fit_fraction: float | None = None,
 ) -> np.ndarray:
     """Fit an (m, ksub, dim/m) codebook tensor over lattice-normalized
     vectors — a pure function of the corpus (see module doctrine).
@@ -338,13 +339,24 @@ def fit_pq_codebooks(
     thousand shuffle rows regardless of corpus size. Centroid
     coordinates are ``Σ floor(xn·Q + 0.5) / (n·Q)`` — one float
     division from exact integers, so the books the driver returns
-    are the books the SQL oracle derives."""
+    are the books the SQL oracle derives.
+
+    ``fit_fraction``: fit on a deterministic id-hash sample of the
+    corpus (operators/sampling.deterministic_sample) — the 100 TB
+    shape: codebook quality converges long before the full corpus,
+    so the Lloyd passes read a fraction of the bytes while encode
+    still covers every row. The books stay a pure function of
+    (corpus, fraction)."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     base = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
+    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
+        from dasladen_spark.operators.sampling import deterministic_sample
+
+        base = deterministic_sample(base, fit_fraction, "_id")
     # one narrow projection consumed iters+1 times — cache it so the
     # Lloyd rounds hit memory, not the parquet (the kcenter pattern)
     base = base.persist()

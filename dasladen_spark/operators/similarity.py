@@ -294,7 +294,10 @@ def probe_cells_driver(
 
 
 def fit_ivf_centroids(
-    c: DataFrame, n_centroids: int, lloyd_iters: int
+    c: DataFrame,
+    n_centroids: int,
+    lloyd_iters: int,
+    fit_fraction: float | None = None,
 ) -> np.ndarray:
     """Fit the IVF centroid matrix over a (neighbor_id, cv) frame —
     since round 9 this IS pq.fit_pq_codebooks with one subspace
@@ -310,7 +313,9 @@ def fit_ivf_centroids(
     the driver. Assignment goes through :func:`assign_cells` (the
     agg shape — full-dim flat chains break janino, see there); the
     Lloyd means are ``Σ floor(xn·Q + 0.5) / (n·Q)`` — the same
-    exact-integer construction as the PQ codebook means."""
+    exact-integer construction as the PQ codebook means.
+    ``fit_fraction`` fits on a deterministic id-hash sample (the
+    100 TB shape — see pq.fit_pq_codebooks)."""
     from dasladen_spark.operators.pq import (
         PQ_QUANT,
         collect_normalized,
@@ -319,7 +324,12 @@ def fit_ivf_centroids(
 
     base = c.select(
         F.col("neighbor_id").alias("_id"), F.col("cv").alias("_v")
-    ).persist()
+    )
+    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
+        from dasladen_spark.operators.sampling import deterministic_sample
+
+        base = deterministic_sample(base, fit_fraction, "_id")
+    base = base.persist()
     try:
         seeds = collect_normalized(
             base.orderBy(

@@ -2006,3 +2006,28 @@ def test_hyperplane_driver_probes_match_kernel(spark, sf_dir):
     rows = [(r["i"], list(r["v"])) for r in df.collect()]
     driver = set(hyperplane_probes_driver(rows, t_tables, bits, dim))
     assert driver == kernel
+
+
+def test_fit_fraction_samples_deterministically(spark, sf_dir):
+    """``fit_fraction`` fits on a deterministic id-hash sample: the
+    books are identical across runs (hash membership, not RNG),
+    correctly shaped, different from the full-corpus fit, and the
+    k-means FINAL assignment still covers every corpus row."""
+    import numpy as np
+
+    from dasladen_spark.operators.clustering import kmeans_fit
+    from dasladen_spark.operators.pq import fit_pq_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = fit_pq_codebooks(emb, m=8, ksub=8, iters=1, fit_fraction=0.6)
+    b2 = fit_pq_codebooks(emb, m=8, ksub=8, iters=1, fit_fraction=0.6)
+    assert np.array_equal(b1, b2)
+    bf = fit_pq_codebooks(emb, m=8, ksub=8, iters=1)
+    assert b1.shape == bf.shape
+    assert not np.array_equal(b1, bf)
+    n = emb.count()
+    got = kmeans_fit(
+        emb, "embedding", "vec_id", k=4, iterations=1, fit_fraction=0.6
+    )
+    assert got.count() == n
+    assert got.select("cluster").distinct().count() > 1
