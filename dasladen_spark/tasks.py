@@ -1240,7 +1240,9 @@ def run_cluster(ctx: TaskContext, task: dict) -> None:
 
     Options: ``k`` (default 8), ``iterations`` (default 4),
     ``id_field`` (default vec_id), ``vector_field`` (default
-    embedding)."""
+    embedding), ``fit_fraction`` (fit the centroids on a
+    deterministic id-hash sample — the 100 TB shape; the final
+    assignment still covers every row)."""
     from pyspark.sql import functions as F
 
     from dasladen_spark.operators.clustering import kmeans_fit
@@ -1251,12 +1253,16 @@ def run_cluster(ctx: TaskContext, task: dict) -> None:
     id_field = task.get("id_field", "vec_id")
     vec_field = task.get("vector_field", "embedding")
     k = int(task.get("k", 8))
+    fit_fraction = task.get("fit_fraction")
     assigned = kmeans_fit(
         df,
         vec_field,
         id_field,
         k=k,
         iterations=int(task.get("iterations", 4)),
+        fit_fraction=(
+            float(fit_fraction) if fit_fraction is not None else None
+        ),
     ).withColumnRenamed("id", id_field)
     tgt = task["target"]
     _write_sink(
