@@ -364,6 +364,28 @@ def ensure_ann_index(corpus: DataFrame, table: str, tag: str, **kwargs) -> None:
     build_ann_index(corpus, table, tag=tag, **kwargs)
 
 
+def _probe_schema(queries: DataFrame, query_id: str, rest: str):
+    """Schema for the driver-computed broadcast probe frame, with the
+    query-id field typed from the caller's query frame (string /
+    int / long ids all round-trip; a hard-coded ``long`` raised on
+    non-integer ids)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    name, typ = rest.split()
+    rest_type = {"bigint": LongType(), "int": IntegerType()}[typ]
+    return StructType(
+        [
+            StructField("query_id", queries.schema[query_id].dataType, False),
+            StructField(name, rest_type, False),
+        ]
+    )
+
+
 def search_ann_index(
     spark: SparkSession,
     table: str,
@@ -437,7 +459,8 @@ def search_ann_index(
         probes = q.join(
             F.broadcast(
                 spark.createDataFrame(
-                    probe_pairs, "query_id long, probe bigint"
+                    probe_pairs,
+                    _probe_schema(queries, query_id, "probe bigint"),
                 )
             ),
             "query_id",
@@ -451,7 +474,7 @@ def search_ann_index(
             F.broadcast(
                 spark.createDataFrame(
                     probe_cells_driver(cent, qn_rows, n_probe),
-                    "query_id long, cell int",
+                    _probe_schema(queries, query_id, "cell int"),
                 )
             ),
             "query_id",

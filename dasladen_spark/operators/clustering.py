@@ -55,9 +55,12 @@ def kmeans_fit(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
     base = full
-    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
-        from dasladen_spark.operators.sampling import deterministic_sample
+    from dasladen_spark.operators.sampling import (
+        deterministic_sample,
+        validate_fit_fraction,
+    )
 
+    if validate_fit_fraction(fit_fraction):
         base = deterministic_sample(base, fit_fraction, "id")
     base = base.persist()
     try:

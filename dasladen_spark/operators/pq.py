@@ -192,7 +192,8 @@ def encode_codes_long(
     ``_pqsalt`` (monotonically_increasing_id) makes downstream
     re-grouping safe when ids repeat — encode is per ROW, exactly
     like the per-row kernel it replaced. Null/short vectors yield
-    null codes (the lookup walks off the slice), they never crash."""
+    null codes (``try_element_at`` past the slice end is NULL under
+    any ANSI setting), they never crash."""
     bl = _books_list(books)
     m = len(bl)
     ksub = len(bl[0])
@@ -230,8 +231,13 @@ def encode_codes_long(
     # element) factor appears twice in the text; codegen
     # subexpression elimination evaluates it once.
     def _term(c: int, i: int) -> str:
+        # try_element_at: a short input vector must yield NULL codes,
+        # not a job-killing INVALID_ARRAY_INDEX — plain element_at
+        # only returns NULL past the end with ANSI mode off, and
+        # Spark 4.x defaults ANSI on. The codebook literal lookup is
+        # always in range by construction.
         diff = (
-            f"(element_at(_zsl, {i + 1}) -"
+            f"(try_element_at(_zsl, {i + 1}) -"
             f" element_at({_zc_lit(zc[c])}, _j * {dsub} + {i + 1}))"
         )
         return f"{diff} * {diff}"
@@ -284,6 +290,29 @@ def encode_codes(
     keep = [c for c in df.columns if c != vec_col]
     long = encode_codes_long(df, books, vec_col).drop("_zsl")
     half = (m + 1) // 2
+    if half * 7 > 63:
+        # the 2-lane pack holds ceil(m/2) 7-bit codes per BIGINT; at
+        # m > 18 the top lane's shiftleft would exceed 63 bits and
+        # Java shifts wrap mod 64 — lanes would silently collide into
+        # plausible-looking wrong codes. Large m (32, 64 are valid
+        # divisors of dim=64) takes the unpacked m-cell pivot: same
+        # map-side-complete aggregate, just m int cells on the wire.
+        agg = long.groupBy(*keep, "_pqsalt").agg(
+            *[
+                F.min(
+                    F.when(F.col("_j") == j, F.col("_code"))
+                ).alias(f"_pqc{j}")
+                for j in range(m)
+            ],
+            F.count("_code").alias("_pqn"),
+        )
+        return agg.select(
+            *keep,
+            F.when(
+                F.col("_pqn") == m,
+                F.array(*[F.col(f"_pqc{j}") for j in range(m)]),
+            ).alias(out_col),
+        )
     agg = long.groupBy(*keep, "_pqsalt").agg(
         F.expr(
             f"sum(case when _j < {half} then"
@@ -353,9 +382,12 @@ def fit_pq_codebooks(
     base = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
-    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
-        from dasladen_spark.operators.sampling import deterministic_sample
+    from dasladen_spark.operators.sampling import (
+        deterministic_sample,
+        validate_fit_fraction,
+    )
 
+    if validate_fit_fraction(fit_fraction):
         base = deterministic_sample(base, fit_fraction, "_id")
     # one narrow projection consumed iters+1 times — cache it so the
     # Lloyd rounds hit memory, not the parquet (the kcenter pattern)
@@ -502,6 +534,10 @@ def pq_adc_topk(
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance: queries stay exact,
     corpus rows are reconstructed implicitly through the LUT.
+
+    Contract: ``query_id`` values must be integers (BIGINT) — each id
+    is baked into the generated ``stack()`` literal as ``{id}L``.
+    Non-integer ids raise here rather than mis-typing the output.
 
     The query batch is collect()ed (queries are the small side by
     construction — the same contract as similarity.cosine_topk); the

@@ -57,6 +57,25 @@ def deterministic_sample(
     return df.filter(_hash_frac(F.col(id_col), salt) < fraction)
 
 
+def validate_fit_fraction(fit_fraction) -> bool:
+    """Shared guard for the ``fit_fraction`` knob on the codebook /
+    centroid / k-means fitters: True means "run the fit on a
+    deterministic id-hash sample". Out-of-range values (a caller
+    passing 60 meaning 60%, or a negative) raise instead of silently
+    fitting the full corpus — at the 100 TB scale that silent
+    fall-through is an expensive misconfiguration. 1.0 is the
+    explicit "full corpus" spelling and skips the sample filter."""
+    if fit_fraction is None:
+        return False
+    f = float(fit_fraction)
+    if not 0.0 < f <= 1.0:
+        raise ValueError(
+            f"fit_fraction={fit_fraction!r} out of range: pass a"
+            " fraction in (0, 1] — e.g. 0.6, not 60"
+        )
+    return f < 1.0
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

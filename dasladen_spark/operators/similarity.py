@@ -325,9 +325,12 @@ def fit_ivf_centroids(
     base = c.select(
         F.col("neighbor_id").alias("_id"), F.col("cv").alias("_v")
     )
-    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
-        from dasladen_spark.operators.sampling import deterministic_sample
+    from dasladen_spark.operators.sampling import (
+        deterministic_sample,
+        validate_fit_fraction,
+    )
 
+    if validate_fit_fraction(fit_fraction):
         base = deterministic_sample(base, fit_fraction, "_id")
     base = base.persist()
     try:

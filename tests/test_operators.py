@@ -2031,3 +2031,103 @@ def test_fit_fraction_samples_deterministically(spark, sf_dir):
     )
     assert got.count() == n
     assert got.select("cluster").distinct().count() > 1
+
+
+def test_encode_codes_large_m_unpacked_pivot(spark, sf_dir):
+    """m > 18 can't ride the 7-bit 2-lane BIGINT pack (the top lane's
+    shiftleft would wrap mod 64 and silently corrupt codes); the
+    unpacked pivot fallback must reproduce the long-form kernel's
+    codes exactly at m=32."""
+    from dasladen_spark.operators.pq import (
+        encode_codes_long,
+        fit_pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(48)
+    books = fit_pq_codebooks(emb, m=32, ksub=8, iters=1)
+    got = {
+        r["neighbor_id"]: r["codes"] for r in pq_encode(emb, books).collect()
+    }
+    long = encode_codes_long(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("_cv"),
+        ),
+        books,
+        "_cv",
+    ).collect()
+    ref: dict = {}
+    for r in long:
+        ref.setdefault(r["neighbor_id"], {})[r["_j"]] = r["_code"]
+    assert len(got) == len(ref) == 48
+    for vid, by_j in ref.items():
+        assert got[vid] == [by_j[j] for j in range(32)]
+
+
+def test_encode_codes_short_or_null_vector_yields_null_codes(spark, sf_dir):
+    """A null or short input vector yields NULL codes (via
+    try_element_at — ANSI-proof), never a crash or a silent 0-code."""
+    from dasladen_spark.operators.pq import fit_pq_codebooks, pq_encode
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(32)
+    )
+    books = fit_pq_codebooks(emb, m=8, ksub=8, iters=1)
+    bad = spark.createDataFrame(
+        [(900001, [0.5, -0.25, 0.125]), (900002, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["neighbor_id"]: r["codes"]
+        for r in pq_encode(emb.unionByName(bad), books).collect()
+    }
+    assert rows[900001] is None
+    assert rows[900002] is None
+    good = [c for vid, c in rows.items() if vid < 900000]
+    assert len(good) == 32 and all(len(c) == 8 for c in good)
+
+
+def test_fit_fraction_out_of_range_raises(spark, sf_dir):
+    """fit_fraction=60 (meaning 60%) or <=0 is a loud ValueError in
+    all three fitters — at 100 TB a silently ignored fraction is an
+    expensive misconfiguration; 1.0 is the explicit full-corpus
+    spelling."""
+    import numpy as np
+    import pytest
+
+    from dasladen_spark.operators.clustering import kmeans_fit
+    from dasladen_spark.operators.pq import fit_pq_codebooks
+    from dasladen_spark.operators.similarity import fit_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="fit_fraction"):
+        fit_pq_codebooks(emb, m=8, ksub=8, iters=1, fit_fraction=60)
+    with pytest.raises(ValueError, match="fit_fraction"):
+        kmeans_fit(emb, "embedding", "vec_id", k=4, fit_fraction=0.0)
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    with pytest.raises(ValueError, match="fit_fraction"):
+        fit_ivf_centroids(cv, 4, 1, fit_fraction=-0.5)
+    full = fit_pq_codebooks(emb, m=8, ksub=8, iters=1, fit_fraction=1.0)
+    assert np.array_equal(full, fit_pq_codebooks(emb, m=8, ksub=8, iters=1))
+
+
+def test_probe_schema_preserves_query_id_type(spark):
+    """The broadcast probe frame types query_id from the caller's
+    query frame — string ids survive where a hard-coded LONG raised."""
+    from pyspark.sql.types import LongType, StringType
+
+    from dasladen_spark.operators.ann_index import _probe_schema
+
+    qs = spark.createDataFrame(
+        [("doc-1", [0.1] * 4)], "vec_id string, embedding array<double>"
+    )
+    sch = _probe_schema(qs, "vec_id", "probe bigint")
+    assert sch["query_id"].dataType == StringType()
+    assert sch["probe"].dataType == LongType()
+    df = spark.createDataFrame([("doc-1", 7)], sch)
+    assert df.collect()[0]["query_id"] == "doc-1"
