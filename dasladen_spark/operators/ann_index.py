@@ -54,6 +54,44 @@ from dasladen_spark.operators.similarity import (
 from dasladen_spark.sinks.bucketed import write_bucketed
 
 
+#: session-local cache of driver-side index metadata (the _meta row,
+#: the ordered centroid matrix, the PQ codebook tensor). These are a
+#: few KB each but cost one Spark job per read, and a search reads
+#: 2-3 of them — ~0.3-0.4 s of pure fixed cost per query batch
+#: (measured round 10). Writers in THIS module invalidate on rebuild;
+#: like Spark's own relation cache, an index rebuilt by a DIFFERENT
+#: session needs refresh_ann_index_cache() (append never changes
+#: these tables, so appends need no invalidation).
+_DRIVER_CACHE: dict[tuple[int, str], dict] = {}
+
+
+def _driver_cache(spark: SparkSession, table: str) -> dict:
+    return _DRIVER_CACHE.setdefault((id(spark), table), {})
+
+
+def refresh_ann_index_cache(spark: SparkSession, table: str) -> None:
+    """Drop the session-local driver cache for ``table`` (call after
+    an out-of-session rebuild, mirroring catalog.refreshTable)."""
+    _DRIVER_CACHE.pop((id(spark), table), None)
+
+
+def _index_meta(spark: SparkSession, table: str):
+    c = _driver_cache(spark, table)
+    if "meta" not in c:
+        c["meta"] = spark.table(f"{table}_meta").collect()[0]
+    return c["meta"]
+
+
+def _index_centroids(spark: SparkSession, table: str) -> np.ndarray:
+    c = _driver_cache(spark, table)
+    if "cent" not in c:
+        rows = spark.table(f"{table}_centroids").orderBy("cell").collect()
+        c["cent"] = np.array(
+            [r["centroid"] for r in rows], dtype=np.float64
+        )
+    return c["cent"]
+
+
 def _drop_orphan_location(spark: SparkSession, name: str) -> None:
     """A managed-table dir can outlive its catalog entry (crashed
     session, fresh derby metastore over an old warehouse dir);
@@ -105,6 +143,7 @@ def build_ann_index(
     every billion-vector system ships, expressed as a bucketed
     parquet table + joins."""
     spark = corpus.sparkSession
+    refresh_ann_index_cache(spark, table)
     for suffix in ("", "_meta", "_centroids", "_pqbooks"):
         _drop_orphan_location(spark, table + suffix)
     c = _spread(
@@ -203,7 +242,7 @@ def _postings_for(
     with the SAME family the index was built with (LSH params are
     seed-deterministic; IVF centroids are persisted) — the growth
     path: new corpus rows join the index without a rebuild."""
-    meta = spark.table(f"{table}_meta").collect()[0]
+    meta = _index_meta(spark, table)
     if meta["method"] == "lsh":
         post = hyperplane_table_buckets(
             vecs, "cv", meta["num_tables"], meta["bits_per_table"], meta["dim"]
@@ -217,8 +256,7 @@ def _postings_for(
             l2_norm(F.col("cv")).alias("cnorm"),
         )
     else:
-        cent_rows = spark.table(f"{table}_centroids").orderBy("cell").collect()
-        cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+        cent = _index_centroids(spark, table)
         post = with_cells(vecs, cent, "cv").select(
             F.col("cell").cast("bigint").alias("probe"),
             "neighbor_id",
@@ -238,6 +276,9 @@ def _postings_for(
 
 
 def _load_pq_books(spark: SparkSession, table: str) -> np.ndarray:
+    c = _driver_cache(spark, table)
+    if "books" in c:
+        return c["books"]
     rows = spark.table(f"{table}_pqbooks").orderBy("sub", "code").collect()
     m = max(r["sub"] for r in rows) + 1
     ksub = max(r["code"] for r in rows) + 1
@@ -245,6 +286,7 @@ def _load_pq_books(spark: SparkSession, table: str) -> np.ndarray:
     books = np.zeros((m, ksub, dsub), np.float64)
     for r in rows:
         books[r["sub"], r["code"]] = r["centroid"]
+    c["books"] = books
     return books
 
 
@@ -261,7 +303,7 @@ def append_to_ann_index(
     the existing postings. (Replayed appends duplicate posting rows;
     search dedups candidates by (query, neighbor), so duplicates cost
     a little read amplification, never correctness.)"""
-    n_buckets = spark.table(f"{table}_meta").collect()[0]["n_buckets"]
+    n_buckets = _index_meta(spark, table)["n_buckets"]
     vecs = new_vecs.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
@@ -351,7 +393,7 @@ def ensure_ann_index(corpus: DataFrame, table: str, tag: str, **kwargs) -> None:
     if spark.catalog.tableExists(f"{table}_meta") and spark.catalog.tableExists(
         table
     ):
-        row = spark.table(f"{table}_meta").collect()[0].asDict()
+        row = _index_meta(spark, table).asDict()
         if row.get("tag") == tag and all(
             # meta written by an older build lacks newer fields
             # (n_buckets/compress/pq_iters); .get(None) != default
@@ -418,7 +460,7 @@ def search_ann_index(
     never the corpus. ``corpus_id``/``corpus_vec`` name the corpus
     frame's columns when they differ from the query frame's
     (default: same names)."""
-    meta = spark.table(f"{table}_meta").collect()[0]
+    meta = _index_meta(spark, table)
     compress = (
         meta["compress"] if "compress" in meta.asDict() else "none"
     )
@@ -466,10 +508,7 @@ def search_ann_index(
             "query_id",
         ).select("query_id", "qv", "_qn", "probe")
     else:
-        cent_rows = (
-            spark.table(f"{table}_centroids").orderBy("cell").collect()
-        )
-        cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+        cent = _index_centroids(spark, table)
         probes = q.join(
             F.broadcast(
                 spark.createDataFrame(
@@ -549,5 +588,5 @@ def compact_ann_index(spark: SparkSession, table: str) -> None:
     sinks/bucketed.compact_bucketed for the swap semantics)."""
     from dasladen_spark.sinks.bucketed import compact_bucketed
 
-    n_buckets = spark.table(f"{table}_meta").collect()[0]["n_buckets"]
+    n_buckets = _index_meta(spark, table)["n_buckets"]
     compact_bucketed(spark, table, "probe", n_buckets, sort_cols="probe")

@@ -56,12 +56,18 @@ def kmeans_fit(
     )
     base = full
     from dasladen_spark.operators.sampling import (
-        deterministic_sample,
+        portable_sample_filter,
         validate_fit_fraction,
     )
 
     if validate_fit_fraction(fit_fraction):
-        base = deterministic_sample(base, fit_fraction, "id")
+        # md5-threshold membership (not the xxhash fast path): the
+        # SAME predicate spells in ANSI SQL, so the sampled fit is
+        # replayable bit-for-bit by the DuckDB oracle
+        # (plans/llm6._pq_oracle fit_fraction)
+        base = base.filter(
+            portable_sample_filter(F.col("id"), fit_fraction, salt="kmeans-seed-fit")
+        )
     base = base.persist()
     try:
         init = (

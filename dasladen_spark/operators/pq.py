@@ -383,12 +383,18 @@ def fit_pq_codebooks(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
     from dasladen_spark.operators.sampling import (
-        deterministic_sample,
+        portable_sample_filter,
         validate_fit_fraction,
     )
 
     if validate_fit_fraction(fit_fraction):
-        base = deterministic_sample(base, fit_fraction, "_id")
+        # md5-threshold membership (not the xxhash fast path): the
+        # SAME predicate spells in ANSI SQL, so the sampled fit is
+        # replayable bit-for-bit by the DuckDB oracle
+        # (plans/llm6._pq_oracle fit_fraction)
+        base = base.filter(
+            portable_sample_filter(F.col("_id"), fit_fraction, salt=f"{seed_salt}-fit")
+        )
     # one narrow projection consumed iters+1 times — cache it so the
     # Lloyd rounds hit memory, not the parquet (the kcenter pattern)
     base = base.persist()
@@ -492,21 +498,33 @@ def query_lut(books, qn_rows) -> tuple[list, list]:
     return q_ids, lut
 
 
-def _adc_chain(lut_q: list[list[float]], codes_col: str) -> Column:
-    """ADC score for one query: a fixed-order left-assoc chain of m
-    ``element_at(LUT_j, code_j + 1)`` lookups over split-string LUT
-    literals — pure codegen, bit-identical to the oracle's chain."""
-    terms = [
-        F.element_at(
-            F.expr(_split_lit(lut_q[j])),
-            F.element_at(F.col(codes_col), j + 1) + 1,
-        )
+def _adc_chain_sql(lut_q: list[list[float]], codes_col: str) -> str:
+    """ADC score for one query as ONE SQL text fragment: a fixed-order
+    left-assoc chain (SQL ``+`` parses left-assoc, same tree the old
+    Column loop built) of m ``element_at(LUT_j, code_j + 1)`` lookups
+    over split-string LUT literals — pure codegen, bit-identical to
+    the oracle's chain. Text, not Column API: the Column spelling was
+    ~32 py4j round trips per chain (~1.3 s of pure driver time per
+    10-query batch, profiled round 10); the text parses JVM-side in
+    one call."""
+    return " + ".join(
+        f"element_at({_split_lit(lut_q[j])},"
+        f" element_at(`{codes_col}`, {j + 1}) + 1)"
         for j in range(len(lut_q))
-    ]
-    s = terms[0]
-    for t in terms[1:]:
-        s = s + t
-    return s
+    )
+
+
+def _adc_chain(lut_q: list[list[float]], codes_col: str) -> Column:
+    """Column form of :func:`_adc_chain_sql` (one JVM-side parse)."""
+    return F.expr(_adc_chain_sql(lut_q, codes_col))
+
+
+def _sql_id_lit(qid) -> str:
+    """A query-id value as a SQL literal (bigint or quoted string)."""
+    if isinstance(qid, str):
+        escaped = qid.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{escaped}'"
+    return f"{int(qid)}L"
 
 
 def adc_score_expr(
@@ -514,13 +532,15 @@ def adc_score_expr(
 ) -> Column:
     """ADC score column for a candidate frame that already carries a
     query-id column: a CASE/WHEN over the (small, collected) query
-    batch, each branch one :func:`_adc_chain`."""
-    expr = None
-    for qid, lut_q in zip(q_ids, lut):
-        cond = F.col(qid_col) == F.lit(qid)
-        chain = _adc_chain(lut_q, codes_col)
-        expr = F.when(cond, chain) if expr is None else expr.when(cond, chain)
-    return expr
+    batch, each branch one :func:`_adc_chain_sql` — the whole CASE is
+    one generated SQL text (one parse; the ``when().when()`` Column
+    stack was a py4j round trip per branch)."""
+    branches = " ".join(
+        f"WHEN `{qid_col}` = {_sql_id_lit(qid)}"
+        f" THEN {_adc_chain_sql(lut_q, codes_col)}"
+        for qid, lut_q in zip(q_ids, lut)
+    )
+    return F.expr(f"CASE {branches} END")
 
 
 def pq_adc_topk(

@@ -86,6 +86,8 @@ def lsh_cosine_topk(
     num_tables: int = 16,
     bits_per_table: int = 4,
     exclude_self: bool = True,
+    broadcast_queries: bool | None = None,
+    broadcast_cap: int = 1024,
 ) -> DataFrame:
     """Approximate top-k: candidates must share a random-hyperplane
     bucket with the query in at least one table. The corpus is
@@ -97,7 +99,60 @@ def lsh_cosine_topk(
     tables; production near-dup cosine levels sit far higher. Tune
     with the report: more tables -> recall, more bits -> smaller
     buckets (fewer candidates per probe).
-    """
+
+    ``broadcast_queries`` (default: auto-probe with a bounded fetch,
+    the scoring.py localize pattern): a query batch of ≤
+    ``broadcast_cap`` rows is collected, hashed driver-side
+    (dedup.hyperplane_probes_driver — asserted bit-identical to the
+    kernel), and BROADCAST onto the corpus posting stream. That turns
+    the (t, bkt) join into a BroadcastHashJoin: at 100 TB the corpus
+    postings never shuffle (the kernel's own map-side-complete
+    exchange is the only corpus Exchange), and the candidate set —
+    and therefore the result — is row-identical to the shuffle path.
+    Pass False to force the symmetric shuffle join (the right shape
+    when the "query" side IS a corpus, e.g. all-pairs near-dup), or
+    True to assert smallness (raises past the cap instead of silently
+    degrading)."""
+    qid_type = queries.schema[query_id].dataType
+    cid_type = corpus.schema[corpus_id].dataType
+    head = None
+    if broadcast_queries is None or broadcast_queries:
+        # bounded fetch, reused as the broadcast rebuild (never a
+        # count probe + second collect): limit(cap+1) caps what can
+        # reach the driver even on a corpus-sized mistake
+        head = (
+            queries.select(
+                F.col(query_id).alias("_qid"),
+                F.col(query_vec).cast("array<double>").alias("_qv"),
+            )
+            .limit(broadcast_cap + 1)
+            .collect()
+        )
+        if len(head) > broadcast_cap:
+            if broadcast_queries:
+                raise ValueError(
+                    f"lsh_cosine_topk: query batch exceeds"
+                    f" broadcast_cap={broadcast_cap} rows —"
+                    " broadcast_queries=True asserts a small batch;"
+                    " pass broadcast_queries=False for corpus-sized"
+                    " query sides"
+                )
+            head = None  # auto mode: fall through to the shuffle join
+    if head is not None:
+        return _lsh_topk_broadcast(
+            queries.sparkSession,
+            head,
+            corpus,
+            k,
+            corpus_id,
+            corpus_vec,
+            dim,
+            num_tables,
+            bits_per_table,
+            exclude_self,
+            qid_type,
+            cid_type,
+        )
     # ONE kernel pass over queries ∪ corpus (the side tag joins the
     # group key): half the signature-pipeline stages and half the
     # driver-side plan analysis of running the kernel per side. Each
@@ -105,8 +160,6 @@ def lsh_cosine_topk(
     # side) so a bigint query id and a string corpus id — which the
     # separate query_id/corpus_id parameters invite — never meet in
     # a union type conflict.
-    qid_type = queries.schema[query_id].dataType
-    cid_type = corpus.schema[corpus_id].dataType
     both = hyperplane_table_buckets(
         # per-row norms fold here, BEFORE the kernel and the bucket
         # join, and ride through as carried columns — the pair-stream
@@ -157,6 +210,124 @@ def lsh_cosine_topk(
     # string casts to NULL against a bigint, the NULL predicate drops
     # EVERY candidate) — so self-exclusion is correctly a no-op there
     scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_sim_carried(
+            F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _lsh_topk_broadcast(
+    spark,
+    head,
+    corpus: DataFrame,
+    k: int,
+    corpus_id: str,
+    corpus_vec: str,
+    dim: int,
+    num_tables: int,
+    bits_per_table: int,
+    exclude_self: bool,
+    qid_type,
+    cid_type,
+) -> DataFrame:
+    """Small-query-batch LSH top-k: driver-side probes broadcast onto
+    the corpus posting stream (see lsh_cosine_topk's
+    ``broadcast_queries``). Candidate set is bit-identical to the
+    shuffle path — hyperplane_probes_driver shares the plane family,
+    quantum, and sign packing with the kernel (asserted by
+    test_hyperplane_driver_probes_match_kernel), and the cosine is
+    the same carried-norm fold over the same doubles (collect →
+    createDataFrame round-trips IEEE doubles exactly)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from dasladen_spark.operators.dedup import hyperplane_probes_driver
+
+    # first occurrence wins on duplicate query ids (degenerate input;
+    # the shuffle path's dropDuplicates keeps an arbitrary one).
+    # Null/empty vectors are skipped — the kernel's posexplode emits
+    # zero rows for them, so they produce no buckets on that path
+    # either.
+    rows, seen = [], set()
+    for r in head:
+        if r["_qid"] not in seen and r["_qv"]:
+            seen.add(r["_qid"])
+            rows.append((r["_qid"], list(r["_qv"])))
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", qid_type),
+                    StructField("rank", IntegerType()),
+                    StructField("neighbor_id", cid_type),
+                    StructField("cosine", DoubleType()),
+                ]
+            ),
+        )
+    mask = (1 << bits_per_table) - 1
+    probes = spark.createDataFrame(
+        [
+            (qid, p >> bits_per_table, p & mask)
+            for qid, p in hyperplane_probes_driver(
+                rows, num_tables, bits_per_table, dim
+            )
+        ],
+        StructType(
+            [
+                StructField("query_id", qid_type, False),
+                StructField("t", IntegerType(), False),
+                StructField("bkt", LongType(), False),
+            ]
+        ),
+    )
+    # norms fold Spark-side over the exact same doubles the kernel
+    # path would carry — bit-identical cosines
+    qv = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("query_id", qid_type, False),
+                StructField("qv", ArrayType(DoubleType())),
+            ]
+        ),
+    ).select("query_id", "qv", l2_norm(F.col("qv")).alias("_qn"))
+    c = hyperplane_table_buckets(
+        _spread(
+            corpus.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                l2_norm(F.col(corpus_vec)).alias("_cn"),
+                F.col(corpus_vec).cast("array<double>").alias("cv"),
+            ),
+            "neighbor_id",
+        ),
+        "cv",
+        num_tables,
+        bits_per_table,
+        dim,
+    )
+    cand = c.join(F.broadcast(probes), on=["t", "bkt"]).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    if exclude_self and qid_type == cid_type:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.join(F.broadcast(qv), "query_id").select(
         "query_id",
         "neighbor_id",
         cosine_sim_carried(
@@ -326,12 +497,18 @@ def fit_ivf_centroids(
         F.col("neighbor_id").alias("_id"), F.col("cv").alias("_v")
     )
     from dasladen_spark.operators.sampling import (
-        deterministic_sample,
+        portable_sample_filter,
         validate_fit_fraction,
     )
 
     if validate_fit_fraction(fit_fraction):
-        base = deterministic_sample(base, fit_fraction, "_id")
+        # md5-threshold membership (not the xxhash fast path): the
+        # SAME predicate spells in ANSI SQL, so the sampled fit is
+        # replayable bit-for-bit by the DuckDB oracle
+        # (plans/llm6._pq_oracle fit_fraction)
+        base = base.filter(
+            portable_sample_filter(F.col("_id"), fit_fraction, salt="ivf-seed-fit")
+        )
     base = base.persist()
     try:
         seeds = collect_normalized(

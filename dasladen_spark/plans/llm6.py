@@ -260,6 +260,8 @@ def _pq_oracle(
     k: int = _PQ_K,
     mult: int = _PQ_MULT,
     cand_cte: str = "",
+    fit_fraction: float | None = None,
+    fit_salt: str = "pq-seed-fit",
 ) -> str:
     """ann_pq_topk's APPROXIMATE result replayed exactly — the
     _lsh_topk_oracle doctrine (model the METHOD, not the exact
@@ -275,9 +277,27 @@ def _pq_oracle(
     ``cand_cte``: extra CTE fragment ending in a ``cand(query_id,
     neighbor_id)`` relation — the ADC stage then scores only those
     pairs instead of the full cross join (the materialized-index
-    variant, _pq_indexed_oracle)."""
+    variant, _pq_indexed_oracle).
+
+    ``fit_fraction``: replay fit_pq_codebooks' sampled fit — the
+    100 TB shape where the Lloyd passes read a hash-chosen fraction
+    of the corpus while encode still covers every row. The fitter
+    samples with operators/sampling.portable_sample_filter (md5
+    prefix < hex threshold), whose predicate spells identically in
+    ANSI SQL, so ``fitset`` below selects the SAME rows: seeds and
+    Lloyd means restrict to it, assignments/codes stay corpus-wide."""
     dsub = dim // m
     q = "1000000.0::DOUBLE"  # operators/pq.PQ_QUANT
+    fit = ""
+    fitjoin = ""
+    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
+        thr = format(int(fit_fraction * 16**8), "08x")
+        fit = f""", fitset AS MATERIALIZED (
+      SELECT vec_id FROM xn
+      WHERE substr(md5('{fit_salt}' || CAST(vec_id AS VARCHAR)), 1, 8)
+            < '{thr}'
+    )"""
+        fitjoin = " JOIN fitset USING (vec_id)"
     parts = [
         f"""
     WITH raw AS MATERIALIZED (
@@ -295,10 +315,10 @@ def _pq_oracle(
              list_transform(xn, x -> CAST(floor(x * {q} + 0.5) AS BIGINT))
                AS zx
       FROM xn
-    ), seeds AS MATERIALIZED (
+    ){fit}, seeds AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, xn
       FROM (SELECT md5('pq-seed' || CAST(vec_id AS VARCHAR)) AS h, xn
-            FROM xn ORDER BY h LIMIT {ksub})
+            FROM xn{fitjoin} ORDER BY h LIMIT {ksub})
     ), b0 AS MATERIALIZED (
       SELECT jj.j, s.c, s.xn[jj.j*{dsub}+1 : jj.j*{dsub}+{dsub}] AS coef
       FROM seeds s CROSS JOIN (SELECT unnest(range({m})) AS j) jj
@@ -328,7 +348,7 @@ def _pq_oracle(
       FROM (
         SELECT a.j, a.code, unnest(generate_series(1, {dsub})) AS i,
                unnest(z.zx[a.j*{dsub}+1 : a.j*{dsub}+{dsub}]) AS zv
-        FROM a{r} a JOIN zx z USING (vec_id))
+        FROM a{r} a JOIN zx z USING (vec_id){fitjoin})
       GROUP BY 1, 2, 3
     ), b{r} AS MATERIALIZED (
       SELECT p.j, p.c,
@@ -415,6 +435,47 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     books = fit_pq_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
+    codes = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 10)
+    return pq_topk_reranked(
+        q, emb, codes, books, k=_PQ_K, rerank_mult=_PQ_MULT
+    ).orderBy("query_id", "rank")
+
+
+#: the sampled-fit fraction registered under the correctness gate —
+#: passed explicitly to the operator call AND the oracle (the
+#: single-source rule), so a retune can't desynchronize them
+_PQ_FIT_FRACTION = 0.5
+
+
+@query(
+    "ann_pq_sampled_topk",
+    oracle=_pq_oracle(fit_fraction=_PQ_FIT_FRACTION),
+)
+def ann_pq_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_pq_topk with ``fit_fraction=0.5`` — the 100 TB fit path:
+    codebooks are fit on a deterministic md5-threshold HALF of the
+    corpus (operators/sampling.portable_sample_filter, so codebook
+    quality converges without the Lloyd passes reading every byte),
+    while encode and search still cover every row. The oracle replays
+    the sampled fit exactly (same md5 predicate, seeds and Lloyd
+    means restricted to the sample), so the sampled-fit machinery —
+    not just the full-corpus fit — sits under the driver's exact
+    correctness gate."""
+    from dasladen_spark.operators.pq import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_topk_reranked,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(
+        emb,
+        m=_PQ_M,
+        ksub=_PQ_KSUB,
+        iters=_PQ_ITERS,
+        fit_fraction=_PQ_FIT_FRACTION,
+    )
     codes = pq_encode(emb, books)
     q = emb.filter(F.col("vec_id") < 10)
     return pq_topk_reranked(
