@@ -127,6 +127,14 @@ HEADLINE = [
     # KMV k-minimum-values sketch: the set-INTERSECTION estimate HLL
     # cannot give — crawl-overlap audit shipping k longs per source
     "text_kmv_gram_overlap",
+    # round 10: the chained task-file curation pipeline (intake →
+    # dedup → length → span-drop → score/gate → decontaminate → DSIR
+    # → pack → tar shards) — the actual 100 TB workload shape, every
+    # stage previously benched only alone. Each rep runs the WHOLE
+    # ten-task chain in a fresh workspace (own intake checkpoint), so
+    # this line is expected to dwarf single-query lines; it gets the
+    # ceiling exemption below.
+    "pipeline_corpus_e2e",
 ]
 # NOT a headline line: decontaminate_semantic_ann (round 9). On the
 # fixture's 46-vector bench the exact pair stream is already tiny, so
@@ -278,7 +286,15 @@ def main() -> None:
     # bench". The flag is advisory (exit stays 0 — the driver parses
     # stdout), but it lands in both the stderr log and the JSON.
     ceiling = float(os.environ.get("SPARK_GRAFT_BENCH_CEILING_S", "10"))
-    slow = {n: t for n, t in times.items() if t > ceiling}
+    # the ten-task chained pipeline is ~the SUM of its stage lines by
+    # construction — a composite that trips the single-query ceiling
+    # by design, not by regression
+    ceiling_exempt = {"pipeline_corpus_e2e"}
+    slow = {
+        n: t
+        for n, t in times.items()
+        if t > ceiling and n not in ceiling_exempt
+    }
     for n, t in slow.items():
         print(
             f"# SLOW: {n} median {t}s exceeds the {ceiling}s per-query "

@@ -1009,10 +1009,10 @@ _FUNNEL_MIN_TOK = 25
 _FUNNEL_MAX_COV = 0.5
 _FUNNEL_MIN_Q = 0.74
 
-
-@query(
-    "corpus_clean_funnel",
-    oracle=rf"""
+#: ONE spelling of the funnel oracle, shared by corpus_clean_funnel
+#: (the single-plan report) and pipeline_corpus_e2e (the chained
+#: task-file pipeline): both must land on the SAME per-stage counts.
+_FUNNEL_ORACLE = rf"""
     WITH d0 AS (
       SELECT doc_id, text,
              regexp_extract_all(lower(text), '{_TOK_RE}') AS a,
@@ -1077,8 +1077,10 @@ _FUNNEL_MIN_Q = 0.74
       UNION ALL
       SELECT 5, 'quality_gate', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s5
     ) ORDER BY stage
-    """,
-)
+    """
+
+
+@query("corpus_clean_funnel", oracle=_FUNNEL_ORACLE)
 def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cleanup funnel a corpus actually runs, as ONE auditable
     report: docs and tokens surviving each successive gate —
@@ -1135,6 +1137,162 @@ def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_stage(s4, 4, "span_dedup"))
         .unionByName(_stage(s5, 5, "quality_gate"))
         .orderBy("stage")
+    )
+
+
+@query("pipeline_corpus_e2e", oracle=_FUNNEL_ORACLE)
+def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB workload SHAPE, end-to-end from ONE task file:
+    streaming intake (exactly-once drain of a drop folder) → exact
+    fingerprint dedup → min-length gate → duplicated-span coverage
+    drop → quality score + gate → benchmark decontamination → DSIR
+    selection → pack into 2048-token sequences → WebDataset tar
+    shards — every stage a task kind from tasks.TASK_TYPES, each
+    reading the previous stage's sink, exactly how a user of the
+    reference's task files would run a curation pipeline.
+
+    The returned frame is the per-stage funnel audit (stages 1-5,
+    docs + tokens surviving), and its oracle IS corpus_clean_funnel's
+    SQL: the chained task pipeline must land on the same counts the
+    single-plan report derives, so the whole chain sits under the
+    driver's exact-oracle gate. The post-funnel stages
+    (decontaminate / DSIR / pack / tar) have no funnel row; the e2e
+    test asserts their artifacts (tests/test_tasks.py).
+
+    Each invocation runs in a FRESH temp workspace (its own intake
+    checkpoint), so a bench rep measures the full pipeline, not a
+    warm no-op drain."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="dsl_pipe_e2e_")
+    try:
+        return run_corpus_pipeline(spark, sf_dir, work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def run_corpus_pipeline(
+    spark: SparkSession, sf_dir: str, work: str
+) -> DataFrame:
+    """pipeline_corpus_e2e's body against a caller-owned workspace —
+    the e2e test drives this directly so it can inspect the stage
+    sinks and tar shards after the run."""
+    import os
+
+    from dasladen_spark.runner.taskrun import Runner, TaskRunner
+
+    inp = os.path.join(work, "input")
+    out = os.path.join(work, "output")
+    drops = os.path.join(inp, "drops")
+    os.makedirs(drops)
+    os.makedirs(out)
+    docs = _t(spark, sf_dir, "documents")
+    docs.select("doc_id", "text", "lang", "source").write.mode(
+        "overwrite"
+    ).json(drops)
+    docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "text"
+    ).write.mode("overwrite").parquet(os.path.join(inp, "bench.parquet"))
+    docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "text"
+    ).write.mode("overwrite").parquet(os.path.join(inp, "train.parquet"))
+    min_tok_filter = (
+        f"size(regexp_extract_all(lower({{text}}), '{_TOK_RE}', 0))"
+        f" >= {_FUNNEL_MIN_TOK}"
+    )
+    tasks = [
+        # s1: land everything (thresholds 0 → the funnel's raw row);
+        # the gate's value here is the exactly-once drain semantics
+        {"name": "p1", "type": "intake", "gate": "quality",
+         "min_quality": 0.0, "min_tokens": 0,
+         "source": {"folder": drops},
+         "target": {"file": "s1_raw"},
+         "quarantine": {"file": "s1_quarantine"}},
+        {"name": "p2", "type": "dedup", "id_field": "doc_id",
+         "source": {"kind": "parquet", "file": "s1_raw", "folder": out},
+         "target": {"kind": "parquet", "file": "s2_dedup.parquet",
+                    "truncate": True}},
+        # s3: the min-length gate, plus dropping the intake's stamp
+        # columns (p5 re-scores; pack stamps its own n_tokens)
+        {"name": "p3", "type": "parquet-parquet",
+         "source": {"file": "s2_dedup.parquet", "folder": out},
+         "transform": {"filter": min_tok_filter,
+                       "remove": ["quality", "n_tokens",
+                                  "fingerprint", "batch"]},
+         "target": {"file": "s3_len.parquet", "truncate": True}},
+        {"name": "p4", "type": "dedup", "method": "spans",
+         "mode": "drop", "span": _SPAN_N,
+         "max_coverage": _FUNNEL_MAX_COV, "id_field": "doc_id",
+         "source": {"kind": "parquet", "file": "s3_len.parquet",
+                    "folder": out},
+         "target": {"kind": "parquet", "file": "s4_span.parquet",
+                    "truncate": True}},
+        {"name": "p5", "type": "score",
+         "source": {"kind": "parquet", "file": "s4_span.parquet",
+                    "folder": out},
+         "target": {"kind": "parquet", "file": "s5s_scored.parquet",
+                    "truncate": True}},
+        {"name": "p6", "type": "parquet-parquet",
+         "source": {"file": "s5s_scored.parquet", "folder": out},
+         "transform": {"filter": f"{{quality}} >= {_FUNNEL_MIN_Q}"},
+         "target": {"file": "s5_quality.parquet", "truncate": True}},
+        {"name": "p7", "type": "decontaminate", "id_field": "doc_id",
+         "source": {"kind": "parquet", "file": "s5_quality.parquet",
+                    "folder": out},
+         "bench": {"kind": "parquet", "file": "bench.parquet",
+                   "folder": inp},
+         "target": {"kind": "parquet", "file": "s6_clean.parquet",
+                    "truncate": True}},
+        {"name": "p8", "type": "sample", "method": "dsir",
+         "id_field": "doc_id", "keep_fraction": 0.5,
+         "source": {"kind": "parquet", "file": "s6_clean.parquet",
+                    "folder": out},
+         "train": {"kind": "parquet", "file": "train.parquet",
+                   "folder": inp},
+         "target": {"kind": "parquet", "file": "s7_selected.parquet",
+                    "truncate": True}},
+        {"name": "p9", "type": "pack", "id_field": "doc_id",
+         "source": {"kind": "parquet", "file": "s7_selected.parquet",
+                    "folder": out},
+         "target": {"kind": "parquet", "file": "s8_packed.parquet",
+                    "truncate": True}},
+        {"name": "p10", "type": "parquet-tar",
+         "source": {"file": "s8_packed.parquet", "folder": out},
+         "target": {"file": "shards", "n_shards": 4,
+                    "key_field": "doc_id", "payload_field": "text",
+                    "ext": "txt",
+                    "meta_fields": ["pack_id", "n_tokens"]}},
+    ]
+    TaskRunner(
+        spark,
+        Runner({"tasks": tasks}),
+        input_path=inp,
+        output_path=out,
+        module_path=inp,
+        log=lambda m: None,
+    ).run()
+    rows = []
+    for fname, stage, label in (
+        ("s1_raw", 1, "raw"),
+        ("s2_dedup.parquet", 2, "fingerprint_dedup"),
+        ("s3_len.parquet", 3, "min_length"),
+        ("s4_span.parquet", 4, "span_dedup"),
+        ("s5_quality.parquet", 5, "quality_gate"),
+    ):
+        st = (
+            spark.read.parquet(os.path.join(out, fname))
+            .select(F.size(tokens_col()).alias("nt"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("nt"), F.lit(0)).alias("t"),
+            )
+            .collect()[0]
+        )
+        rows.append((stage, label, int(st["n"]), int(st["t"])))
+    return spark.createDataFrame(
+        rows, "stage int, stage_name string, n_docs bigint,"
+        " n_tokens bigint"
     )
 
 

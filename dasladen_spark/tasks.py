@@ -661,8 +661,11 @@ def _run_dedup_spans(
     b_start, span_tokens, span_md5) — the input a human review or a
     downstream masking job consumes. Knobs: ``seed_n`` (seed k-gram
     width), ``min_span`` (minimal cut length, tokens), ``max_df``
-    (seed hub cap). No history-index support — span cutting is a
-    within-corpus operation; run it before the exact/winnowing
+    (seed hub cap). ``mode: "drop"`` keeps whole docs whose
+    duplicated-span COVERAGE stays ≤ ``max_coverage`` (default 0.5,
+    shingle width ``span`` default 8) — the corpus_clean_funnel s4
+    gate as a task stage. No history-index support — span cutting is
+    a within-corpus operation; run it before the exact/winnowing
     incremental arms."""
     from dasladen_spark.operators.dedup import (
         SPAN_MAX_DF,
@@ -684,6 +687,32 @@ def _run_dedup_spans(
         out = duplicated_spans(df, **kw)
     elif mode == "cut":
         out = cut_duplicate_spans(df, **kw)
+    elif mode == "drop":
+        # funnel-parity arm: compute each doc's duplicated-span
+        # coverage over THIS batch and keep docs at or under the
+        # ceiling. Imported lazily from the plans layer (the single
+        # spelling corpus_clean_funnel audits) so task runs and the
+        # registered report can never disagree on the metric.
+        from pyspark.sql import functions as F
+
+        from dasladen_spark.plans.llm4 import duplicated_span_coverage
+
+        cov = duplicated_span_coverage(
+            df.select(id_field, text_field),
+            id_field,
+            text_field,
+            span=int(task.get("span", 8)),
+        )
+        out = (
+            df.join(
+                cov.select(id_field, "dup_coverage"), id_field, "left"
+            )
+            .filter(
+                F.coalesce(F.col("dup_coverage"), F.lit(0.0))
+                <= float(task.get("max_coverage", 0.5))
+            )
+            .drop("dup_coverage")
+        )
     else:
         raise ValueError(f"unknown dedup spans mode {mode!r}")
     tgt = task["target"]
@@ -990,6 +1019,52 @@ def _semantic_prefilter(task: dict) -> str:
     raise ValueError(
         f"decontaminate task: unknown prefilter {pf!r}"
         " (expected 'ann' or 'exact'/absent)"
+    )
+
+
+def run_pack(ctx: TaskContext, task: dict) -> None:
+    """Pack task (beyond the reference): stamp every source row with
+    ``n_tokens`` (whitespace token count of ``text_field``) and a
+    ``pack_id`` assigning documents — in ``id_field`` order — to
+    fixed-budget training sequences by exclusive running token count
+    (``seq_tokens``, default 2048). The task-file spelling of the
+    pack_sequences plan: the running total is
+    operators/ranking.global_prefix_sum (range-partition + partition
+    offsets), never a single-partition global window, so the same
+    task packs a trillion tokens."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.functions.text import token_count
+    from dasladen_spark.operators.ranking import global_prefix_sum
+
+    src = task["source"]
+    df = _read_source(ctx, {**task, "type": src.get("kind", "parquet") + "-x"})
+    df = _transformed(ctx, task, df)
+    text_field = task.get("text_field", "text")
+    id_field = task.get("id_field", df.columns[0])
+    seq_tokens = int(task.get("seq_tokens", 2048))
+    for reserved in ("n_tokens", "pack_id", "__prior"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"pack task: source column {reserved!r} collides with an"
+                " output name — rename it upstream"
+            )
+    toks = df.withColumn(
+        "n_tokens", token_count(F.col(text_field)).cast("long")
+    )
+    ps = global_prefix_sum(
+        toks, [F.col(id_field)], "n_tokens", out_col="__prior",
+        exclusive=True,
+    )
+    out = ps.withColumn(
+        "pack_id",
+        F.floor(F.col("__prior") / F.lit(seq_tokens)).cast("bigint"),
+    ).drop("__prior")
+    tgt = task["target"]
+    _write_sink(ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, out)
+    ctx.log(
+        f"task {task.get('name')}: packed into {seq_tokens}-token"
+        " sequences"
     )
 
 
@@ -1546,6 +1621,7 @@ TASK_TYPES: dict[str, Callable[[TaskContext, dict], None]] = {
     "decontaminate": run_decontaminate,
     "intake": run_intake,
     "sketch": run_sketch,
+    "pack": run_pack,
 }
 
 # Beyond the reference's seven ETL shapes: the full source×sink matrix

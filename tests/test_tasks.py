@@ -1878,3 +1878,49 @@ def test_cluster_task_assigns_and_reports(spark, workdir):
         ).collect()
     }
     assert second == first
+
+
+def test_pipeline_corpus_e2e_artifacts(spark, tmp_path):
+    """The full chained curation pipeline (intake → dedup → length →
+    span-drop → score/gate → decontaminate → DSIR → pack → tar): the
+    funnel stages are oracle-checked by the driver; this test asserts
+    the POST-funnel artifacts — decontaminated/selected/packed
+    parquet stages are consistent and the WebDataset shards carry one
+    payload + one metadata sidecar per packed doc."""
+    import tarfile
+
+    from dasladen_spark.plans.llm4 import run_corpus_pipeline
+
+    work = tmp_path / "w"
+    got = run_corpus_pipeline(spark, "/root/testdata/sf0.001", str(work))
+    rows = {r["stage"]: r for r in got.collect()}
+    assert (
+        rows[1]["n_docs"]
+        >= rows[2]["n_docs"]
+        >= rows[3]["n_docs"]
+        >= rows[4]["n_docs"]
+        >= rows[5]["n_docs"]
+        > 0
+    )
+    out = work / "output"
+    clean = spark.read.parquet(str(out / "s6_clean.parquet"))
+    sel = spark.read.parquet(str(out / "s7_selected.parquet"))
+    packed = spark.read.parquet(str(out / "s8_packed.parquet"))
+    n_clean, n_sel, n_packed = clean.count(), sel.count(), packed.count()
+    assert n_clean <= rows[5]["n_docs"]
+    assert 0 < n_sel <= n_clean
+    assert n_packed == n_sel
+    assert {"pack_id", "n_tokens"} <= set(packed.columns)
+    pids = sorted(
+        r["pack_id"] for r in packed.select("pack_id").distinct().collect()
+    )
+    assert pids == list(range(len(pids)))  # contiguous 0..K sequence ids
+    shard_files = sorted((out / "shards").glob("shard-*.tar"))
+    assert len(shard_files) == 4
+    members: set = set()
+    for path in shard_files:
+        with tarfile.open(path) as tf:
+            members |= {m.name for m in tf.getmembers()}
+    txts = {m for m in members if m.endswith(".txt")}
+    assert len(txts) == n_packed
+    assert {m.replace(".txt", ".json") for m in txts} <= members
