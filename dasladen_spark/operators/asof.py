@@ -99,6 +99,7 @@ def asof_join_broadcast(
     right_ts: str,
     right_cols: dict[str, str] | None = None,
     strict: bool = False,
+    max_right_rows: int = 2_000_000,
 ) -> DataFrame:
     """As-of join for a SMALL right side (rates, quotes, configs):
     the right table is collected once and shipped in the task
@@ -107,8 +108,12 @@ def asof_join_broadcast(
     of asof_join's union+window, which shuffles both sides.
 
     Use when |right| fits in executor memory (≲ tens of MB); the
-    union+window form handles the general case.
-    """
+    union+window form handles the general case. The smallness
+    contract is ENFORCED, not assumed (the scoring.py localize
+    pattern): the collecting fetch is bounded at
+    ``max_right_rows + 1``, so a corpus-sized right side raises
+    loudly instead of silently OOMing the driver and every executor
+    closure."""
     import pandas as pd
 
     right_df = right
@@ -119,8 +124,18 @@ def asof_join_broadcast(
     rts = "__asof_right_ts"
     rpdf = (
         right_df.select(on, F.col(right_ts).alias(rts), *right_cols.keys())
+        .limit(max_right_rows + 1)
         .toPandas()
-        .rename(columns=right_cols)
+    )
+    if len(rpdf) > max_right_rows:
+        raise ValueError(
+            f"asof_join_broadcast: right side exceeds max_right_rows="
+            f"{max_right_rows:,} — it ships in every task closure, so a"
+            " corpus-sized right side belongs in asof_join (the"
+            " union+window form), or raise the cap explicitly"
+        )
+    rpdf = (
+        rpdf.rename(columns=right_cols)
         .sort_values(rts)
         .reset_index(drop=True)
     )

@@ -13,7 +13,8 @@ word table applying the winning merge. Both distribute:
 - pair counting is a JVM-side ``transform(sequence(...))`` explode +
   map-side-combined sum — no Python in the hot path;
 - only the winning pair (ONE row) is collected per round;
-- the merge rewrite is an Arrow-batched scan of the word table.
+- the merge rewrite is a pure-JVM aggregate() fold over the
+  word table (no Python worker anywhere in BPE since round 10).
 
 Each round persists its rewrite and unpersists the previous one, so
 lineage stays O(1) deep across rounds. Determinism: ties on pair
@@ -27,7 +28,6 @@ to an RDBMS, /root/reference/dasladen/task.py:94-107).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,28 +49,34 @@ def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _merge_udf(left: str, right: str):
-    """Rewrite symbol sequences applying one merge left-to-right —
-    the only per-round Python, over the vocabulary-sized table."""
+def _merge_expr(left: str, right: str, syms_col: str = "syms"):
+    """Rewrite a symbol sequence applying one merge greedily
+    left-to-right — pure JVM since round 10 (the last non-multimodal
+    pandas UDF): an ``aggregate()`` fold whose accumulator is the
+    rewritten prefix. At each symbol: if the accumulator's LAST
+    element is ``left`` and the symbol is ``right``, replace that
+    last element with the merged symbol, else append.
+
+    This fold IS the sequential greedy scan (i += 2 on a merge): a
+    merged output element can never re-match as ``left`` within the
+    same pass because ``left + right`` is strictly longer than
+    ``left`` (symbols are non-empty) — so "a a a" under (a, a) folds
+    to [aa, a], and "a a a a" to [aa, aa], exactly like the scanner.
+    O(len²) array copies per word, over the vocabulary-sized distinct
+    word table only — never the corpus."""
     merged = left + right
-
-    @F.pandas_udf("array<string>")
-    def apply_merge(seqs: pd.Series) -> pd.Series:
-        out = []
-        for syms in seqs:
-            res = []
-            i, n = 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
-                    res.append(merged)
-                    i += 2
-                else:
-                    res.append(syms[i])
-                    i += 1
-            out.append(res)
-        return pd.Series(out)
-
-    return apply_merge
+    return F.aggregate(
+        F.col(syms_col),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
 
 
 def learn_bpe_merges(
@@ -109,7 +115,7 @@ def learn_bpe_merges(
             l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
             merges.append((l, r, n))
             nxt = syms.select(
-                _merge_udf(l, r)(F.col("syms")).alias("syms"), "freq"
+                _merge_expr(l, r).alias("syms"), "freq"
             ).persist()
             try:
                 nxt.count()  # materialize before dropping the parent

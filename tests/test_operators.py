@@ -2131,3 +2131,28 @@ def test_probe_schema_preserves_query_id_type(spark):
     assert sch["probe"].dataType == LongType()
     df = spark.createDataFrame([("doc-1", 7)], sch)
     assert df.collect()[0]["query_id"] == "doc-1"
+
+
+def test_asof_join_broadcast_caps_right_side(spark):
+    """asof_join_broadcast ships the right table in every task
+    closure — an oversized right side must raise loudly (the bounded
+    limit-probe fetch), never silently truncate or OOM."""
+    import pytest
+
+    from dasladen_spark.operators.asof import asof_join_broadcast
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20)], "k int, ts int"
+    )
+    right = spark.range(50).selectExpr(
+        "cast(1 as int) as k", "cast(id as int) as ts", "id as px"
+    )
+    with pytest.raises(ValueError, match="max_right_rows"):
+        asof_join_broadcast(
+            left, right, "k", "ts", "ts", max_right_rows=10
+        )
+    ok = asof_join_broadcast(
+        left, right, "k", "ts", "ts", max_right_rows=100
+    )
+    got = {r["ts"]: r["right_px"] for r in ok.collect()}
+    assert got == {10: 10, 20: 20}
