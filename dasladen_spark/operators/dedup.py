@@ -1098,6 +1098,108 @@ def _hyperplane_sql(
     return sums_sql, firsts_sql, rebuild_sql, buckets_sql
 
 
+def semantic_dedup_survivors(
+    corpus: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    assigned_id: str = "id",
+    threshold: float = 0.9,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 shape): semantic dedup by
+    clustering the embedding space, then dropping near-identical
+    documents WITHIN each cluster — the device that makes
+    embedding-level dedup tractable at corpus scale (pairwise cosine
+    only inside a cluster, never across the corpus).
+
+    ``assigned`` is an (``assigned_id``, cluster) frame — in this
+    repo the exact
+    lattice k-means (operators/clustering.kmeans_fit), so the whole
+    pipeline stays a pure function of the corpus. Within-cluster
+    pairs at cosine ≥ ``threshold`` become edges; components collapse
+    via per-cluster union-find (operators/graph
+    partitioned_components — every edge lies inside one cluster by
+    construction, so closure needs zero iterative jobs); each doc
+    maps to its component's min-id survivor.
+
+    Returns (id, cluster, survivor, kept) for EVERY corpus row —
+    kept = 1 iff the doc is its own survivor (the kept-set a
+    downstream filter applies; survivors of singleton docs are
+    themselves).
+
+    Scale shape: the pair join is cluster-keyed — O(Σ|cluster|²)
+    work, which the SemDeDup recipe bounds by CHOOSING k ∝ corpus
+    size (constant expected cluster size). That contract is
+    ENFORCED: a cluster above ``max_cluster`` raises loudly (re-fit
+    with larger k) instead of silently going quadratic."""
+    from dasladen_spark.functions.vectors import cosine_sim_carried, l2_norm
+    from dasladen_spark.operators.graph import partitioned_components
+
+    biggest = (
+        assigned.groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_mx"))
+        .collect()[0]["_mx"]
+    )
+    if biggest is not None and biggest > max_cluster:
+        raise ValueError(
+            f"semantic_dedup_survivors: largest cluster has {biggest:,}"
+            f" members > max_cluster={max_cluster:,} — within-cluster"
+            " pairing would go quadratic; re-fit with a larger k"
+        )
+    m = corpus.select(
+        F.col(id_col).alias("_sid"),
+        F.col(vec_col).cast("array<double>").alias("_sv"),
+        l2_norm(F.col(vec_col)).alias("_sn"),
+    ).join(
+        assigned.select(
+            F.col(assigned_id).alias("_sid"),
+            F.col(cluster_col).alias("_sc"),
+        ),
+        "_sid",
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a._sc") == F.col("b._sc"),
+                F.col("a._sid") < F.col("b._sid"),
+            ],
+        )
+        .select(
+            F.col("a._sc").alias("cluster"),
+            F.col("a._sid").alias("id_a"),
+            F.col("b._sid").alias("id_b"),
+            cosine_sim_carried(
+                F.col("a._sv"), F.col("b._sv"), F.col("a._sn"), F.col("b._sn")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    comp = partitioned_components(pairs, "cluster", "id_a", "id_b")
+    return (
+        assigned.select(
+            F.col(assigned_id).alias("id"),
+            F.col(cluster_col).alias("cluster"),
+        )
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            "cluster",
+            F.coalesce("component", F.col("id")).alias("survivor"),
+            F.when(
+                F.coalesce("component", F.col("id")) == F.col("id"), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

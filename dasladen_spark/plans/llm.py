@@ -1524,6 +1524,68 @@ def kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SemDeDup cosine ceiling, fixture-calibrated (the synthetic
+#: embeddings are weakly similar — 0.4 is the same operating point
+#: dedup_embedding_cosine registers; production SemDeDup runs ~0.95)
+_SEMDD_TAU = 0.4
+
+
+@query(
+    "dedup_semantic_clusters",
+    # exact end-to-end: lattice k-means replay (the _kmeans_ctes
+    # family) + the SAME left-assoc cosine fold both engines evaluate
+    # + recursive-CTE reachability for the per-cluster min-id
+    # survivor (the dedup_minhash_survivors device)
+    oracle=_kmeans_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""", sdmem AS MATERIALIZED (
+      SELECT a.vec_id, a.cluster, r.v
+      FROM ka{_KM_ITERS + 1} a JOIN kraw r USING (vec_id)
+    ), sdp AS MATERIALIZED (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM sdmem x JOIN sdmem y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE {_cosine_sql('x.v', 'y.v')} >= {_SEMDD_TAU}
+    ), sdedges AS (
+      SELECT id_a AS a, id_b AS b FROM sdp
+      UNION SELECT id_b, id_a FROM sdp
+    ), sdreach(id, r) AS (
+      SELECT a, a FROM sdedges
+      UNION
+      SELECT e.a, sdreach.r FROM sdedges e JOIN sdreach
+        ON sdreach.id = e.b
+    ), sdcomp AS (
+      SELECT id, MIN(r) AS surv FROM sdreach GROUP BY id
+    )
+    SELECT m.vec_id AS id, m.cluster,
+           COALESCE(c.surv, m.vec_id) AS survivor,
+           CAST(CASE WHEN COALESCE(c.surv, m.vec_id) = m.vec_id
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM sdmem m LEFT JOIN sdcomp c ON c.id = m.vec_id
+    ORDER BY m.vec_id
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic dedup by k-means-clustering the embedding
+    space and dropping near-identical docs WITHIN clusters
+    (operators/dedup.semantic_dedup_survivors) — the method that
+    bounds embedding-level dedup at corpus scale (pairwise cosine
+    only inside a cluster; k grows with the corpus so expected
+    cluster size is constant, and the operator raises loudly if a
+    cluster exceeds its cap). Exact oracle for the WHOLE chain:
+    lattice k-means assignment, the shared cosine fold, and
+    per-cluster components all replay bit-for-bit."""
+    from dasladen_spark.operators.clustering import kmeans_fit
+    from dasladen_spark.operators.dedup import semantic_dedup_survivors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit(
+        emb, "embedding", "vec_id", k=_KM_K, iterations=_KM_ITERS
+    )
+    return semantic_dedup_survivors(
+        emb, assigned, threshold=_SEMDD_TAU
+    ).orderBy("id")
+
+
 @query(
     "embedding_vector_stats",
     oracle="""

@@ -2156,3 +2156,31 @@ def test_asof_join_broadcast_caps_right_side(spark):
     )
     got = {r["ts"]: r["right_px"] for r in ok.collect()}
     assert got == {10: 10, 20: 20}
+
+
+def test_semantic_dedup_survivors_shape_and_cap(spark, sf_dir):
+    """SemDeDup: every corpus row maps to (id, cluster, survivor,
+    kept); survivors are component minima within their own cluster;
+    an over-cap cluster raises loudly instead of going quadratic."""
+    import pytest
+
+    from dasladen_spark.operators.clustering import kmeans_fit
+    from dasladen_spark.operators.dedup import semantic_dedup_survivors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = kmeans_fit(emb, "embedding", "vec_id", k=8, iterations=2)
+    out = semantic_dedup_survivors(emb, assigned, threshold=0.4).collect()
+    n = emb.count()
+    assert len(out) == n
+    by_id = {r["id"]: r for r in out}
+    clusters = {r["id"]: r["cluster"] for r in out}
+    for r in out:
+        assert r["survivor"] <= r["id"]
+        assert r["kept"] == int(r["survivor"] == r["id"])
+        # a survivor lives in the same cluster as its member
+        assert clusters[r["survivor"]] == r["cluster"]
+        # the survivor of a component is itself kept
+        assert by_id[r["survivor"]]["kept"] == 1
+    assert 0 < sum(r["kept"] for r in out) <= n
+    with pytest.raises(ValueError, match="max_cluster"):
+        semantic_dedup_survivors(emb, assigned, threshold=0.4, max_cluster=2)
