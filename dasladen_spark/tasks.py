@@ -525,6 +525,8 @@ def run_dedup(ctx: TaskContext, task: dict) -> None:
         return _run_dedup_winnowing(ctx, task, df, text_field, id_field)
     if method == "spans":
         return _run_dedup_spans(ctx, task, df, text_field, id_field)
+    if method == "semantic":
+        return _run_dedup_semantic(ctx, task, df, id_field)
     if method != "exact":
         # a typo must not silently fall through to whole-document
         # exact dedup — that DROPS documents the user asked to keep
@@ -645,6 +647,73 @@ def _run_dedup_winnowing(
         finally:
             out.unpersist()
     ctx.log(f"task {task.get('name')}: {n_out} novel rows out (winnowing)")
+
+
+def _run_dedup_semantic(
+    ctx: TaskContext, task: dict, df, id_field: str
+) -> None:
+    """The dedup task's SEMANTIC arm (SemDeDup — operators/dedup
+    semantic_dedup_survivors): cluster ``vec_field`` embeddings with
+    the exact lattice k-means (``k``, ``iterations``, optional
+    ``fit_fraction`` for the sampled 100 TB fit), drop docs within
+    ``threshold`` cosine of a lower-id cluster-mate (component min-id
+    survivor). Kept docs go to ``target``; set ``quarantine`` to also
+    write the dropped docs with their ``survivor`` audit column.
+    Pairwise work is cluster-bounded and a cluster above
+    ``max_cluster`` raises loudly (re-fit with larger k)."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.clustering import kmeans_fit
+    from dasladen_spark.operators.dedup import semantic_dedup_survivors
+
+    vec_field = task.get("vec_field", "embedding")
+    assigned = kmeans_fit(
+        df,
+        vec_field,
+        id_field,
+        k=int(task.get("k", 8)),
+        iterations=int(task.get("iterations", 2)),
+        fit_fraction=task.get("fit_fraction"),
+    )
+    surv = semantic_dedup_survivors(
+        df,
+        assigned,
+        id_col=id_field,
+        vec_col=vec_field,
+        threshold=float(task.get("threshold", 0.9)),
+        max_cluster=int(task.get("max_cluster", 100_000)),
+    )
+    marked = df.join(
+        surv.select(
+            F.col("id").alias(id_field), "survivor", "kept"
+        ),
+        id_field,
+    ).persist()
+    tgt = task["target"]
+    try:
+        kept = marked.filter(F.col("kept") == 1).drop("survivor", "kept")
+        _write_sink(
+            ctx, {**task, "type": "x-" + tgt.get("kind", "parquet")}, kept
+        )
+        q = task.get("quarantine")
+        if q:
+            dropped = marked.filter(F.col("kept") == 0).drop("kept")
+            _write_sink(
+                ctx,
+                {
+                    **task,
+                    "type": "x-" + q.get("kind", "parquet"),
+                    "target": q,
+                },
+                dropped,
+            )
+        n_in = marked.count()
+        n_kept = marked.filter(F.col("kept") == 1).count()
+    finally:
+        marked.unpersist()
+    ctx.log(
+        f"task {task.get('name')}: semantic dedup kept {n_kept}/{n_in}"
+    )
 
 
 def _run_dedup_spans(

@@ -1924,3 +1924,45 @@ def test_pipeline_corpus_e2e_artifacts(spark, tmp_path):
     txts = {m for m in members if m.endswith(".txt")}
     assert len(txts) == n_packed
     assert {m.replace(".txt", ".json") for m in txts} <= members
+
+
+def test_dedup_task_semantic_method(spark, workdir):
+    """'dedup' method 'semantic' (SemDeDup): keeps one doc per
+    embedding near-dup component within a k-means cluster; dropped
+    docs land in quarantine with their survivor id."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(
+        str(workdir / "input" / "emb.parquet")
+    )
+    run_tasks(
+        spark,
+        workdir,
+        {
+            "tasks": [
+                {
+                    "name": "sd",
+                    "type": "dedup",
+                    "method": "semantic",
+                    "id_field": "vec_id",
+                    "vec_field": "embedding",
+                    "k": 4,
+                    "iterations": 1,
+                    "threshold": 0.4,
+                    "source": {"kind": "parquet", "file": "emb.parquet"},
+                    "target": {"kind": "parquet", "file": "kept.parquet",
+                               "truncate": True},
+                    "quarantine": {"kind": "parquet",
+                                   "file": "dropped.parquet",
+                                   "truncate": True},
+                }
+            ]
+        },
+    )
+    kept = spark.read.parquet(str(workdir / "output" / "kept.parquet"))
+    dropped = spark.read.parquet(str(workdir / "output" / "dropped.parquet"))
+    n = emb.count()
+    assert kept.count() + dropped.count() == n
+    assert 0 < kept.count() <= n
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    for r in dropped.select("vec_id", "survivor").collect():
+        assert r["survivor"] in kept_ids and r["survivor"] < r["vec_id"]
