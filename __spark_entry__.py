@@ -5,11 +5,12 @@ queries()      — one entry per implemented operator (SURVEY.md §2 +
                  north-star extensions), (spark, sf_dir) → DataFrame
 oracle_sql()   — equivalent DuckDB SQL per query (omitted only for
                  float-geometry / native-sketch ops — PCA/whitening/
-                 Mahalanobis, recall audits, HLL++ — whose outputs
-                 are not SQL-expressible → rows-only check; the
-                 signature, LSH, PQ, IVF, and k-means families are
-                 integer-lattice exact and fully oracled since
-                 round 9)
+                 Mahalanobis, HLL++ internals — whose outputs are not
+                 SQL-expressible → rows-only check; the signature,
+                 LSH, PQ, IVF, and k-means families are integer-
+                 lattice exact, and since round 10 even the recall
+                 AUDITS — ann_recall_report incl. the 70%-fit append
+                 drift row, ann_tuning_curves — replay exactly)
 """
 
 from __future__ import annotations

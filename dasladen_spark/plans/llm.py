@@ -568,20 +568,17 @@ _IVF_DIM = 64
 _IVF_K = 5
 
 
-def _ivf_oracle(
+def _ivf_ctes(
     cells: int = _IVF_CELLS,
-    n_probe: int = _IVF_PROBE,
+    probe_keep: int = _IVF_PROBE,
     iters: int = _IVF_ITERS,
     dim: int = _IVF_DIM,
-    k: int = _IVF_K,
 ) -> str:
-    """ann_ivf_topk's APPROXIMATE result replayed exactly — the
-    model-the-method doctrine (see llm6._pq_oracle, whose fit this IS
-    with one subspace spanning the whole vector): quantized-integer
-    norms and coordinates make every seed pick, Lloyd mean, cell
-    assignment, and probe choice a pure integer computation this SQL
-    re-derives bit-for-bit; only the final re-rank cosine is float,
-    and it is ROUND()ed like every other cosine output."""
+    """The IVF replay's CTE body (raw/xn/zx → Lloyd rounds → final
+    assignment a{iters+1} → qprobe with its probe rank kept), shared
+    by _ivf_oracle and the tuning-curves oracle — ``qprobe`` holds
+    each audit query's ``probe_keep`` nearest cells WITH ``rn``, so a
+    sweep can restrict to any shallower probe depth for free."""
     q = "1000000.0::DOUBLE"  # operators/pq.PQ_QUANT
     zdist = (
         "list_sum(list_transform(list_zip({a}, {b}),"
@@ -642,15 +639,34 @@ def _ivf_oracle(
         FROM s{r} GROUP BY cell) mm USING (c)
     )""")
     parts.append(f""", qprobe AS MATERIALIZED (
-      SELECT vec_id AS query_id, c AS cell FROM (
+      SELECT vec_id AS query_id, c AS cell, rn FROM (
         SELECT z.vec_id, b.c,
                ROW_NUMBER() OVER (PARTITION BY z.vec_id
                  ORDER BY {zdist.format(a='z.zx', b='b.zc')} ASC,
                           b.c ASC) AS rn
         FROM zx z CROSS JOIN zb{iters} b
         WHERE z.vec_id < 10)
-      WHERE rn <= {n_probe}
-    ), scored AS (
+      WHERE rn <= {probe_keep}
+    )""")
+    return "".join(parts)
+
+
+def _ivf_oracle(
+    cells: int = _IVF_CELLS,
+    n_probe: int = _IVF_PROBE,
+    iters: int = _IVF_ITERS,
+    dim: int = _IVF_DIM,
+    k: int = _IVF_K,
+) -> str:
+    """ann_ivf_topk's APPROXIMATE result replayed exactly — the
+    model-the-method doctrine (see llm6._pq_oracle, whose fit this IS
+    with one subspace spanning the whole vector): quantized-integer
+    norms and coordinates make every seed pick, Lloyd mean, cell
+    assignment, and probe choice a pure integer computation this SQL
+    re-derives bit-for-bit; only the final re-rank cosine is float,
+    and it is ROUND()ed like every other cosine output."""
+    return _ivf_ctes(cells, n_probe, iters, dim) + f"""
+    , scored AS (
       SELECT p.query_id, l.vec_id AS neighbor_id,
              {_cosine_sql('qr.v', 'nr.v')} AS cosine
       FROM qprobe p JOIN a{iters + 1} l USING (cell)
@@ -665,8 +681,7 @@ def _ivf_oracle(
     )
     SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
     FROM ranked WHERE rank <= {k}
-    """)
-    return "".join(parts)
+    """
 
 
 @query("ann_ivf_topk", oracle=_ivf_oracle())

@@ -1299,7 +1299,106 @@ def run_corpus_pipeline(
 # ----------------------------------------------- ANN recall report
 
 
-@query("ann_recall_report")  # compares approximate methods — rows-only
+def _recall_report_oracle() -> str:
+    """ann_recall_report replayed exactly (exact since round 10 — the
+    audit of the approximate methods is itself bit-replayable because
+    every audited method is): ONE statement composes
+
+    - the IVF replay (llm._ivf_ctes, 16 cells / probe 4),
+    - ONE hyperplane bucket replay (data-independent plane family),
+      whose candidate join serves THREE rows — the lsh search, the
+      pq_indexed ADC, and the post-append drift ADC (an append-grown
+      index probes the same buckets as a full build),
+    - THREE independently-fit PQ chains (llm6._pq_ctes prefixes
+      ``pq_``/``pi_``/``dr_``): flat, indexed, and the drift chain
+      whose codebooks fit on ``vec_id % 10 < 7`` only (the 70%
+      build) while codes stay corpus-wide — exactly
+      append_to_ann_index's stored-codebook encode,
+    - the exact top-5 baseline; each method's n_hit is the
+      (query_id, neighbor_id) intersection, and with n_exact =
+      |probes| × 5 the recalls are exact multiples of 1/n_exact, so
+      ROUND(…, 4) agrees bit-for-bit across engines."""
+    from dasladen_spark.operators.dedup import hyperplane_buckets_oracle_cte
+    from dasladen_spark.plans.llm import _IVF_ITERS, _ivf_ctes
+    from dasladen_spark.plans.llm6 import _pq_ctes
+
+    k = 5
+    ivf_iters = _IVF_ITERS
+    # _ivf_ctes carries its own leading WITH
+    parts = [_ivf_ctes(16, 4, ivf_iters, 64)]
+    parts.append(
+        ", "
+        + hyperplane_buckets_oracle_cte(
+            16, 4, 64, relation="raw", id_col="vec_id", vec_col="v"
+        )
+    )
+    parts.append(f""", cand AS MATERIALIZED (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c USING (t, bkt)
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ), r_exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cosine_sql('q.v', 'c.v')} DESC,
+                          c.vec_id) AS rk
+        FROM raw q JOIN raw c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rk <= {k}
+    ), r_nex AS (SELECT COUNT(*) AS n FROM r_exact
+    ), r_lsh AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                 ORDER BY {_cosine_sql('qr.v', 'nr.v')} DESC,
+                          cand.neighbor_id) AS rk
+        FROM cand JOIN raw qr ON qr.vec_id = cand.query_id
+                  JOIN raw nr ON nr.vec_id = cand.neighbor_id)
+      WHERE rk <= {k}
+    ), r_ivf AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, l.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {_cosine_sql('qr.v', 'nr.v')} DESC,
+                          l.vec_id) AS rk
+        FROM qprobe p JOIN a{ivf_iters + 1} l USING (cell)
+             JOIN raw qr ON qr.vec_id = p.query_id
+             JOIN raw nr ON nr.vec_id = l.vec_id
+        WHERE l.vec_id <> p.query_id)
+      WHERE rk <= {k}
+    ), """)
+    parts.append(_pq_ctes(prefix="pq_"))
+    parts.append(", ")
+    parts.append(_pq_ctes(prefix="pi_", cand_rel="cand"))
+    parts.append(", ")
+    parts.append(
+        _pq_ctes(prefix="dr_", cand_rel="cand", fit_where="vec_id % 10 < 7")
+    )
+    rows = []
+    for method, rel in (
+        ("ivf", "r_ivf"),
+        ("lsh", "r_lsh"),
+        ("pq", "pq_top"),
+        ("pq_indexed", "pi_top"),
+        ("pq_indexed_post_append", "dr_top"),
+    ):
+        rows.append(f"""SELECT '{method}' AS method,
+             (SELECT n FROM r_nex) AS n_exact,
+             (SELECT COUNT(*) FROM {rel}
+              JOIN r_exact USING (query_id, neighbor_id)) AS n_hit,
+             ROUND((SELECT COUNT(*) FROM {rel}
+                    JOIN r_exact USING (query_id, neighbor_id))
+                   / CAST((SELECT n FROM r_nex) AS DOUBLE), 4)
+               AS recall_at_5""")
+    parts.append(
+        "SELECT * FROM ("
+        + " UNION ALL ".join(rows)
+        + ") ORDER BY method"
+    )
+    return "".join(parts)
+
+
+@query("ann_recall_report", oracle=_recall_report_oracle())
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of each approximate ANN path — LSH buckets, IVF
     cells, flat PQ with exact re-rank (m=16, ksub=32, rerank 8×), the

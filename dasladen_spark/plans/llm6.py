@@ -252,6 +252,177 @@ _PQ_K = 5
 _PQ_MULT = 8
 
 
+def _pq_ctes(
+    m: int = _PQ_M,
+    ksub: int = _PQ_KSUB,
+    iters: int = _PQ_ITERS,
+    dim: int = _PQ_DIM,
+    k: int = _PQ_K,
+    mult: int = _PQ_MULT,
+    prefix: str = "",
+    cand_cte: str = "",
+    cand_rel: str | None = None,
+    fit_fraction: float | None = None,
+    fit_salt: str = "pq-seed-fit",
+    fit_where: str | None = None,
+) -> str:
+    """The PQ replay as a CTE fragment (no leading ``WITH``), ending
+    in ``{prefix}top(query_id, rank, neighbor_id, cosine)`` — the
+    k-deep exact-reranked result. ``prefix`` namespaces every CTE so
+    several independently-fit PQ chains compose in ONE statement
+    (the recall-report oracle runs three: flat, indexed, and the
+    70%-fit drift chain).
+
+    ``cand_cte`` inlines an extra fragment ending in a
+    ``cand(query_id, neighbor_id)`` relation (the indexed variant);
+    ``cand_rel`` instead NAMES an externally-defined candidate
+    relation — used when several chains share one bucket-join
+    candidate set (hyperplane buckets are data-independent, so a
+    full-build index and its append-grown sibling probe identical
+    candidates).
+
+    ``fit_fraction`` replays fit_pq_codebooks' md5-threshold sampled
+    fit (operators/sampling.portable_sample_filter — the predicate
+    spells identically in ANSI SQL); ``fit_where`` is the general
+    form, an arbitrary SQL predicate over ``vec_id`` restricting the
+    seed pick and Lloyd means (the drift chain fits on
+    ``vec_id % 10 < 7``). Assignments and codes stay corpus-wide
+    either way — exactly the engine's sampled-fit semantics."""
+    dsub = dim // m
+    q = "1000000.0::DOUBLE"  # operators/pq.PQ_QUANT
+    P = prefix
+    fit = ""
+    fitjoin = ""
+    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
+        thr = format(int(fit_fraction * 16**8), "08x")
+        fit_where = (
+            f"substr(md5('{fit_salt}' || CAST(vec_id AS VARCHAR)), 1, 8)"
+            f" < '{thr}'"
+        )
+    if fit_where:
+        fit = f""", {P}fitset AS MATERIALIZED (
+      SELECT vec_id FROM {P}xn
+      WHERE {fit_where}
+    )"""
+        fitjoin = f" JOIN {P}fitset USING (vec_id)"
+    parts = [
+        f"""{P}raw AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), {P}xn AS MATERIALIZED (
+      SELECT vec_id, list_transform(v, x -> x / d) AS xn
+      FROM (
+        SELECT vec_id, v,
+               greatest(sqrt(CAST(list_sum(list_transform(v,
+                 x -> CAST(floor(x * x * {q} + 0.5) AS BIGINT)))
+                 AS DOUBLE) / {q}), 1e-12) AS d
+        FROM {P}raw)
+    ), {P}zx AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(xn, x -> CAST(floor(x * {q} + 0.5) AS BIGINT))
+               AS zx
+      FROM {P}xn
+    ){fit}, {P}seeds AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, xn
+      FROM (SELECT md5('pq-seed' || CAST(vec_id AS VARCHAR)) AS h, xn
+            FROM {P}xn{fitjoin} ORDER BY h LIMIT {ksub})
+    ), {P}b0 AS MATERIALIZED (
+      SELECT jj.j, s.c, s.xn[jj.j*{dsub}+1 : jj.j*{dsub}+{dsub}] AS coef
+      FROM {P}seeds s CROSS JOIN (SELECT unnest(range({m})) AS j) jj
+    )"""
+    ]
+    for r in range(1, iters + 2):
+        # assignment a{r} under books b{r-1} (a{iters+1} = final codes)
+        parts.append(f""", {P}zb{r - 1} AS MATERIALIZED (
+      SELECT j, c,
+             list_transform(coef, x -> CAST(floor(x * {q} + 0.5) AS BIGINT))
+               AS zc
+      FROM {P}b{r - 1}
+    ), {P}a{r} AS MATERIALIZED (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT z.vec_id, b.j, b.c,
+               ROW_NUMBER() OVER (PARTITION BY z.vec_id, b.j
+                 ORDER BY list_sum(list_transform(
+                   list_zip(z.zx[b.j*{dsub}+1 : b.j*{dsub}+{dsub}], b.zc),
+                   p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, b.c ASC) AS rn
+        FROM {P}zx z CROSS JOIN {P}zb{r - 1} b)
+      WHERE rn = 1
+    )""")
+        if r <= iters:
+            # Lloyd mean update b{r}; empty cells keep b{r-1}'s coef
+            parts.append(f""", {P}s{r} AS MATERIALIZED (
+      SELECT j, code, i, SUM(zv) AS s, COUNT(*) AS n
+      FROM (
+        SELECT a.j, a.code, unnest(generate_series(1, {dsub})) AS i,
+               unnest(z.zx[a.j*{dsub}+1 : a.j*{dsub}+{dsub}]) AS zv
+        FROM {P}a{r} a JOIN {P}zx z USING (vec_id){fitjoin})
+      GROUP BY 1, 2, 3
+    ), {P}b{r} AS MATERIALIZED (
+      SELECT p.j, p.c,
+             CASE WHEN mm.coef IS NULL THEN p.coef ELSE mm.coef END AS coef
+      FROM {P}b{r - 1} p LEFT JOIN (
+        SELECT j, code AS c,
+               list(CAST(s AS DOUBLE) / (n * {q}) ORDER BY i) AS coef
+        FROM {P}s{r} GROUP BY j, code) mm USING (j, c)
+    )""")
+    lut_dot = " + ".join(
+        f"qq.xn[b.j*{dsub}+{i + 1}] * b.coef[{i + 1}]" for i in range(dsub)
+    )
+    adc_chain = " + ".join(
+        f"l.wss[{j + 1}][cd.codes[{j + 1}] + 1]" for j in range(m)
+    )
+    parts.append(f""", {P}codes AS MATERIALIZED (
+      SELECT vec_id, list(code ORDER BY j) AS codes
+      FROM {P}a{iters + 1} GROUP BY vec_id
+    ), {P}lut AS MATERIALIZED (
+      SELECT qq.vec_id AS qid, b.j, b.c, {lut_dot} AS w
+      FROM (SELECT vec_id, xn FROM {P}xn WHERE vec_id < 10) qq
+           CROSS JOIN {P}b{iters} b
+    ), {P}lutq AS MATERIALIZED (
+      SELECT qid, list(ws ORDER BY j) AS wss FROM (
+        SELECT qid, j, list(w ORDER BY c) AS ws FROM {P}lut GROUP BY qid, j)
+      GROUP BY qid
+    )""")
+    if cand_cte:
+        parts.append(cand_cte)
+        cand_rel = "cand"
+    if cand_rel:
+        # indexed variant: ADC only over the bucket-join candidate
+        # set (search_ann_index's dropDuplicates + self-exclusion)
+        parts.append(f""", {P}adc AS MATERIALIZED (
+      SELECT ca.query_id, ca.neighbor_id, {adc_chain} AS adc
+      FROM {cand_rel} ca JOIN {P}lutq l ON l.qid = ca.query_id
+                   JOIN {P}codes cd ON cd.vec_id = ca.neighbor_id
+    ), {P}short AS MATERIALIZED (""")
+    else:
+        parts.append(f""", {P}adc AS MATERIALIZED (
+      SELECT l.qid AS query_id, cd.vec_id AS neighbor_id,
+             {adc_chain} AS adc
+      FROM {P}lutq l CROSS JOIN {P}codes cd
+      WHERE cd.vec_id <> l.qid
+    ), {P}short AS MATERIALIZED (""")
+    parts.append(f"""
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc DESC, neighbor_id) AS rn
+        FROM {P}adc) WHERE rn <= {k * mult}
+    ), {P}scored AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_cosine_sql('qr.v', 'nr.v')} AS cosine
+      FROM {P}short s JOIN {P}raw qr ON qr.vec_id = s.query_id
+                   JOIN {P}raw nr ON nr.vec_id = s.neighbor_id
+    ), {P}top AS (
+      SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+      FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM {P}scored)
+      WHERE rank <= {k}
+    )""")
+    return "".join(parts)
+
+
 def _pq_oracle(
     m: int = _PQ_M,
     ksub: int = _PQ_KSUB,
@@ -269,150 +440,24 @@ def _pq_oracle(
     discrete step is quantized-integer (operators/pq module
     doctrine), so this generated SQL re-derives the codebooks (seed →
     iters unrolled Lloyd rounds), the codes, the ADC shortlist, and
-    the exact re-rank bit-for-bit. Quantized norms/coordinates make
-    the sums order-free BIGINTs; centroid coordinates are one float
-    division from exact integers; the LUT/ADC sums are fixed
-    left-assoc chains matching the driver-built literals.
-
-    ``cand_cte``: extra CTE fragment ending in a ``cand(query_id,
-    neighbor_id)`` relation — the ADC stage then scores only those
-    pairs instead of the full cross join (the materialized-index
-    variant, _pq_indexed_oracle).
-
-    ``fit_fraction``: replay fit_pq_codebooks' sampled fit — the
-    100 TB shape where the Lloyd passes read a hash-chosen fraction
-    of the corpus while encode still covers every row. The fitter
-    samples with operators/sampling.portable_sample_filter (md5
-    prefix < hex threshold), whose predicate spells identically in
-    ANSI SQL, so ``fitset`` below selects the SAME rows: seeds and
-    Lloyd means restrict to it, assignments/codes stay corpus-wide."""
-    dsub = dim // m
-    q = "1000000.0::DOUBLE"  # operators/pq.PQ_QUANT
-    fit = ""
-    fitjoin = ""
-    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
-        thr = format(int(fit_fraction * 16**8), "08x")
-        fit = f""", fitset AS MATERIALIZED (
-      SELECT vec_id FROM xn
-      WHERE substr(md5('{fit_salt}' || CAST(vec_id AS VARCHAR)), 1, 8)
-            < '{thr}'
-    )"""
-        fitjoin = " JOIN fitset USING (vec_id)"
-    parts = [
-        f"""
-    WITH raw AS MATERIALIZED (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), xn AS MATERIALIZED (
-      SELECT vec_id, list_transform(v, x -> x / d) AS xn
-      FROM (
-        SELECT vec_id, v,
-               greatest(sqrt(CAST(list_sum(list_transform(v,
-                 x -> CAST(floor(x * x * {q} + 0.5) AS BIGINT)))
-                 AS DOUBLE) / {q}), 1e-12) AS d
-        FROM raw)
-    ), zx AS MATERIALIZED (
-      SELECT vec_id,
-             list_transform(xn, x -> CAST(floor(x * {q} + 0.5) AS BIGINT))
-               AS zx
-      FROM xn
-    ){fit}, seeds AS MATERIALIZED (
-      SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, xn
-      FROM (SELECT md5('pq-seed' || CAST(vec_id AS VARCHAR)) AS h, xn
-            FROM xn{fitjoin} ORDER BY h LIMIT {ksub})
-    ), b0 AS MATERIALIZED (
-      SELECT jj.j, s.c, s.xn[jj.j*{dsub}+1 : jj.j*{dsub}+{dsub}] AS coef
-      FROM seeds s CROSS JOIN (SELECT unnest(range({m})) AS j) jj
-    )"""
-    ]
-    for r in range(1, iters + 2):
-        # assignment a{r} under books b{r-1} (a{iters+1} = final codes)
-        parts.append(f""", zb{r - 1} AS MATERIALIZED (
-      SELECT j, c,
-             list_transform(coef, x -> CAST(floor(x * {q} + 0.5) AS BIGINT))
-               AS zc
-      FROM b{r - 1}
-    ), a{r} AS MATERIALIZED (
-      SELECT vec_id, j, c AS code FROM (
-        SELECT z.vec_id, b.j, b.c,
-               ROW_NUMBER() OVER (PARTITION BY z.vec_id, b.j
-                 ORDER BY list_sum(list_transform(
-                   list_zip(z.zx[b.j*{dsub}+1 : b.j*{dsub}+{dsub}], b.zc),
-                   p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, b.c ASC) AS rn
-        FROM zx z CROSS JOIN zb{r - 1} b)
-      WHERE rn = 1
-    )""")
-        if r <= iters:
-            # Lloyd mean update b{r}; empty cells keep b{r-1}'s coef
-            parts.append(f""", s{r} AS MATERIALIZED (
-      SELECT j, code, i, SUM(zv) AS s, COUNT(*) AS n
-      FROM (
-        SELECT a.j, a.code, unnest(generate_series(1, {dsub})) AS i,
-               unnest(z.zx[a.j*{dsub}+1 : a.j*{dsub}+{dsub}]) AS zv
-        FROM a{r} a JOIN zx z USING (vec_id){fitjoin})
-      GROUP BY 1, 2, 3
-    ), b{r} AS MATERIALIZED (
-      SELECT p.j, p.c,
-             CASE WHEN mm.coef IS NULL THEN p.coef ELSE mm.coef END AS coef
-      FROM b{r - 1} p LEFT JOIN (
-        SELECT j, code AS c,
-               list(CAST(s AS DOUBLE) / (n * {q}) ORDER BY i) AS coef
-        FROM s{r} GROUP BY j, code) mm USING (j, c)
-    )""")
-    lut_dot = " + ".join(
-        f"qq.xn[b.j*{dsub}+{i + 1}] * b.coef[{i + 1}]" for i in range(dsub)
+    the exact re-rank bit-for-bit. See :func:`_pq_ctes` for the CTE
+    body and the cand/fit parameters."""
+    body = _pq_ctes(
+        m,
+        ksub,
+        iters,
+        dim,
+        k,
+        mult,
+        cand_cte=cand_cte,
+        fit_fraction=fit_fraction,
+        fit_salt=fit_salt,
     )
-    adc_chain = " + ".join(
-        f"l.wss[{j + 1}][cd.codes[{j + 1}] + 1]" for j in range(m)
-    )
-    parts.append(f""", codes AS MATERIALIZED (
-      SELECT vec_id, list(code ORDER BY j) AS codes
-      FROM a{iters + 1} GROUP BY vec_id
-    ), lut AS MATERIALIZED (
-      SELECT qq.vec_id AS qid, b.j, b.c, {lut_dot} AS w
-      FROM (SELECT vec_id, xn FROM xn WHERE vec_id < 10) qq
-           CROSS JOIN b{iters} b
-    ), lutq AS MATERIALIZED (
-      SELECT qid, list(ws ORDER BY j) AS wss FROM (
-        SELECT qid, j, list(w ORDER BY c) AS ws FROM lut GROUP BY qid, j)
-      GROUP BY qid
-    )""")
-    if cand_cte:
-        # indexed variant: ADC only over the bucket-join candidate
-        # set (search_ann_index's dropDuplicates + self-exclusion)
-        parts.append(cand_cte)
-        parts.append(f""", adc AS MATERIALIZED (
-      SELECT ca.query_id, ca.neighbor_id, {adc_chain} AS adc
-      FROM cand ca JOIN lutq l ON l.qid = ca.query_id
-                   JOIN codes cd ON cd.vec_id = ca.neighbor_id
-    ), short AS MATERIALIZED (""")
-    else:
-        parts.append(f""", adc AS MATERIALIZED (
-      SELECT l.qid AS query_id, cd.vec_id AS neighbor_id,
-             {adc_chain} AS adc
-      FROM lutq l CROSS JOIN codes cd
-      WHERE cd.vec_id <> l.qid
-    ), short AS MATERIALIZED (""")
-    parts.append(f"""
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY adc DESC, neighbor_id) AS rn
-        FROM adc) WHERE rn <= {k * mult}
-    ), scored AS (
-      SELECT s.query_id, s.neighbor_id,
-             {_cosine_sql('qr.v', 'nr.v')} AS cosine
-      FROM short s JOIN raw qr ON qr.vec_id = s.query_id
-                   JOIN raw nr ON nr.vec_id = s.neighbor_id
-    ), ranked AS (
-      SELECT query_id, neighbor_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
-    FROM ranked WHERE rank <= {k}
-    """)
-    return "".join(parts)
+    return f"""
+    WITH {body}
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM top ORDER BY query_id, rank
+    """
 
 
 @query("ann_pq_topk", oracle=_pq_oracle())

@@ -1385,13 +1385,124 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ ANN tuning curves
 
+#: the swept knob values — ONE spelling for the Spark sweep and the
+#: oracle replay (the single-source rule)
+_TUNE_IVF_PROBES = (1, 2, 4, 8)
+_TUNE_LSH_TABLES = (4, 8, 16)
+_TUNE_BITS = 4
+_TUNE_DIM = 64
+_TUNE_K = 5
 
-@query("ann_tuning_curves")  # recall sweep — rows-only (it IS the audit)
+
+def _tuning_curves_oracle() -> str:
+    """ann_tuning_curves replayed exactly (exact since round 10 — it
+    was the audit itself, but every method UNDER audit is integer-
+    lattice replayable, so the recall numbers are too):
+
+    - ONE IVF replay (llm._ivf_ctes) with qprobe kept to the deepest
+      swept depth; each shallower n_probe is a ``rn <= p`` restriction
+      of the same probe ranking.
+    - ONE hyperplane replay at the LARGEST table count: the plane
+      family is a fixed-seed stream, so the planes (hence buckets) of
+      a 4-table configuration are exactly tables t < 4 of the
+      16-table replay — one CTE serves all three sweep points.
+    - the exact top-5 baseline and every sweep's top-5 use the same
+      left-assoc cosine fold and (cosine DESC, neighbor) tie-break as
+      the Spark operators, so the intersected hit counts — and the
+      recalls — match bit-for-bit. n_exact = |probe set| × 5 makes
+      every recall an exact multiple of 1/n_exact; ROUND(…, 4) is
+      then the same value in both engines."""
+    from dasladen_spark.operators.dedup import hyperplane_buckets_oracle_cte
+
+    from dasladen_spark.plans.llm import _IVF_ITERS, _ivf_ctes
+
+    iters = _IVF_ITERS
+    parts = [_ivf_ctes(16, max(_TUNE_IVF_PROBES), iters, _TUNE_DIM)]
+    parts.append(
+        ", "
+        + hyperplane_buckets_oracle_cte(
+            max(_TUNE_LSH_TABLES),
+            _TUNE_BITS,
+            _TUNE_DIM,
+            relation="raw",
+            id_col="vec_id",
+            vec_col="v",
+        )
+    )
+    parts.append(f""", t_exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cosine_sql('q.v', 'c.v')} DESC,
+                          c.vec_id) AS rk
+        FROM raw q JOIN raw c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rk <= {_TUNE_K}
+    ), t_nex AS (SELECT COUNT(*) AS n FROM t_exact)""")
+    for p in _TUNE_IVF_PROBES:
+        parts.append(f""", t_ivf{p} AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, l.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {_cosine_sql('qr.v', 'nr.v')} DESC,
+                          l.vec_id) AS rk
+        FROM (SELECT query_id, cell FROM qprobe WHERE rn <= {p}) p
+             JOIN a{iters + 1} l USING (cell)
+             JOIN raw qr ON qr.vec_id = p.query_id
+             JOIN raw nr ON nr.vec_id = l.vec_id
+        WHERE l.vec_id <> p.query_id)
+      WHERE rk <= {_TUNE_K}
+    )""")
+    for n in _TUNE_LSH_TABLES:
+        parts.append(f""", t_lsh{n} AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                 ORDER BY {_cosine_sql('qr.v', 'nr.v')} DESC,
+                          cand.neighbor_id) AS rk
+        FROM (SELECT DISTINCT q.vec_id AS query_id,
+                     c.vec_id AS neighbor_id
+              FROM buckets q JOIN buckets c USING (t, bkt)
+              WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+                AND q.t < {n}) cand
+             JOIN raw qr ON qr.vec_id = cand.query_id
+             JOIN raw nr ON nr.vec_id = cand.neighbor_id)
+      WHERE rk <= {_TUNE_K}
+    )""")
+    rows = []
+    for p in _TUNE_IVF_PROBES:
+        rows.append(
+            f"""SELECT 'ivf' AS method, 'n_probe' AS knob,
+             {p} AS value,
+             ROUND((SELECT COUNT(*) FROM t_ivf{p}
+                    JOIN t_exact USING (query_id, neighbor_id))
+                   / CAST((SELECT n FROM t_nex) AS DOUBLE), 4)
+               AS recall_at_5"""
+        )
+    for n in _TUNE_LSH_TABLES:
+        rows.append(
+            f"""SELECT 'lsh', 'num_tables', {n},
+             ROUND((SELECT COUNT(*) FROM t_lsh{n}
+                    JOIN t_exact USING (query_id, neighbor_id))
+                   / CAST((SELECT n FROM t_nex) AS DOUBLE), 4)"""
+        )
+    parts.append(
+        "SELECT * FROM ("
+        + " UNION ALL ".join(rows)
+        + ") ORDER BY method, value"
+    )
+    return "".join(parts)
+
+
+@query("ann_tuning_curves", oracle=_tuning_curves_oracle())
 def ann_tuning_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 as a function of the tunable knob, per approximate
     method: IVF swept over n_probe ∈ {1,2,4,8} and LSH over
     num_tables ∈ {4,8,16} — the accept/reject CURVE behind choosing
-    an operating point (ann_recall_report shows the shipped
+    an operating point. EXACT oracle since round 10: the swept
+    methods are integer-lattice replayable, so the recall numbers
+    themselves replay (see _tuning_curves_oracle)
+    (ann_recall_report shows the shipped
     configurations; this shows the trade space around them, the
     artifact a tuning review actually reads).
 
@@ -1408,14 +1519,16 @@ def ann_tuning_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     exact = (
-        cosine_topk(q, emb, k=5).select("query_id", "neighbor_id").persist()
+        cosine_topk(q, emb, k=_TUNE_K)
+        .select("query_id", "neighbor_id")
+        .persist()
     )
     try:
         n_exact = exact.count()
         rows = []
-        for n_probe in (1, 2, 4, 8):
+        for n_probe in _TUNE_IVF_PROBES:
             res = ivf_cosine_topk(
-                q, emb, k=5, n_centroids=16, n_probe=n_probe
+                q, emb, k=_TUNE_K, n_centroids=16, n_probe=n_probe
             )
             hit = (
                 res.select("query_id", "neighbor_id")
@@ -1426,9 +1539,14 @@ def ann_tuning_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("ivf", "n_probe", n_probe,
                  round(hit / float(n_exact), 4))
             )
-        for n_tables in (4, 8, 16):
+        for n_tables in _TUNE_LSH_TABLES:
             res = lsh_cosine_topk(
-                q, emb, k=5, dim=64, num_tables=n_tables
+                q,
+                emb,
+                k=_TUNE_K,
+                dim=_TUNE_DIM,
+                num_tables=n_tables,
+                bits_per_table=_TUNE_BITS,
             )
             hit = (
                 res.select("query_id", "neighbor_id")
