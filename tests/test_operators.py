@@ -2184,3 +2184,44 @@ def test_semantic_dedup_survivors_shape_and_cap(spark, sf_dir):
     assert 0 < sum(r["kept"] for r in out) <= n
     with pytest.raises(ValueError, match="max_cluster"):
         semantic_dedup_survivors(emb, assigned, threshold=0.4, max_cluster=2)
+
+
+def test_bpe_merge_expr_matches_greedy_scanner(spark):
+    """The JVM aggregate() fold rewrite is exactly the greedy
+    left-to-right scanner on the adversarial shapes: overlapping
+    self-merges (a a a / a a a a), merges whose output embeds the
+    left symbol, and no-op sequences."""
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.bpe import _merge_expr
+
+    def scanner(syms, left, right):
+        res, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                res.append(left + right)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        return res
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b", "a"], "a", "b"),
+        (["ab", "c", "ab", "c"], "ab", "c"),
+        (["x"], "a", "b"),
+        ([], "a", "b"),
+        (["b", "a", "a", "b", "a", "a", "a"], "a", "a"),
+        (["aa", "a", "a", "aa"], "a", "a"),
+    ]
+    rows = [(i, syms) for i, (syms, _, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, syms array<string>")
+    for idx, (syms, left, right) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == idx)
+            .select(_merge_expr(left, right).alias("out"))
+            .collect()[0]["out"]
+        )
+        assert got == scanner(syms, left, right), (idx, got)
