@@ -1380,7 +1380,12 @@ _KM_K = 8
 _KM_ITERS = 4
 
 
-def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+def _kmeans_ctes(
+    k: int = _KM_K,
+    iters: int = _KM_ITERS,
+    fit_fraction: float | None = None,
+    fit_salt: str = "kmeans-seed-fit",
+) -> str:
     """CTE chain re-deriving the k-means assignment bit-for-bit
     (ends in ``ka{iters+1}(vec_id, cluster)``) — the lattice doctrine
     (operators/pq) in RAW coordinate space: seeds by md5 hash order,
@@ -1393,6 +1398,18 @@ def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
         "list_sum(list_transform(list_zip({a}, {b}),"
         " p -> (p[1]-p[2])*(p[1]-p[2])))"
     )
+    fit = ""
+    fitjoin = ""
+    if fit_fraction is not None and 0.0 < fit_fraction < 1.0:
+        # the SAME md5-threshold predicate
+        # operators/sampling.portable_sample_filter spells Spark-side
+        thr = format(int(fit_fraction * 16**8), "08x")
+        fit = f""", kfitset AS MATERIALIZED (
+      SELECT vec_id FROM kraw
+      WHERE substr(md5('{fit_salt}' || CAST(vec_id AS VARCHAR)), 1, 8)
+            < '{thr}'
+    )"""
+        fitjoin = " JOIN kfitset USING (vec_id)"
     parts = [
         f"""
     WITH kraw AS MATERIALIZED (
@@ -1402,10 +1419,10 @@ def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
              list_transform(v, x -> CAST(floor(x * {q} + 0.5) AS BIGINT))
                AS zx
       FROM kraw
-    ), kb0 AS MATERIALIZED (
+    ){fit}, kb0 AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, v AS coef
       FROM (SELECT md5('kmeans-seed' || CAST(vec_id AS VARCHAR)) AS h, v
-            FROM kraw ORDER BY h LIMIT {k})
+            FROM kraw{fitjoin} ORDER BY h LIMIT {k})
     )"""
     ]
     for r in range(1, iters + 2):
@@ -1429,7 +1446,7 @@ def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
       FROM (
         SELECT a.cluster, unnest(generate_series(1, len(z.zx))) AS i,
                unnest(z.zx) AS zv
-        FROM ka{r} a JOIN kzx z USING (vec_id))
+        FROM ka{r} a JOIN kzx z USING (vec_id){fitjoin})
       GROUP BY 1, 2
     ), kb{r} AS MATERIALIZED (
       SELECT p.c,
@@ -1535,6 +1552,46 @@ def kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "purity"
             ),
         )
+        .orderBy("cluster")
+    )
+
+
+#: the sampled-fit fraction registered under the gate (the
+#: ann_pq_sampled_topk convention — single-source with the oracle)
+_KM_FIT_FRACTION = 0.5
+
+
+@query(
+    "kmeans_sampled_sizes",
+    oracle=_kmeans_ctes(fit_fraction=_KM_FIT_FRACTION)
+    + f"""
+    SELECT cluster, COUNT(*) AS n_members
+    FROM ka{_KM_ITERS + 1} GROUP BY cluster ORDER BY cluster
+    """,
+)
+def kmeans_sampled_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kmeans_embeddings with ``fit_fraction=0.5`` — the 100 TB fit
+    path for clustering: seeds and Lloyd rounds run on a
+    deterministic md5-threshold half of the corpus
+    (operators/sampling.portable_sample_filter) while the FINAL
+    assignment covers every row. The oracle replays the sampled fit
+    exactly (same predicate, seeds + means restricted to the
+    sample), so the cluster task's ``fit_fraction`` knob sits under
+    the driver's exact correctness gate alongside the PQ one."""
+    from dasladen_spark.operators.clustering import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit(
+        emb,
+        "embedding",
+        "vec_id",
+        k=_KM_K,
+        iterations=_KM_ITERS,
+        fit_fraction=_KM_FIT_FRACTION,
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("cluster")
     )
 
