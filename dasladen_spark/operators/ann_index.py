@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import weakref
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -62,17 +63,23 @@ from dasladen_spark.sinks.bucketed import write_bucketed
 #: like Spark's own relation cache, an index rebuilt by a DIFFERENT
 #: session needs refresh_ann_index_cache() (append never changes
 #: these tables, so appends need no invalidation).
-_DRIVER_CACHE: dict[tuple[int, str], dict] = {}
+#: Keyed WEAKLY on the session object itself: an id(spark) key could
+#: collide when CPython reuses a dead session's address, silently
+#: serving the old session's meta to the new one, and it never
+#: shrank. Weak keys make eviction automatic on session teardown.
+_DRIVER_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _driver_cache(spark: SparkSession, table: str) -> dict:
-    return _DRIVER_CACHE.setdefault((id(spark), table), {})
+    return _DRIVER_CACHE.setdefault(spark, {}).setdefault(table, {})
 
 
 def refresh_ann_index_cache(spark: SparkSession, table: str) -> None:
     """Drop the session-local driver cache for ``table`` (call after
     an out-of-session rebuild, mirroring catalog.refreshTable)."""
-    _DRIVER_CACHE.pop((id(spark), table), None)
+    _DRIVER_CACHE.get(spark, {}).pop(table, None)
 
 
 def _index_meta(spark: SparkSession, table: str):
@@ -420,9 +427,12 @@ def _probe_schema(queries: DataFrame, query_id: str, rest: str):
 
     name, typ = rest.split()
     rest_type = {"bigint": LongType(), "int": IntegerType()}[typ]
+    # query_id stays nullable: the shuffle path tolerates a NULL id
+    # (it just never matches the equi-join), so the broadcast probe
+    # must not raise on one inside createDataFrame either
     return StructType(
         [
-            StructField("query_id", queries.schema[query_id].dataType, False),
+            StructField("query_id", queries.schema[query_id].dataType, True),
             StructField(name, rest_type, False),
         ]
     )

@@ -48,40 +48,82 @@ def heavy_hitters_exact(
     ties broken by value — see module docstring for the plan shape.
     Returns (``col``, freq) ordered by freq desc, value asc."""
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.pandas.types import to_arrow_type
 
     k2 = k * slack
+    flush_rows = 1 << 19  # buffered-merge granularity (memory bound)
     vals = df.select(F.col(col).alias("v"))
     v_type = vals.schema["v"].dataType.simpleString()
+    arrow_v = to_arrow_type(vals.schema["v"].dataType)
+    out_schema = pa.schema(
+        [
+            pa.field("v", arrow_v),
+            pa.field("n", pa.int64()),
+            pa.field("evicted", pa.bool_()),
+        ]
+    )
 
     def mg_partition(batches):
-        counters: dict = {}
+        # batch-granular Misra-Gries over RAW ARROW batches (no
+        # object-dtype pandas materialization): buffered chunks get
+        # one value_counts() — an EXACT (zero-error) summary — merged
+        # into the counters with the mergeable-summaries rule
+        # (Agarwal et al. 2012): add, then subtract the (k2+1)-th
+        # largest count and drop non-positives. The subtracted mass
+        # per merge is charged against >= k2+1 counters, so total
+        # undercount <= n_p/(k2+1) — the survival bound the
+        # certificate below relies on (it tests the LOOSER n/k2).
+        # ~6-8x the row-loop variant (tools/mg_microbench.py).
+        counters = pd.Series(dtype="int64")
         n_rows = 0
         evicted = False
-        for pdf in batches:
-            for v in pdf["v"]:
-                if v is None:
-                    continue
-                n_rows += 1
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k2:
-                    counters[v] = 1
-                else:
-                    evicted = True
-                    dead = [key for key in counters if counters[key] == 1]
-                    for key in counters:
-                        counters[key] -= 1
-                    for key in dead:
-                        del counters[key]
-        yield pd.DataFrame(
-            {
-                "v": list(counters.keys()) + [None],
-                "n": [None] * len(counters) + [n_rows],
-                "evicted": [None] * len(counters) + [evicted],
-            }
+        pending: list = []
+        pending_rows = 0
+
+        def flush():
+            nonlocal counters, n_rows, evicted, pending, pending_rows
+            if not pending:
+                return
+            ca = pa.chunked_array(pending)  # zero-copy over batches
+            pending, pending_rows = [], 0
+            vc = pc.value_counts(ca)
+            n_rows += len(ca) - ca.null_count
+            vals_a, cnts = vc.field("values"), vc.field("counts")
+            if vals_a.null_count:  # nulls never count as a value
+                keep = pc.is_valid(vals_a)
+                vals_a, cnts = vals_a.filter(keep), cnts.filter(keep)
+            ser = pd.Series(cnts.to_numpy(), index=vals_a.to_pandas())
+            counters = (
+                ser
+                if counters.empty
+                else counters.add(ser, fill_value=0).astype("int64")
+            )
+            if len(counters) > k2:
+                evicted = True
+                cut = counters.nlargest(k2 + 1).iloc[-1]
+                counters = counters[counters > cut] - cut
+
+        for batch in batches:
+            arr = batch.column(0)
+            pending.append(arr)
+            pending_rows += len(arr)
+            if pending_rows >= flush_rows:
+                flush()
+        flush()
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(counters.index) + [None], type=arrow_v),
+                pa.array([None] * len(counters) + [n_rows], type=pa.int64()),
+                pa.array(
+                    [None] * len(counters) + [evicted], type=pa.bool_()
+                ),
+            ],
+            schema=out_schema,
         )
 
-    summary = vals.mapInPandas(
+    summary = vals.mapInArrow(
         mg_partition, f"v {v_type}, n bigint, evicted boolean"
     ).persist()
     try:

@@ -55,9 +55,10 @@ IMAGE_FEATURES_SCHEMA = StructType(
 def decode_image(payload: bytes) -> dict:
     """STUB — image codecs are not installed in this container.
 
-    Real deployments plug PIL/torchvision here. The deterministic
-    fake below derives pseudo-dimensions from the payload bytes so the
-    distributed plumbing (batching, schema, partitioning) is testable.
+    Real deployments plug PIL/torchvision here (see
+    ``register_pil_codecs``). The deterministic fake below derives
+    pseudo-dimensions from the payload bytes so the distributed
+    plumbing (batching, schema, partitioning) is testable.
     """
     n = len(payload)
     checksum = sum(payload[:64]) if n else 0
@@ -66,6 +67,81 @@ def decode_image(payload: bytes) -> dict:
         "height": 16 + (checksum * 7) % 1024,
         "mean_luma": checksum % 256,
     }
+
+
+# ------------------------------------------------------------- codecs
+#: pluggable codec registry (round-11 verdict ask 8): deployments swap
+#: real codecs in WITHOUT touching the operators —
+#: ``register_codec("image_decode", my_fn)``. Operators resolve their
+#: codec at PLAN time on the driver; the resolved function is what
+#: ships to executors inside the mapInPandas closure, so a
+#: registration is effective for every job planned after it. The
+#: stubs above are the defaults, keeping this container testable.
+_CODECS: dict[str, Callable] = {}
+
+#: codec kinds and their call signatures
+CODEC_KINDS = {
+    "image_decode": "payload: bytes -> {width,height,mean_luma}",
+    "image_resize": "(payload: bytes, w: int, h: int) -> bytes",
+    "audio_probe": "payload: bytes -> {sample_rate,n_channels,duration_ms}",
+}
+
+
+def register_codec(kind: str, fn: Callable) -> None:
+    if kind not in CODEC_KINDS:
+        raise ValueError(
+            f"unknown codec kind {kind!r}; known: {sorted(CODEC_KINDS)}"
+        )
+    _CODECS[kind] = fn
+
+
+def get_codec(kind: str) -> Callable:
+    if kind not in CODEC_KINDS:
+        raise ValueError(
+            f"unknown codec kind {kind!r}; known: {sorted(CODEC_KINDS)}"
+        )
+    return _CODECS.get(kind, _DEFAULT_CODECS[kind])
+
+
+def pil_decode_image(payload: bytes) -> dict:
+    """Real image decode for environments shipping PIL — same output
+    contract as the stub, same Arrow plumbing (exercised by the
+    importorskip-gated test in tests/test_operators.py)."""
+    from io import BytesIO
+
+    from PIL import Image, ImageStat
+
+    img = Image.open(BytesIO(payload))
+    img.load()
+    luma = ImageStat.Stat(img.convert("L")).mean[0]
+    return {
+        "width": int(img.width),
+        "height": int(img.height),
+        "mean_luma": int(luma),
+    }
+
+
+def pil_resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Real PIL resize — re-encodes in the source format (PNG when the
+    source format is unknown)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = Image.open(BytesIO(payload))
+    fmt = img.format or "PNG"
+    out = BytesIO()
+    img.resize((target_w, target_h)).save(out, format=fmt)
+    return out.getvalue()
+
+
+def register_pil_codecs() -> None:
+    """Swap the image stubs for real PIL codecs (raises ImportError
+    where PIL is absent — call site decides whether that's fatal)."""
+    import PIL  # noqa: F401 - fail fast before registering anything
+
+    register_codec("image_decode", pil_decode_image)
+    register_codec("image_resize", pil_resize_image)
 
 
 def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -79,11 +155,14 @@ def extract_image_features(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
-    decoder: Callable[[bytes], dict] = decode_image,
+    decoder: Callable[[bytes], dict] | None = None,
 ) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, narrow
     schema out (payload column is dropped — never carry bytes past
-    the stage that needs them)."""
+    the stage that needs them). ``decoder=None`` resolves through the
+    codec registry (stub by default, PIL after register_pil_codecs)."""
+    decoder = decoder or get_codec("image_decode")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [decoder(p if p is not None else b"") for p in pdf[payload_col]]
@@ -132,13 +211,16 @@ def resize_images(
     target_h: int,
     id_col: str = "doc_id",
     payload_col: str = "payload",
-    resizer: Callable[[bytes, int, int], bytes] = resize_image,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
 ) -> DataFrame:
     """Distributed image resize: one mapInPandas stage, payload in /
     payload out, metadata updated to the target dimensions. At 100 TB
     the input partitioning (maxPartitionBytes on a binary scan)
     bounds per-task memory — no single task ever holds more than one
-    partition of payloads."""
+    partition of payloads. ``resizer=None`` resolves through the
+    codec registry."""
+    resizer = resizer or get_codec("image_resize")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
@@ -238,14 +320,20 @@ def probe_audio(payload: bytes) -> dict:
 
 
 def audio_metadata(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    prober: Callable[[bytes], dict] | None = None,
 ) -> DataFrame:
     """Typed audio metadata extraction — one mapInPandas probe stage,
-    payload dropped on output (carry metadata, not bytes)."""
+    payload dropped on output (carry metadata, not bytes).
+    ``prober=None`` resolves through the codec registry."""
+    prober = prober or get_codec("audio_probe")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [
-                probe_audio(bytes(p) if p is not None else b"")
+                prober(bytes(p) if p is not None else b"")
                 for p in pdf[payload_col]
             ]
             yield pd.DataFrame(
@@ -315,3 +403,12 @@ def segment_audio(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_SEGMENT_SCHEMA)
+
+
+#: stub defaults, resolved lazily by get_codec so registration (or a
+#: direct `decoder=` argument) always wins
+_DEFAULT_CODECS: dict[str, Callable] = {
+    "image_decode": decode_image,
+    "image_resize": resize_image,
+    "audio_probe": probe_audio,
+}

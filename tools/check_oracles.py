@@ -104,13 +104,134 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+# ---------------------------------------------------------------- value
+# checks for the queries that have NO SQL oracle (eigensolve, d×d
+# inverse, Spark-native HLL++ internals). Each replays the query's
+# existing differential — numpy for linalg, exact-sibling error
+# envelope for sketches — so the gate reports BOUNDED VALUES for
+# every registered query, not shape-only (round-11 verdict ask 6).
+# Signature: fn(spark_pdf, con, oracles) -> list[str] of problems.
+
+
+def _emb_matrix(con):
+    import numpy as np
+
+    d = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).df()
+    ids = d["vec_id"].to_numpy()
+    x = np.stack([np.asarray(e, dtype=np.float64) for e in d["embedding"]])
+    return ids, x
+
+
+def _check_pca_variance(pdf, con, oracles):
+    import numpy as np
+
+    _, x = _emb_matrix(con)
+    mu = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mu, mu)
+    evals = np.maximum(np.linalg.eigvalsh(cov)[::-1], 0.0)
+    ratios = evals / evals.sum()
+    probs = []
+    got = pdf.sort_values("component")
+    if list(got["component"]) != list(range(1, 9)):
+        return [f"components {list(got['component'])}"]
+    for i, (ev, ratio) in enumerate(
+        zip(got["eigenvalue"], got["explained_ratio"])
+    ):
+        if abs(ev - evals[i]) > 1e-6 * max(abs(evals[i]), 1e-9) + 1e-9:
+            probs.append(f"eigenvalue[{i}] {ev} vs numpy {evals[i]}")
+        if abs(ratio - ratios[i]) > 1e-6:
+            probs.append(f"ratio[{i}] {ratio} vs numpy {ratios[i]}")
+    return probs
+
+
+def _check_whiten(pdf, con, oracles):
+    probs = []
+    if len(pdf) != 64:
+        probs.append(f"{len(pdf)} dims, expected 64")
+    bad = pdf[(pdf["variance"] - 1.0).abs() > 1e-2]
+    if len(bad):
+        probs.append(
+            f"{len(bad)} dims off identity covariance, worst "
+            f"{bad['variance'].iloc[0]}"
+        )
+    return probs
+
+
+def _check_mahalanobis(pdf, con, oracles):
+    import numpy as np
+
+    ids, x = _emb_matrix(con)
+    mean = x.sum(axis=0) / len(x)
+    cov = (x.T @ x) / len(x) - np.outer(mean, mean) + 1e-6 * np.eye(
+        x.shape[1]
+    )
+    inv = np.linalg.inv(cov)
+    c = x - mean
+    d = np.sqrt(np.maximum(np.einsum("ij,jk,ik->i", c, inv, c), 0.0))
+    order = np.lexsort((ids, -d))[: len(pdf)]
+    probs = []
+    if list(pdf["vec_id"]) != ids[order].tolist():
+        probs.append("outlier id ordering differs from numpy replay")
+    else:
+        for got, i in zip(pdf["mahalanobis"], order):
+            if abs(got - d[i]) > 1e-5:
+                probs.append(f"distance {got} vs numpy {d[i]}")
+                break
+    return probs
+
+
+def _check_approx_sketches(pdf, con, oracles):
+    exact = con.execute(
+        "SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n,"
+        " MEDIAN(l_extendedprice) AS med FROM lineitem GROUP BY 1"
+    ).df()
+    probs = []
+    ex = {
+        r.l_returnflag: (r.n, r.med) for r in exact.itertuples(index=False)
+    }
+    if set(pdf["l_returnflag"]) != set(ex):
+        return [f"groups {sorted(pdf['l_returnflag'])} vs {sorted(ex)}"]
+    for r in pdf.itertuples(index=False):
+        n, med = ex[r.l_returnflag]
+        if abs(r.approx_orders - n) / n > 0.05:
+            probs.append(f"{r.l_returnflag}: approx_orders {r.approx_orders} vs exact {n}")
+        if abs(r.approx_median - med) / med > 0.05:
+            probs.append(f"{r.l_returnflag}: approx_median {r.approx_median} vs exact {med}")
+    return probs
+
+
+def _check_hll_rollup(pdf, con, oracles):
+    # exact sibling's own oracle is the ground truth (same week keys)
+    exact = con.execute(oracles["q_bitmap_distinct_rollup"]).df()
+    ex = dict(zip(exact["week"], exact["distinct_users"]))
+    got = dict(zip(pdf["week"], pdf["approx_distinct_users"]))
+    if set(got) != set(ex):
+        return [f"weeks differ: {len(got)} vs {len(ex)}"]
+    probs = []
+    for wk, n in ex.items():
+        if abs(got[wk] - n) / n > 0.05:
+            probs.append(f"week {wk}: {got[wk]} vs exact {n}")
+    return probs
+
+
+VALUE_CHECKS = {
+    "embedding_pca_variance": _check_pca_variance,
+    "embedding_whiten_check": _check_whiten,
+    "embedding_mahalanobis_outliers": _check_mahalanobis,
+    "q_approx_sketches": _check_approx_sketches,
+    "q_hll_mergeable_rollup": _check_hll_rollup,
+}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     queries, oracles = load_entry()
     spark = get_spark("oracle-check")
     con = duck_conn(sf_dir)
-    ok, bad, noracle = [], [], []
+    ok, bad, noracle, bounded = [], [], [], []
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -129,8 +250,27 @@ def main():
             # disk-backed — unaffected.
             spark.catalog.clearCache()
         if name not in oracles:
-            noracle.append(name)
-            print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            vcheck = VALUE_CHECKS.get(name)
+            if vcheck is None:
+                noracle.append(name)
+                print(
+                    f"ROWS {name}: {len(sdf)} rows (no oracle, NO value"
+                    f" check) [{time.time()-t0:.1f}s]"
+                )
+                continue
+            try:
+                problems = vcheck(sdf, con, oracles)
+            except Exception as ex:
+                problems = [f"value check error {type(ex).__name__}: {ex}"]
+            if problems:
+                bad.append(name)
+                print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            else:
+                bounded.append(name)
+                print(
+                    f"VAL  {name}: {len(sdf)} rows value-bounded"
+                    f" (no SQL oracle) [{time.time()-t0:.1f}s]"
+                )
             continue
         try:
             ddf = con.execute(oracles[name]).df()
@@ -146,8 +286,8 @@ def main():
             ok.append(name)
             print(f"OK   {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
     print(
-        f"\n{len(ok)} ok, {len(bad)} failed, {len(noracle)} rows-only"
-        f" / {len(queries)} total"
+        f"\n{len(ok)} ok, {len(bad)} failed, {len(bounded)} value-bounded,"
+        f" {len(noracle)} rows-only / {len(queries)} total"
     )
     return 1 if bad else 0
 

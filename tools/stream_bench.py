@@ -12,7 +12,7 @@ accepted corpus) grows N-fold. A maintainer whose batch cost tracked
 HISTORY size would show monotonic per-batch growth here; flat batch
 times are the 100 TB evidence.
 
-growth_ratio = median(last two batch walls) / median(batches 2..3)
+growth_ratio = mean(last two batch walls) / mean(batches 2..3)
 (batch 1 is excluded everywhere — it pays stream/plan bootstrap).
 
 Usage: python tools/stream_bench.py [out_json]   (STREAMBENCH_r10.json)
@@ -61,8 +61,8 @@ def bench_maintainer(spark, name: str, run_batch) -> dict:
         t0 = time.time()
         run_batch(k)
         walls.append(round(time.time() - t0, 3))
-    steady = sorted(walls[1:3])[0]
-    tail = sorted(walls[-2:])[0]
+    steady = sum(walls[1:3]) / len(walls[1:3])
+    tail = sum(walls[-2:]) / len(walls[-2:])
     rec = {
         "maintainer": name,
         "batches": N_BATCHES,
