@@ -1173,14 +1173,23 @@ def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_corpus_pipeline(
-    spark: SparkSession, sf_dir: str, work: str
+    spark: SparkSession,
+    sf_dir: str,
+    work: str,
+    stage_walls_out: dict | None = None,
 ) -> DataFrame:
     """pipeline_corpus_e2e's body against a caller-owned workspace —
     the e2e test drives this directly so it can inspect the stage
-    sinks and tar shards after the run."""
+    sinks and tar shards after the run. Pass ``stage_walls_out`` to
+    receive per-stage wall seconds ("p1:intake" → s) plus the
+    setup/audit phases — tools/pipeline_stage_bench.py publishes the
+    breakdown the bench line's cost attributes to."""
     import os
+    import time as _time
 
     from dasladen_spark.runner.taskrun import Runner, TaskRunner
+
+    t_setup = _time.time()
 
     inp = os.path.join(work, "input")
     out = os.path.join(work, "output")
@@ -1264,15 +1273,21 @@ def run_corpus_pipeline(
                     "ext": "txt",
                     "meta_fields": ["pack_id", "n_tokens"]}},
     ]
-    TaskRunner(
+    tr = TaskRunner(
         spark,
         Runner({"tasks": tasks}),
         input_path=inp,
         output_path=out,
         module_path=inp,
         log=lambda m: None,
-    ).run()
-    rows = []
+    )
+    t_tasks = _time.time()
+    tr.run()
+    t_audit = _time.time()
+    # ONE job audits all five funnel sinks (a union of independent
+    # aggregates — the five scans run in parallel instead of five
+    # sequential collect() jobs; ~0.7 s of the bench line)
+    audit = None
     for fname, stage, label in (
         ("s1_raw", 1, "raw"),
         ("s2_dedup.parquet", 2, "fingerprint_dedup"),
@@ -1280,16 +1295,32 @@ def run_corpus_pipeline(
         ("s4_span.parquet", 4, "span_dedup"),
         ("s5_quality.parquet", 5, "quality_gate"),
     ):
-        st = (
+        a = (
             spark.read.parquet(os.path.join(out, fname))
             .select(F.size(tokens_col()).alias("nt"))
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(F.sum("nt"), F.lit(0)).alias("t"),
             )
-            .collect()[0]
+            .select(
+                F.lit(stage).alias("stage"),
+                F.lit(label).alias("stage_name"),
+                "n",
+                "t",
+            )
         )
-        rows.append((stage, label, int(st["n"]), int(st["t"])))
+        audit = a if audit is None else audit.unionAll(a)
+    rows = [
+        (r["stage"], r["stage_name"], int(r["n"]), int(r["t"]))
+        for r in audit.collect()
+    ]
+    rows.sort()
+    if stage_walls_out is not None:
+        stage_walls_out["setup:write_inputs"] = round(t_tasks - t_setup, 3)
+        stage_walls_out.update(tr.stage_walls)
+        stage_walls_out["audit:funnel_counts"] = round(
+            _time.time() - t_audit, 3
+        )
     return spark.createDataFrame(
         rows, "stage int, stage_name string, n_docs bigint,"
         " n_tokens bigint"

@@ -75,6 +75,9 @@ class TaskRunner:
         )
 
     def run(self) -> None:
+        # per-stage wall clock of the LAST run() — pipeline benches
+        # read this for stage attribution (tools/pipeline_stage_bench)
+        self.stage_walls: dict[str, float] = {}
         for item in self.runner.config.get("tasks", []):
             task_type = "nop" if item.get("disabled") else item.get("type")
             fn = TASK_TYPES.get(task_type)
@@ -90,9 +93,13 @@ class TaskRunner:
             t0 = time.time()
             self.log(f"task {item.get('name')} ({task_type}): start")
             fn(self.ctx, item)
+            wall = time.time() - t0
+            self.stage_walls[f"{item.get('name')}:{task_type}"] = round(
+                wall, 3
+            )
             self.log(
                 f"task {item.get('name')} ({task_type}):"
-                f" done in {time.time() - t0:.2f}s"
+                f" done in {wall:.2f}s"
             )
 
     def run_with_schedule(self) -> None:
