@@ -42,6 +42,36 @@ def duck_conn(sf_dir: str):
     return con
 
 
+def duck_df(con, sql: str) -> pd.DataFrame:
+    """Execute oracle SQL with CORRECTLY-ROUNDED decimal exits.
+
+    duckdb's .df() converts DECIMAL columns to float64 as
+    int128 × 10^-scale in float math, which lands one ulp off the
+    nearest double at unlucky magnitudes (first seen at sf1:
+    q1_pricing_summary's sum_charge, exact decimal identical on both
+    engines, duck's float64 one ulp high). Spark's exit path
+    (registry._normalize_result → BigDecimal cast) rounds correctly,
+    so the honest comparison converts duck decimals the same way:
+    fetch arrow (exact decimal128), then python float(Decimal) —
+    correctly rounded by construction. Non-decimal results keep the
+    plain .df() path untouched."""
+    import pyarrow as pa
+
+    res = con.execute(sql)
+    tab = res.fetch_arrow_table()
+    if not any(pa.types.is_decimal(f.type) for f in tab.schema):
+        return tab.to_pandas()
+    pdf = tab.to_pandas()
+    for f in tab.schema:
+        if pa.types.is_decimal(f.type):
+            pdf[f.name] = (
+                pdf[f.name]
+                .map(lambda v: None if v is None else float(v))
+                .astype("float64")
+            )
+    return pdf
+
+
 def render_cell(v) -> str:
     """Canonical string for one cell — representation-sensitive.
 
@@ -273,7 +303,7 @@ def main():
                 )
             continue
         try:
-            ddf = con.execute(oracles[name]).df()
+            ddf = duck_df(con, oracles[name])
         except Exception as ex:
             bad.append(name)
             print(f"FAIL {name}: duckdb error {type(ex).__name__}: {ex}")

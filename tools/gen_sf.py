@@ -1,0 +1,136 @@
+"""Deterministic sf-multiplier fixture generator (round-11 verdict
+ask 2: extend the scaling evidence a decade past the driver's sf0.1).
+
+The driver's tables are read-only and its generator is not available,
+so larger scale factors are built FROM sf0.1 by replication with
+key-space shifts: replica r shifts every key/foreign-key column by
+r × (table's row count), preserving referential integrity, key
+density, and every per-replica value distribution exactly. Two
+columns are perturbed so content-addressed operators scale instead of
+collapsing into 10-way duplicates:
+
+- documents.text: replicas r>0 get a deterministic ``zzr{r}`` suffix
+  token (each replica keeps the original's internal duplicate
+  structure; replicas are not textual dupes of each other),
+- embeddings.embedding: replicas r>0 get seeded uniform ±0.02 jitter,
+  then L2 re-normalization (the corpus stays unit-norm; replicas are
+  near- but not exact neighbors of their originals).
+
+pyarrow end-to-end: output schemas are byte-identical to the driver's
+(int32 widths, timestamp units), so every query and oracle reads sf1
+exactly like the driver's dirs.
+
+Usage: python tools/gen_sf.py [out_dir] [multiplier]
+       (default /root/repo/.localdata/sf1, 10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+#: key columns per table -> the stride source table (its row count is
+#: the shift unit, keeping ids dense across replicas)
+KEYS = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "_users"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+
+#: tables copied verbatim (TPC-H dimension tables do not scale)
+STATIC = ["region", "nation"]
+
+
+def _strides(tables: dict[str, pa.Table]) -> dict[str, int]:
+    s = {name: t.num_rows for name, t in tables.items()}
+    # events.user_id is a dense 0..U-1 domain, not events' row count
+    users = tables["events"].column("user_id").to_numpy()
+    s["_users"] = int(users.max()) + 1
+    return s
+
+
+def _replica(
+    name: str,
+    t: pa.Table,
+    r: int,
+    strides: dict[str, int],
+) -> pa.Table:
+    if r == 0 and name not in ("documents", "embeddings"):
+        return t
+    arrays = []
+    for field in t.schema:
+        col = t.column(field.name)
+        stride_of = KEYS.get(name, {}).get(field.name)
+        if stride_of is not None and r > 0:
+            shifted = col.to_numpy() + r * strides[stride_of]
+            arrays.append(pa.array(shifted, type=field.type))
+        elif name == "documents" and field.name == "text" and r > 0:
+            txt = [f"{v} zzr{r}" for v in col.to_pylist()]
+            arrays.append(pa.array(txt, type=field.type))
+        elif name == "documents" and field.name == "n_chars" and r > 0:
+            extra = len(f" zzr{r}")
+            arrays.append(
+                pa.array(col.to_numpy() + extra, type=field.type)
+            )
+        elif name == "embeddings" and field.name == "embedding":
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in col.to_pylist()]
+            )
+            if r > 0:
+                rng = np.random.default_rng(42_000 + r)
+                x = x + rng.uniform(-0.02, 0.02, size=x.shape)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            arrays.append(
+                pa.array(
+                    [row.astype(np.float32).tolist() for row in x],
+                    type=field.type,
+                )
+            )
+        else:
+            arrays.append(col.combine_chunks() if r == 0 else col)
+    return pa.Table.from_arrays(
+        [a if isinstance(a, (pa.Array, pa.ChunkedArray)) else a for a in arrays],
+        schema=t.schema,
+    )
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf1"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    os.makedirs(out_dir, exist_ok=True)
+    tables = {
+        name: pq.read_table(f"{SRC}/{name}.parquet") for name in KEYS
+    }
+    strides = _strides(tables)
+    for name in STATIC:
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        pq.write_table(t, f"{out_dir}/{name}.parquet")
+        print(f"# {name}: {t.num_rows} rows (static)", file=sys.stderr)
+    for name, t in tables.items():
+        reps = [_replica(name, t, r, strides) for r in range(mult)]
+        big = pa.concat_tables(reps).combine_chunks()
+        pq.write_table(big, f"{out_dir}/{name}.parquet")
+        print(
+            f"# {name}: {t.num_rows} -> {big.num_rows} rows",
+            file=sys.stderr,
+        )
+    print(f"wrote x{mult} fixtures to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
