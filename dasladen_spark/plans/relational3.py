@@ -1057,8 +1057,13 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_interval_overlap",
     oracle="""
     WITH iv AS (
-      SELECT user_id AS k, epoch(ts) AS s,
-             epoch(ts) + (event_id % 604800) AS e, event_id
+      -- FLOOR matches Spark's unix_timestamp truncation; bare
+      -- epoch() keeps the fractional second on timestamp[ns] input,
+      -- which flips boundary pairs of the overlap predicate (bit at
+      -- sf1: one pair exactly on a truncated-equality boundary)
+      SELECT user_id AS k, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) + (event_id % 604800) AS e,
+             event_id
       FROM events WHERE event_id % 3 = 0
     )
     SELECT a.k, a.event_id AS eid_a, b.event_id AS eid_b

@@ -60,8 +60,11 @@ def duck_df(con, sql: str) -> pd.DataFrame:
     res = con.execute(sql)
     tab = res.fetch_arrow_table()
     if not any(pa.types.is_decimal(f.type) for f in tab.schema):
-        return tab.to_pandas()
-    pdf = tab.to_pandas()
+        return tab.to_pandas(date_as_object=False)
+    # date_as_object=False: match .df()'s datetime64 dates (the
+    # arrow default yields datetime.date objects — a representation
+    # change, not a value change)
+    pdf = tab.to_pandas(date_as_object=False)
     for f in tab.schema:
         if pa.types.is_decimal(f.type):
             pdf[f.name] = (
