@@ -79,6 +79,21 @@ def _replica(
         if stride_of is not None and r > 0:
             shifted = col.to_numpy() + r * strides[stride_of]
             arrays.append(pa.array(shifted, type=field.type))
+        elif (
+            r > 0
+            and (name, field.name) in (("customer", "c_name"), ("supplier", "s_name"))
+        ):
+            # identity names are key-derived (Xxx#%09d) and unique in
+            # the driver's tables — regenerate from the shifted key so
+            # name-keyed rollups don't silently merge replicas
+            key_field = {"customer": "c_custkey", "supplier": "s_suppkey"}[name]
+            prefix = {"customer": "Customer", "supplier": "Supplier"}[name]
+            keys = t.column(key_field).to_numpy() + r * strides[
+                KEYS[name][key_field]
+            ]
+            arrays.append(
+                pa.array([f"{prefix}#{k:09d}" for k in keys], type=field.type)
+            )
         elif name == "documents" and field.name == "text" and r > 0:
             txt = [f"{v} zzr{r}" for v in col.to_pylist()]
             arrays.append(pa.array(txt, type=field.type))
