@@ -62,3 +62,65 @@ def test_tar_shards_roundtrip_and_determinism(spark, sf_dir, tmp_path):
     )
     h = lambda p: hashlib.md5(open(p, "rb").read()).hexdigest()  # noqa: E731
     assert [h(f) for f in files] == [h(f) for f in files2]
+
+
+def test_gen_sf_preserves_schemas_fks_and_identity(tmp_path, monkeypatch):
+    """The sf-multiplier fixture generator must preserve parquet
+    schemas byte-for-byte, referential integrity across replicas,
+    key density, and identity-name uniqueness (round-11: duplicated
+    names silently merged name-keyed rollups and exploded ER blocks)."""
+    import sys
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_sf
+
+    monkeypatch.setattr(gen_sf, "SRC", "/root/testdata/sf0.001")
+    monkeypatch.setattr(sys, "argv", ["gen_sf", str(tmp_path), "3"])
+    gen_sf.main()
+
+    con = duckdb.connect()
+    for t in ("lineitem", "documents", "embeddings", "events", "customer"):
+        a = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        b = pq.read_schema(f"{tmp_path}/{t}.parquet")
+        assert a.equals(b), t
+        n0 = pq.read_metadata(f"/root/testdata/sf0.001/{t}.parquet").num_rows
+        n1 = pq.read_metadata(f"{tmp_path}/{t}.parquet").num_rows
+        assert n1 == 3 * n0, t
+    # FK integrity
+    orphans = con.execute(
+        f"SELECT COUNT(*) FROM '{tmp_path}/lineitem.parquet' l LEFT JOIN"
+        f" '{tmp_path}/orders.parquet' o ON l.l_orderkey = o.o_orderkey"
+        " WHERE o.o_orderkey IS NULL"
+    ).fetchone()[0]
+    assert orphans == 0
+    # identity names unique AND format preserved
+    for t, k, n, pfx in (
+        ("customer", "c_custkey", "c_name", "Customer#"),
+        ("supplier", "s_suppkey", "s_name", "Supplier#"),
+    ):
+        dups, badfmt = con.execute(
+            f"SELECT COUNT(*) - COUNT(DISTINCT {n}),"
+            f" SUM(CASE WHEN {n} = '{pfx}' || lpad(CAST({k} AS VARCHAR), 9, '0')"
+            f" THEN 0 ELSE 1 END) FROM '{tmp_path}/{t}.parquet'"
+        ).fetchone()
+        assert dups == 0 and badfmt == 0, t
+    # embeddings: replicas stay unit-norm and are near- but not exact
+    import numpy as np
+
+    e = con.execute(
+        f"SELECT vec_id, embedding FROM '{tmp_path}/embeddings.parquet'"
+        " WHERE vec_id IN (3, 503) ORDER BY vec_id"
+    ).df()
+    x = np.stack([np.asarray(v, np.float64) for v in e["embedding"]])
+    assert np.allclose(np.linalg.norm(x, axis=1), 1.0, atol=1e-6)
+    cos = float(x[0] @ x[1])
+    assert 0.98 < cos < 0.99999
+    # documents: replica text differs (no cross-replica exact dupes)
+    t0, t1 = con.execute(
+        f"SELECT text FROM '{tmp_path}/documents.parquet'"
+        " WHERE doc_id IN (3, 503) ORDER BY doc_id"
+    ).fetchall()
+    assert t0[0] != t1[0] and t1[0].endswith(" zzr1")
