@@ -1222,7 +1222,12 @@ def embedding_near_dup_pairs(
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
 
     if method == "brute":
-        a, b = base.alias("a"), base.alias("b")
+        # _spread the stream side: a dimension-sized table scans as
+        # ONE task, and the nested-loop pair expansion × cosine is
+        # per-row heavy compute — without it the whole O(n²) pass
+        # runs on a single core (bit at sf1: 20k vectors = 200M
+        # cosines, one task, ~30 min; spread: seconds)
+        a, b = _spread(base, "id").alias("a"), base.alias("b")
         return (
             a.join(b, on=[F.col("a.id") < F.col("b.id")])
             .select(
