@@ -711,3 +711,31 @@ def test_pq_indexed_search_scans_codes_only(spark):
         assert "cv" not in ln.replace("cv_", ""), ln
     # probe join is broadcast — the posting scan feeds it in place
     assert "BroadcastHashJoin" in plan
+
+
+def test_brute_cosine_pairs_spread_before_nested_loop(spark, sf_dir):
+    """The brute-force cosine pair join must repartition its stream
+    side before the nested-loop pair expansion: a dimension-sized
+    file scans as ONE task, and without the spread the entire O(n^2)
+    cosine pass runs on a single core (bit at sf1: 20k vectors =
+    200M cosines on one thread)."""
+    from dasladen_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, method="brute"
+    )
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    nlj = plan.split("BroadcastNestedLoopJoin", 1)
+    assert len(nlj) == 2, "brute path should plan a BNLJ"
+    # the stream side (printed before the BroadcastExchange child)
+    # must carry an Exchange — the _spread repartition
+    stream_side = nlj[1].split("BroadcastExchange", 1)[0]
+    assert "Exchange" in stream_side, "stream side not spread"
+    # and the partition count must match the cluster, not the file
+    assert (
+        pairs.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
