@@ -52,6 +52,11 @@ from dasladen_spark.operators.similarity import (
     probe_cells_driver,
     with_cells,
 )
+from dasladen_spark.operators.snapshot import (
+    publish_pointer,
+    resolve_snapshot,
+    snapshot_name,
+)
 from dasladen_spark.sinks.bucketed import write_bucketed
 
 
@@ -310,6 +315,7 @@ def append_to_ann_index(
     the existing postings. (Replayed appends duplicate posting rows;
     search dedups candidates by (query, neighbor), so duplicates cost
     a little read amplification, never correctness.)"""
+    table = resolve_snapshot(spark, table)
     n_buckets = _index_meta(spark, table)["n_buckets"]
     vecs = new_vecs.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
@@ -388,29 +394,41 @@ def _relevant_geometry(kwargs: dict) -> set[str]:
     return params
 
 
-def ensure_ann_index(corpus: DataFrame, table: str, tag: str, **kwargs) -> None:
-    """Build the index only if absent, built from a different corpus
-    snapshot (``tag`` mismatch), or built with any different RELEVANT
-    geometry parameter — the idempotent entry point query code calls,
-    so repeated batches in one session (or a warm catalog) reuse the
-    materialized postings, and a changed knob that shapes the index
-    always rebuilds (knobs irrelevant to the requested
-    method/compress are ignored, see ``_relevant_geometry``)."""
+def ensure_ann_index(corpus: DataFrame, table: str, tag: str, **kwargs) -> str:
+    """Idempotent entry point: materialize the index for exactly this
+    (corpus snapshot, relevant geometry) pair and return its PHYSICAL
+    table name. The snapshot and every relevant geometry knob (plus
+    kernel versions — see ``_relevant_geometry``) are hashed INTO the
+    name (``operators/snapshot``), so:
+
+    - a matching physical table is always safe to reuse (its identity
+      IS the requested identity — no tag/param comparison needed);
+    - a different snapshot or knob builds a DIFFERENT table instead of
+      destructively overwriting this one (round-11's sf1 gate showed
+      two concurrent runs sharing a warehouse deleting each other's
+      ``ann_idx_pq`` part-files mid-scan);
+    - the logical name stays usable for later tasks (append/search by
+      name) via the atomic pointer view ``{table}_ptr``.
+
+    Callers should prefer the returned physical name; resolution via
+    the pointer serves the task-file surface where build and search
+    are separate task invocations."""
     spark = corpus.sparkSession
-    if spark.catalog.tableExists(f"{table}_meta") and spark.catalog.tableExists(
-        table
+    phys = snapshot_name(
+        table,
+        tag,
+        *(
+            f"{p}={kwargs.get(p, _GEOMETRY_DEFAULTS[p])}"
+            for p in sorted(_relevant_geometry(kwargs))
+        ),
+    )
+    if not (
+        spark.catalog.tableExists(phys)
+        and spark.catalog.tableExists(f"{phys}_meta")
     ):
-        row = _index_meta(spark, table).asDict()
-        if row.get("tag") == tag and all(
-            # meta written by an older build lacks newer fields
-            # (n_buckets/compress/pq_iters); .get(None) != default
-            # treats it as a different index rather than letting
-            # append/search die on the missing field later
-            row.get(param) == kwargs.get(param, _GEOMETRY_DEFAULTS[param])
-            for param in _relevant_geometry(kwargs)
-        ):
-            return
-    build_ann_index(corpus, table, tag=tag, **kwargs)
+        build_ann_index(corpus, phys, tag=tag, **kwargs)
+    publish_pointer(spark, table, phys)
+    return phys
 
 
 def _probe_schema(queries: DataFrame, query_id: str, rest: str):
@@ -470,6 +488,7 @@ def search_ann_index(
     never the corpus. ``corpus_id``/``corpus_vec`` name the corpus
     frame's columns when they differ from the query frame's
     (default: same names)."""
+    table = resolve_snapshot(spark, table)
     meta = _index_meta(spark, table)
     compress = (
         meta["compress"] if "compress" in meta.asDict() else "none"
@@ -598,5 +617,6 @@ def compact_ann_index(spark: SparkSession, table: str) -> None:
     sinks/bucketed.compact_bucketed for the swap semantics)."""
     from dasladen_spark.sinks.bucketed import compact_bucketed
 
+    table = resolve_snapshot(spark, table)
     n_buckets = _index_meta(spark, table)["n_buckets"]
     compact_bucketed(spark, table, "probe", n_buckets, sort_cols="probe")

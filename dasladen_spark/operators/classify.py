@@ -96,33 +96,42 @@ def ensure_nb_model(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "label",
-) -> None:
+) -> str:
     """Train-once: materialize the NB model as catalog tables
-    ``{table}_tok`` (token counts) and ``{table}_lab`` (label stats),
-    skipped when ``{table}_meta`` already carries the same ``tag``
-    (= corpus snapshot). The same idempotent-entry-point pattern as
-    ann_index.ensure_ann_index: scoring plans then read two small
+    ``{phys}_tok`` (token counts) and ``{phys}_lab`` (label stats)
+    under a snapshot-hashed physical name (operators/snapshot —
+    the corpus tag is part of the IDENTITY, so two runs over
+    different snapshots build different tables instead of
+    destructively overwriting each other; round-11's sf1 gate lost
+    ``nb_quality_model_meta`` part-files to exactly that race).
+    Returns the physical base name; scoring plans then read two small
     model tables instead of re-deriving the lazy model per plan
     branch — round-5's 24-scan text_nb_quality_score plan collapses
     to single digits."""
     from dasladen_spark.operators.ann_index import _drop_orphan_location
+    from dasladen_spark.operators.snapshot import (
+        publish_pointer,
+        snapshot_name,
+    )
 
     spark = labeled.sparkSession
-    if spark.catalog.tableExists(f"{table}_meta") and all(
-        spark.catalog.tableExists(f"{table}{sfx}") for sfx in ("_tok", "_lab")
+    phys = snapshot_name(table, tag)
+    if not all(
+        spark.catalog.tableExists(f"{phys}{sfx}")
+        for sfx in ("_tok", "_lab", "_meta")
     ):
-        if spark.table(f"{table}_meta").collect()[0]["tag"] == tag:
-            return
-    for sfx in ("_tok", "_lab", "_meta"):
-        _drop_orphan_location(spark, table + sfx)
-    token_counts, label_stats = nb_train(
-        labeled, id_col=id_col, text_col=text_col, label_col=label_col
-    )
-    token_counts.write.mode("overwrite").saveAsTable(f"{table}_tok")
-    label_stats.write.mode("overwrite").saveAsTable(f"{table}_lab")
-    spark.createDataFrame([(tag,)], "tag STRING").write.mode(
-        "overwrite"
-    ).saveAsTable(f"{table}_meta")
+        for sfx in ("_tok", "_lab", "_meta"):
+            _drop_orphan_location(spark, phys + sfx)
+        token_counts, label_stats = nb_train(
+            labeled, id_col=id_col, text_col=text_col, label_col=label_col
+        )
+        token_counts.write.mode("overwrite").saveAsTable(f"{phys}_tok")
+        label_stats.write.mode("overwrite").saveAsTable(f"{phys}_lab")
+        spark.createDataFrame([(tag,)], "tag STRING").write.mode(
+            "overwrite"
+        ).saveAsTable(f"{phys}_meta")
+    publish_pointer(spark, table, phys)
+    return phys
 
 
 def nb_score(

@@ -65,17 +65,30 @@ def build_fingerprint_index(
 
 def ensure_fingerprint_index(
     history: DataFrame, table: str, tag: str, **kwargs
-) -> None:
-    """Idempotent entry point: build only if the index is absent or
-    was built from a different history snapshot."""
+) -> str:
+    """Idempotent entry point: build only if absent, under a
+    snapshot-hashed PHYSICAL name (operators/snapshot) so a different
+    history snapshot builds a different table instead of destructively
+    overwriting this one — concurrent runs over two snapshots can
+    share a warehouse. Returns the physical name and publishes the
+    ``{table}_ptr`` pointer so later tasks can probe/append by the
+    logical name."""
+    from dasladen_spark.operators.snapshot import (
+        publish_pointer,
+        snapshot_name,
+    )
+
     spark = history.sparkSession
-    if spark.catalog.tableExists(table) and spark.catalog.tableExists(
-        f"{table}_meta"
+    phys = snapshot_name(
+        table, tag, f"n_buckets={kwargs.get('n_buckets', 16)}"
+    )
+    if not (
+        spark.catalog.tableExists(phys)
+        and spark.catalog.tableExists(f"{phys}_meta")
     ):
-        prev = spark.table(f"{table}_meta").collect()
-        if prev and prev[0]["tag"] == tag:
-            return
-    build_fingerprint_index(history, table, tag=tag, **kwargs)
+        build_fingerprint_index(history, phys, tag=tag, **kwargs)
+    publish_pointer(spark, table, phys)
+    return phys
 
 
 def novel_against_index(
@@ -99,6 +112,9 @@ def novel_against_index(
     of history is exactly the plan this operator exists to avoid, and
     the SMJ reads the bucketed index in place: no history-side
     Exchange, the batch alone shuffles into the bucket layout."""
+    from dasladen_spark.operators.snapshot import resolve_snapshot
+
+    table = resolve_snapshot(spark, table)
     hist = spark.table(table)
     if before_batch is not None:
         hist = hist.filter(F.col("batch_id") < before_batch)
@@ -120,6 +136,9 @@ def append_to_index(
     spec is fixed at create time); periodic compaction of many small
     per-batch files is the same maintenance any streaming bucketed
     sink needs."""
+    from dasladen_spark.operators.snapshot import resolve_snapshot
+
+    table = resolve_snapshot(spark, table)
     n_buckets = spark.table(f"{table}_meta").collect()[0]["n_buckets"]
     rows = (
         novel.select("fp")
@@ -192,7 +211,9 @@ def winnowed_novel_against_index(
     bucket layout — the invariant test_plan_shapes pins for the exact
     path); the hit count then aggregates batch-sized rows only."""
     from dasladen_spark.operators.dedup import winnow_fingerprints
+    from dasladen_spark.operators.snapshot import resolve_snapshot
 
+    table = resolve_snapshot(spark, table)
     fps = winnow_fingerprints(batch, id_col=id_col, text_col=text_col)
     hist = spark.table(table)
     if before_batch is not None:

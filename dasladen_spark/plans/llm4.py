@@ -1065,17 +1065,24 @@ _FUNNEL_ORACLE = rf"""
       SELECT * FROM s4 WHERE q >= {_FUNNEL_MIN_Q}
     )
     SELECT * FROM (
+      -- COALESCE(...,0): an empty stage truthfully reports 0 tokens
+      -- surviving, matching the plan's F.coalesce(F.sum(nt), 0) --
+      -- one spelling on both engines (sf1's first empty stage
+      -- surfaced the int:0 vs NULL divergence)
       SELECT 1 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs,
-             CAST(SUM(nt) AS BIGINT) AS n_tokens FROM d0
+             CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_tokens FROM d0
       UNION ALL
-      SELECT 2, 'fingerprint_dedup', COUNT(*), CAST(SUM(nt) AS BIGINT)
-      FROM s2
+      SELECT 2, 'fingerprint_dedup', COUNT(*),
+             CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s2
       UNION ALL
-      SELECT 3, 'min_length', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s3
+      SELECT 3, 'min_length', COUNT(*),
+             CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s3
       UNION ALL
-      SELECT 4, 'span_dedup', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s4
+      SELECT 4, 'span_dedup', COUNT(*),
+             CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s4
       UNION ALL
-      SELECT 5, 'quality_gate', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s5
+      SELECT 5, 'quality_gate', COUNT(*),
+             CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s5
     ) ORDER BY stage
     """
 
@@ -1482,9 +1489,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         search_ann_index,
     )
 
-    # same table+params as the registered ann_pq_indexed_topk query —
-    # the report audits exactly the index searches would hit
-    ensure_ann_index(emb, "ann_idx_pq", tag=sf_dir, dim=64, compress="pq")
+    # same table+params as the registered ann_pq_indexed_topk query
+    # (all at _GEOMETRY_DEFAULTS, so the snapshot hash matches) — the
+    # report audits exactly the physical index the searches would hit
+    pq_idx = ensure_ann_index(
+        emb, "ann_idx_pq", tag=sf_dir, dim=64, compress="pq"
+    )
 
     # append-drift audit: the SAME pq index built from 70% of the
     # corpus, the other 30% APPENDED with the stored codebooks — the
@@ -1502,13 +1512,17 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ann_index,
     )
 
-    drift_tbl = "ann_idx_pq_drift"
-    marker = drift_tbl + "_state"
     from dasladen_spark.operators.pq import PQ_VERSION
+    from dasladen_spark.operators.snapshot import snapshot_name
 
-    # the kernel version joins the marker so a PQ-encode upgrade
-    # rebuilds the drift index instead of serving stale codes
+    # the kernel version joins the identity so a PQ-encode upgrade
+    # rebuilds the drift index instead of serving stale codes;
+    # the snapshot hash in the NAME keeps concurrent runs over
+    # different corpora from destroying each other's drift index
+    # (same scheme as ensure_ann_index)
     want = f"{sf_dir}:70+30:v{PQ_VERSION}"
+    drift_tbl = snapshot_name("ann_idx_pq_drift", want)
+    marker = drift_tbl + "_state"
     fresh = (
         spark.catalog.tableExists(marker)
         # the marker alone isn't enough: a warehouse cleanup can drop
@@ -1540,7 +1554,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             q, emb, pq_encode(emb, books), books, k=5, rerank_mult=8
         ),
         "pq_indexed": search_ann_index(
-            spark, "ann_idx_pq", q, k=5, corpus=emb
+            spark, pq_idx, q, k=5, corpus=emb
         ),
         "pq_indexed_post_append": search_ann_index(
             spark, drift_tbl, q, k=5, corpus=emb

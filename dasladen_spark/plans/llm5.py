@@ -61,7 +61,7 @@ def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     hist = d.filter(F.col("source") != "src19")
-    ensure_fingerprint_index(hist, "fp_hist_idx", tag=sf_dir)
+    fp_idx = ensure_fingerprint_index(hist, "fp_hist_idx", tag=sf_dir)
     resub = hist.filter(F.col("doc_id") % 37 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.upper(F.col("text")).alias("text"),
@@ -71,7 +71,7 @@ def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .unionByName(resub)
     )
-    novel = novel_against_index(spark, "fp_hist_idx", batch)
+    novel = novel_against_index(spark, fp_idx, batch)
     return novel.select("doc_id", "fp").orderBy("doc_id")
 
 

@@ -126,11 +126,11 @@ def text_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # passes at 100 TB). First call per corpus pays the two training
     # aggregations; every later scoring plan just reads two small
     # model tables (same amortization story as ann_indexed_topk).
-    ensure_nb_model(train, "nb_quality_model", tag=sf_dir)
+    model = ensure_nb_model(train, "nb_quality_model", tag=sf_dir)
     scores = nb_score(
         test,
-        spark.table("nb_quality_model_tok"),
-        spark.table("nb_quality_model_lab"),
+        spark.table(f"{model}_tok"),
+        spark.table(f"{model}_lab"),
     )
     # pivot, not a self-join: the scoring plan executes ONCE and the
     # per-label scores land as columns in the same aggregation
@@ -571,7 +571,7 @@ def ann_pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    ensure_ann_index(
+    idx = ensure_ann_index(
         emb,
         "ann_idx_pq",
         tag=sf_dir,
@@ -585,7 +585,7 @@ def ann_pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return search_ann_index(
         spark,
-        "ann_idx_pq",
+        idx,
         emb.filter(F.col("vec_id") < 10),
         k=_PQ_K,
         corpus=emb,
@@ -875,17 +875,32 @@ _EWMA_WIN = len(_EWMA_W)  # 12 weeks
       JOIN wts w ON w.j = datediff('day', b.week, a.week) // 7
     )
     SELECT nation, week,
-           -- boundary-proof final round: divide the two exact sums as
-           -- identical doubles, REDUCE to 12 decimals in DECIMAL, and
-           -- only then round to 6 — rounding a raw double at 6 places
-           -- flipped 1/8623 rows at sf0.1 (…581566499 straddles the
-           -- half in the multiply-based double round, not in the
-           -- decimal one)
-           CAST(ROUND(CAST(
-             CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
-             / CAST(CAST(SUM(wt) AS VARCHAR) AS DOUBLE)
-           AS DECIMAL(38,12)), 6) AS DOUBLE) AS ewma_rev
-    FROM pairs GROUP BY nation, week
+           -- exact lattice exit (round-and-correct): the double
+           -- division only NOMINATES a 6-decimal lattice point r0
+           -- (=round(T/W·1e6)); the half-up decision is then settled
+           -- ENTIRELY in exact decimal arithmetic — r is the unique
+           -- integer with (2r-1)·W <= 2T < (2r+1)·W — so no float
+           -- rounding boundary exists at ANY magnitude (the previous
+           -- reduce-in-decimal-then-round recipe drifted 1 ulp on
+           -- 38/8623 rows at sf1). r0 is within ±1 of r whenever
+           -- T/W·1e6 < ~1e15 (double rel-err 3e-16), one correction
+           -- step suffices; r/1e6 as one IEEE double division is
+           -- correctly rounded identically on both engines.
+           CAST(r0 + CASE WHEN t2 >= (r0 * 2 + 1) * w THEN 1
+                          WHEN t2 <  (r0 * 2 - 1) * w THEN -1
+                          ELSE 0 END AS DOUBLE) / 1000000.0 AS ewma_rev
+    FROM (
+      SELECT nation, week,
+             CAST(ROUND(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(SUM(wt) AS VARCHAR) AS DOUBLE) * 1000000.0,
+                  0) AS BIGINT) AS r0,
+             -- DECIMAL(30,17): int part to 1e13 (sf1 sums are ~5e9);
+             -- ×DECIMAL(7,0) stays at width 37 <= both engines' 38
+             CAST(SUM(term) AS DECIMAL(30,17))
+               * CAST(2000000 AS DECIMAL(7,0)) AS t2,
+             CAST(SUM(wt) AS DECIMAL(13,11)) AS w
+      FROM pairs GROUP BY nation, week
+    )
     ORDER BY nation, week
     """,
 )
@@ -902,11 +917,15 @@ def q_ewma_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: weights are exact decimal literals shared verbatim
     with the oracle, and every product rev × wt is EXACT decimal
     arithmetic (DECIMAL(24,6) × DECIMAL(13,11) → DECIMAL(38,17)) —
-    no double exists until the final division, whose result reduces
-    to 12 decimals in DECIMAL before the 6-decimal round. The earlier
-    round-the-double-at-6 recipe flipped one sf0.1 row whose quotient
-    (…581566499) straddles the half under a multiply-based double
-    round; decimal reduction first removes that boundary class."""
+    and since round 12 the DIVISION is exact too: the double quotient
+    only nominates the 6-decimal lattice point r0, and exact decimal
+    comparisons ((2r-1)·W ≤ 2e6·T < (2r+1)·W) settle the half-up
+    round, so no float boundary exists at any magnitude. (The two
+    earlier float exits each failed one decade up: raw double round
+    flipped 1/8623 rows at sf0.1, decimal-reduce-then-round flipped
+    38/8623 at sf1 — magnitude-fragile recipes, now retired. r0 is
+    within ±1 of true r while T/W·1e6 < ~1e15, far above 100 TB
+    revenue sums.)"""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -942,18 +961,34 @@ def q_ewma_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             wt.cast("decimal(38,11)").alias("wt"),
         )
     )
+    # exact lattice exit, same round-and-correct spelling as the
+    # oracle: the double division only NOMINATES the lattice point
+    # r0 ≈ round(T/W·1e6); exact decimal comparisons settle the
+    # half-up decision ((2r-1)·W ≤ 2e6·T < (2r+1)·W), so the final
+    # 6-decimal value never depends on a float rounding boundary.
+    sums = pairs.groupBy("nation", "week").agg(
+        F.sum("term").cast("decimal(30,17)").alias("t_sum"),
+        F.sum("wt").cast("decimal(13,11)").alias("w_sum"),
+    )
+    r0 = F.round(
+        F.col("t_sum").cast("double")
+        / F.col("w_sum").cast("double")
+        * F.lit(1000000.0),
+        0,
+    ).cast("bigint")
+    t2 = F.col("t_sum") * F.lit(2000000).cast("decimal(7,0)")
+    hi = (r0 * 2 + 1) * F.col("w_sum")
+    lo = (r0 * 2 - 1) * F.col("w_sum")
+    r = r0 + (
+        F.when(t2 >= hi, F.lit(1))
+        .when(t2 < lo, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
     return (
-        pairs.groupBy("nation", "week")
-        .agg(
-            F.round(
-                (
-                    F.sum("term").cast("double")
-                    / F.sum("wt").cast("double")
-                ).cast("decimal(38,12)"),
-                6,
-            )
-            .cast("double")
-            .alias("ewma_rev")
+        sums.select(
+            "nation",
+            "week",
+            (r.cast("double") / F.lit(1000000.0)).alias("ewma_rev"),
         )
         .orderBy("nation", "week")
     )

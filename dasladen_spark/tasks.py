@@ -230,7 +230,17 @@ def run_etl(ctx: TaskContext, task: dict) -> None:
     passthrough and no extra pass. ``"progress": 0`` in the task
     disables it (and the passthrough) entirely."""
     df = _read_source(ctx, task)
-    if df.isEmpty():  # single-read short-circuit (fix of §4.8)
+    # Empty-source short-circuit (fix of §4.8) ONLY for the
+    # reference-parity terminal sinks (csv/db — ref task.py:181
+    # skips the write so no header-only file / no-op DB round trip
+    # appears). Engine-internal sinks (parquet/orc/json/tar) ALWAYS
+    # write a schema-bearing (possibly empty) output: a chained
+    # pipeline's next stage must find its input even when an
+    # upstream filter legitimately empties the stream — round-11's
+    # sf1 gate died with PATH_NOT_FOUND when span-dedup emptied a
+    # mid-pipeline stage and the skip swallowed s5's input.
+    sink_kind = task["type"].split("-")[-1]
+    if sink_kind in ("csv", "db") and df.isEmpty():
         ctx.log(f"task {task.get('name')}: empty source, skipping write")
         return
     out = _transformed(ctx, task, df)

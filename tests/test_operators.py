@@ -1243,6 +1243,43 @@ def test_ensure_ann_index_skips_rebuild_on_same_tag(spark, sf_dir, monkeypatch):
     assert calls  # new snapshot: rebuild
 
 
+def test_ensure_ann_index_snapshots_never_overwrite(spark, sf_dir):
+    """Two corpus snapshots sharing one warehouse must land in two
+    DISTINCT physical tables, with the first still readable after the
+    second builds — the round-11 sf1 race (concurrent sf0.1/sf1 runs
+    ping-pong-overwriting ``ann_idx_pq`` and killing each other's
+    readers with FILE_NOT_EXIST) is structurally impossible when the
+    snapshot is part of the identity."""
+    import dasladen_spark.operators.ann_index as ai
+    from dasladen_spark.operators.snapshot import resolve_snapshot
+    from dasladen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    phys_a = ai.ensure_ann_index(
+        emb.filter(F.col("vec_id") % 2 == 0), "t_ann_snap", tag="corpusA"
+    )
+    a_rows = spark.table(phys_a).count()
+    phys_b = ai.ensure_ann_index(
+        emb.filter(F.col("vec_id") % 2 == 1), "t_ann_snap", tag="corpusB"
+    )
+    assert phys_a != phys_b  # different snapshot = different identity
+    # snapshot A is untouched by B's build — same table, same rows
+    assert spark.table(phys_a).count() == a_rows
+    q = emb.filter(F.col("vec_id") < 4)
+    got_a = {
+        r["neighbor_id"]
+        for r in ai.search_ann_index(spark, phys_a, q, k=3).collect()
+    }
+    assert got_a  # A still serves searches after B exists
+    # the logical name resolves to the LATEST snapshot via the pointer
+    assert resolve_snapshot(spark, "t_ann_snap") == phys_b
+    got_logical = ai.search_ann_index(spark, "t_ann_snap", q, k=3)
+    got_b = ai.search_ann_index(spark, phys_b, q, k=3)
+    assert sorted(map(tuple, got_logical.collect())) == sorted(
+        map(tuple, got_b.collect())
+    )
+
+
 def test_fingerprint_index_incremental_cycle(spark):
     """Full intake lifecycle: build from history, filter a batch,
     append the batch's novel fps, and verify the NEXT batch deduped

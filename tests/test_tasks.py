@@ -212,6 +212,44 @@ def test_empty_source_short_circuit(spark, workdir):
     assert not (workdir / "output" / "out.csv").exists()
 
 
+def test_empty_stage_still_feeds_chained_pipeline(spark, workdir):
+    """A stage whose filter legitimately empties the stream must
+    still write a schema-bearing parquet output, so the NEXT stage
+    reads an empty frame instead of dying with PATH_NOT_FOUND
+    (round-11's sf1 pipeline_corpus_e2e failure mode). The
+    empty-skip stays reference parity for TERMINAL csv/db sinks
+    only (ref task.py:181)."""
+    spark.createDataFrame(
+        [(1, 3), (2, 4)], "id BIGINT, qty BIGINT"
+    ).write.parquet(str(workdir / "input" / "src.parquet"))
+    s1 = {
+        "name": "s1",
+        "type": "parquet-parquet",
+        "source": {"file": "src.parquet"},
+        "target": {"file": "s1.parquet", "truncate": True},
+        "transform": {"filter": "{qty} > 100"},  # empties the stream
+    }
+    s2 = {
+        "name": "s2",
+        "type": "parquet-parquet",
+        "source": {"file": "s1.parquet", "folder": str(workdir / "output")},
+        "target": {"file": "s2.parquet", "truncate": True},
+    }
+    s3 = {
+        "name": "s3",
+        "type": "parquet-csv",
+        "source": {"file": "s2.parquet", "folder": str(workdir / "output")},
+        "target": {"file": "out.csv", "truncate": True},
+    }
+    run_tasks(spark, workdir, {"tasks": [s1, s2, s3]})
+    for stage in ("s1.parquet", "s2.parquet"):
+        df = spark.read.parquet(str(workdir / "output" / stage))
+        assert df.columns == ["id", "qty"]  # schema survives emptiness
+        assert df.count() == 0
+    # the terminal csv sink keeps the reference's empty-skip
+    assert not (workdir / "output" / "out.csv").exists()
+
+
 def test_db_csv_via_parquet_connection(spark, workdir, sf_dir):
     """db-* tasks with the parquet lakehouse driver: Spark SQL is the
     backing engine (reference pushes SQL text to an RDBMS)."""

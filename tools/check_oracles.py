@@ -127,12 +127,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if problems:
         return problems
     a, b = render(spark_pdf), render(duck_pdf)
-    n_bad = sum(1 for x, y in zip(a, b) if x != y)
-    if n_bad:
-        first = next((x, y) for x, y in zip(a, b) if x != y)
+    # multiset compare, NOT sorted-zip: one differing cell shifts the
+    # sort order and a positional zip then misreports every following
+    # row as different (sf1's funnel showed "5/5 rows differ" for a
+    # single-cell divergence). Counter diff reports TRUE damage.
+    from collections import Counter
+
+    only_a = Counter(a) - Counter(b)
+    only_b = Counter(b) - Counter(a)
+    if only_a or only_b:
+        n_bad = max(sum(only_a.values()), sum(only_b.values()))
+        ex_a = next(iter(sorted(only_a)), "")
+        ex_b = next(iter(sorted(only_b)), "")
         problems.append(
             f"{n_bad}/{len(a)} rendered rows differ, first:\n"
-            f"    spark={first[0][:300]}\n    duck ={first[1][:300]}"
+            f"    spark={ex_a[:300]}\n    duck ={ex_b[:300]}"
         )
     return problems
 
