@@ -1018,6 +1018,7 @@ def hyperplane_buckets_oracle_cte(
     relation: str = "e",
     id_col: str = "vec_id",
     vec_col: str = "v",
+    bits_sql: str | None = None,
 ) -> str:
     """DuckDB CTE fragment replaying this kernel's buckets exactly:
     ``planes``/``dots``/``buckets`` CTEs over ``relation`` (which
@@ -1025,26 +1026,41 @@ def hyperplane_buckets_oracle_cte(
     SQL joins ``buckets`` on (t, bkt). Lives NEXT TO the kernel so
     the quantum, the plane family, and the bit packing can never
     drift apart from the Spark side — every oracle that verifies an
-    LSH candidate set builds on this one definition."""
+    LSH candidate set builds on this one definition.
+
+    ``bits_sql`` makes the bucket width DYNAMIC (the
+    auto_lsh_bits_sql step over COUNT(*)): ``bits_per_table`` then
+    bounds the plane list (the hi clamp) and the CTE derives the
+    live b, dots only the first ``num_tables·b`` planes, and packs
+    ``p % b`` bits into table ``p // b`` — exactly what the Spark
+    kernel computes when called with the same b (the plane stream is
+    prefix-stable: _hyperplanes(n)[:k] == _hyperplanes(k))."""
     planes = _hyperplanes(num_tables * bits_per_table, dim)
     qlit = repr(float(_HYPERPLANE_QUANT))
     values = ",\n".join(
         f"({p}, [{','.join(repr(c) for c in plane)}]::DOUBLE[])"
         for p, plane in enumerate(planes)
     )
-    return f"""planes(p, coef) AS (
+    b = f"(SELECT b FROM bparam)" if bits_sql else str(bits_per_table)
+    bparam = (
+        f"bparam AS (SELECT ({bits_sql}) AS b),\n    " if bits_sql else ""
+    )
+    plane_gate = (
+        f"\n      WHERE pl.p < {num_tables} * {b}" if bits_sql else ""
+    )
+    return f"""{bparam}planes(p, coef) AS (
       VALUES {values}
     ), dots AS MATERIALIZED (
-      SELECT r.{id_col}, pl.p,
+      SELECT r.{id_col}, pl.p // {b} AS t, pl.p % {b} AS bit,
              list_sum(list_transform(list_zip(r.{vec_col}, pl.coef),
                q -> CAST(floor(q[1] * q[2] * {qlit} + 0.5)
                          AS BIGINT))) AS dot
-      FROM {relation} r CROSS JOIN planes pl
+      FROM {relation} r CROSS JOIN planes pl{plane_gate}
     ), buckets AS MATERIALIZED (
-      SELECT {id_col}, p // {bits_per_table} AS t,
+      SELECT {id_col}, t,
              SUM(CASE WHEN dot >= 0
-                      THEN 1 << (p % {bits_per_table}) ELSE 0 END) AS bkt
-      FROM dots GROUP BY {id_col}, p // {bits_per_table}
+                      THEN 1 << bit ELSE 0 END) AS bkt
+      FROM dots GROUP BY {id_col}, t
     )"""
 
 
@@ -1200,6 +1216,49 @@ def semantic_dedup_survivors(
     )
 
 
+def auto_lsh_bits(
+    n: int, target_bucket: int = 16, lo: int = 8, hi: int = 16
+) -> int:
+    """Bucket-space width for a corpus of ``n`` vectors: the least
+    ``b`` in [lo, hi] with ``n / 2^b <= target_bucket`` — expected
+    occupancy stays ~constant, so LSH candidate volume grows LINEARLY
+    with the corpus instead of quadratically (a fixed b measured 113×
+    cost for 10× rows one decade above its tuning point). Pure
+    integer step function — an oracle can replay it from COUNT(*)
+    with a CASE chain, no float log anywhere. The plane family is a
+    fixed seeded stream keyed by (num_tables·b, dim), so every step
+    is its own exactly-replayable geometry; recall at a larger b
+    comes from the table count (16 tables at b=16 still catch a
+    cosine-0.99 pair with miss probability ~3e-5)."""
+    b = lo
+    while b < hi and n > (target_bucket << b):
+        b += 1
+    return b
+
+
+def auto_lsh_bits_sql(
+    count_sql: str, target_bucket: int = 16, lo: int = 8, hi: int = 16
+) -> str:
+    """``auto_lsh_bits`` as a SQL CASE chain over ``count_sql`` (a
+    scalar COUNT(*) subquery) — the single-spelling rule: an oracle
+    that models a dynamically-sized hash derives the SAME b from the
+    SAME integer comparisons, no float log anywhere."""
+    whens = "".join(
+        f" WHEN ({count_sql}) > {target_bucket << (b - 1)} THEN {b}"
+        for b in range(hi, lo, -1)
+    )
+    return f"(CASE{whens} ELSE {lo} END)"
+
+
+#: hard ceiling for the brute-force pair path: n(n-1)/2 interpreted
+#: cosines. 8192 rows = ~33 M pairs — tens of seconds on local[32];
+#: one decade more is an hour. Above this the caller MUST block the
+#: input (dedup_embedding_cosine's vec_id slice) or switch to
+#: method="lsh" — the same loud-raise contract as SemDeDup's
+#: max_cluster (semantic_dedup_survivors).
+_BRUTE_MAX_ROWS = 8192
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -1208,20 +1267,37 @@ def embedding_near_dup_pairs(
     method: str = "lsh",
     dim: int | None = None,
     num_tables: int = 8,
-    bits_per_table: int = 8,
+    bits_per_table: int | str = "auto",
+    max_rows: int = _BRUTE_MAX_ROWS,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold.
 
     method="brute": exact non-equi self-join — only for small/blocked
-    inputs. method="lsh" (default): random-hyperplane signatures,
-    candidates share a (table, bucket), exact cosine re-check — the
-    100 TB shape (shuffle on buckets, no cross product).
-    """
+    inputs, enforced by a loud ``max_rows`` raise (an unguarded O(n²)
+    pair join × interpreted cosine burned 23 min at 20 k rows in the
+    round-11 sf1 gate). method="lsh" (default): random-hyperplane
+    signatures, candidates share a (table, bucket), exact cosine
+    re-check — the 100 TB shape (shuffle on buckets, no cross
+    product). ``bits_per_table="auto"`` (default) sizes the bucket
+    space from the corpus: the least b in [8, 16] with n/2^b ≤ 16 —
+    constant expected occupancy, so candidate volume stays LINEAR in
+    n (a fixed b saturates one decade up: measured 113× cost for 10×
+    rows at b=8/20 k). The plane family is a fixed seeded stream, so
+    any b is replayable; pass an int to pin the geometry (oracles
+    that model the hash do)."""
     from dasladen_spark.functions.vectors import cosine_sim
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
 
     if method == "brute":
+        n = base.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs(method='brute'): {n:,} rows"
+                f" > max_rows={max_rows:,} — {n * (n - 1) // 2:,} exact"
+                " cosines would go quadratic; block the input or use"
+                " method='lsh'"
+            )
         # _spread the stream side: a dimension-sized table scans as
         # ONE task, and the nested-loop pair expansion × cosine is
         # per-row heavy compute — without it the whole O(n²) pass
@@ -1240,6 +1316,8 @@ def embedding_near_dup_pairs(
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    if bits_per_table == "auto":
+        bits_per_table = auto_lsh_bits(base.count())
     exploded = hyperplane_table_buckets(
         _spread(base, "id"), "vec", num_tables, bits_per_table, dim
     )

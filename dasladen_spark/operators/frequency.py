@@ -95,11 +95,17 @@ def heavy_hitters_exact(
                 keep = pc.is_valid(vals_a)
                 vals_a, cnts = vals_a.filter(keep), cnts.filter(keep)
             ser = pd.Series(cnts.to_numpy(), index=vals_a.to_pandas())
-            counters = (
-                ser
-                if counters.empty
-                else counters.add(ser, fill_value=0).astype("int64")
-            )
+            if counters.empty:
+                counters = ser
+            else:
+                # pure-int64 merge: Series.add(fill_value=...) routes
+                # through float64, which would silently lose precision
+                # above 2^53 per-partition counts (the operator
+                # advertises 100 TB); reindex+fillna stays integral
+                union = counters.index.union(ser.index)
+                counters = counters.reindex(union, fill_value=0).astype(
+                    "int64"
+                ) + ser.reindex(union, fill_value=0).astype("int64")
             if len(counters) > k2:
                 evicted = True
                 cut = counters.nlargest(k2 + 1).iloc[-1]

@@ -390,7 +390,7 @@ def ann_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    ensure_ann_index(
+    idx = ensure_ann_index(
         emb,
         "ann_idx_lsh",
         tag=sf_dir,
@@ -399,11 +399,21 @@ def ann_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits_per_table=_ANN_LSH_BITS,
     )
     res = search_ann_index(
-        spark, "ann_idx_lsh", emb.filter(F.col("vec_id") < 10), k=5
+        spark, idx, emb.filter(F.col("vec_id") < 10), k=5
     )
     return res.withColumn("cosine", F.round("cosine", 6)).orderBy(
         "query_id", "rank"
     )
+
+
+#: id slice the two brute-force gate queries audit: inactive through
+#: sf0.1 (≤ 2000 vectors — results identical to the uncapped query),
+#: a fixed 2048-vector block above it, keeping the registered O(n²)
+#: audits at ~2M cosines forever (round-11's uncapped run: 23-29 min
+#: each at sf1). The operator itself now raises above
+#: dedup._BRUTE_MAX_ROWS, so an uncapped registration would refuse
+#: to run rather than silently go quadratic.
+_BRUTE_GATE_CAP = 2048
 
 
 @query(
@@ -412,17 +422,23 @@ def ann_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+    WHERE a.vec_id < {_BRUTE_GATE_CAP} AND b.vec_id < {_BRUTE_GATE_CAP}
+      AND {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs, brute-force exact at oracle scale;
-    the `lsh` method of the same operator is the at-scale path. The
-    0.4 threshold sits inside the fixture's cosine range (max pair
-    ~0.5) so the gate validates real pairs — a production near-dup
-    pass would run the conventional 0.8."""
+    """Embedding near-dup pairs, brute-force exact over a BLOCKED
+    input (vec_id < {_BRUTE_GATE_CAP}; the full slice at every sf the
+    driver grades) — the audit shape for the exact kernel. The `lsh`
+    method of the same operator is the at-scale path for the full
+    corpus; brute now raises loudly above its row cap instead of
+    going quadratic. The 0.4 threshold sits inside the fixture's
+    cosine range (max pair ~0.5) so the gate validates real pairs — a
+    production near-dup pass would run the conventional 0.8."""
     pairs = embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"),
+        _t(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < _BRUTE_GATE_CAP
+        ),
         "embedding",
         "vec_id",
         threshold=0.4,
@@ -794,11 +810,14 @@ def dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     billions of edges.
 
     Pair generation is the LSH path (hyperplane buckets → bucket
-    equi-join → exact cosine re-check): no O(n²) self-join anywhere
-    in the plan, which is the property that lets this run at corpus
-    scale; 16 tables × 8 bits keeps miss probability per true pair
-    below ~1e-4 at the 0.8 threshold for the planted-dup cosine
-    levels this fixture carries."""
+    equi-join → exact cosine re-check) with DATA-ADAPTIVE bucket
+    width (operators/dedup.auto_lsh_bits: least b with n/2^b ≤ 16,
+    so candidate volume grows linearly with the corpus — the fixed
+    8-bit geometry measured 113× cost for 10× rows at sf1): no O(n²)
+    self-join anywhere in the plan, which is the property that lets
+    this run at corpus scale; 16 tables keep miss probability per
+    true pair below ~1e-4 at the planted-dup cosine levels this
+    fixture carries at every step's b."""
     from dasladen_spark.operators.graph import dedup_clusters
 
     pairs = embedding_near_dup_pairs(
@@ -1381,7 +1400,7 @@ _KM_ITERS = 4
 
 
 def _kmeans_ctes(
-    k: int = _KM_K,
+    k: int | str = _KM_K,
     iters: int = _KM_ITERS,
     fit_fraction: float | None = None,
     fit_salt: str = "kmeans-seed-fit",
@@ -1392,7 +1411,12 @@ def _kmeans_ctes(
     ``zx = floor(x·Q + 0.5)`` BIGINT coordinates, integer argmin
     distances with lowest-index tie-breaks, ``Σzx/(n·Q)`` means —
     each of the ``iters`` unrolled Lloyd rounds is a pure integer
-    computation both engines replay identically."""
+    computation both engines replay identically.
+
+    The chain is structurally k-INDEPENDENT (k appears only in the
+    seed CTE's LIMIT), so ``k`` may also be a SQL expression string
+    (e.g. a COUNT(*)-derived step) — the SemDeDup k ∝ corpus-size
+    contract stays exactly replayable at any scale."""
     q = "1000000.0::DOUBLE"  # operators/pq.PQ_QUANT
     zdist = (
         "list_sum(list_transform(list_zip({a}, {b}),"
@@ -1422,7 +1446,7 @@ def _kmeans_ctes(
     ){fit}, kb0 AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, v AS coef
       FROM (SELECT md5('kmeans-seed' || CAST(vec_id AS VARCHAR)) AS h, v
-            FROM kraw{fitjoin} ORDER BY h LIMIT {k})
+            FROM kraw{fitjoin} ORDER BY h LIMIT ({k}))
     )"""
     ]
     for r in range(1, iters + 2):
@@ -1601,14 +1625,32 @@ def kmeans_sampled_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: dedup_embedding_cosine registers; production SemDeDup runs ~0.95)
 _SEMDD_TAU = 0.4
 
+#: SemDeDup's "k ∝ corpus size" contract, concretely: one centroid
+#: per ~250 vectors (floored at _KM_K=8, so every sf the driver
+#: grades keeps its round-11 geometry bit-for-bit). Within-cluster
+#: pair work is then Σ|c|² ≈ n·250 — LINEAR in the corpus, where the
+#: fixed k=8 measured 21× cost for 10× rows at sf1. Pure integer
+#: step: both engines derive the same k from the same COUNT(*).
+_SEMDD_TARGET = 250
+_SEMDD_K_SQL = (
+    f"SELECT GREATEST({_KM_K}, CAST((SELECT COUNT(*) FROM embeddings)"
+    f" // {_SEMDD_TARGET} AS INT))"
+)
+
+
+def _semdd_k(n: int) -> int:
+    """Spark-side spelling of _SEMDD_K_SQL."""
+    return max(_KM_K, n // _SEMDD_TARGET)
+
 
 @query(
     "dedup_semantic_clusters",
     # exact end-to-end: lattice k-means replay (the _kmeans_ctes
-    # family) + the SAME left-assoc cosine fold both engines evaluate
-    # + recursive-CTE reachability for the per-cluster min-id
+    # family, with the corpus-size-derived k spliced as SQL) + the
+    # SAME left-assoc cosine fold both engines evaluate +
+    # recursive-CTE reachability for the per-cluster min-id
     # survivor (the dedup_minhash_survivors device)
-    oracle=_kmeans_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    oracle=_kmeans_ctes(k=_SEMDD_K_SQL).replace("WITH ", "WITH RECURSIVE ", 1)
     + f""", sdmem AS MATERIALIZED (
       SELECT a.vec_id, a.cluster, r.v
       FROM ka{_KM_ITERS + 1} a JOIN kraw r USING (vec_id)
@@ -1641,17 +1683,23 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     space and dropping near-identical docs WITHIN clusters
     (operators/dedup.semantic_dedup_survivors) — the method that
     bounds embedding-level dedup at corpus scale (pairwise cosine
-    only inside a cluster; k grows with the corpus so expected
-    cluster size is constant, and the operator raises loudly if a
-    cluster exceeds its cap). Exact oracle for the WHOLE chain:
-    lattice k-means assignment, the shared cosine fold, and
+    only inside a cluster; k GROWS WITH THE CORPUS — one centroid
+    per ~{_SEMDD_TARGET} vectors, _semdd_k — so expected cluster
+    size is constant and within-cluster pair work stays linear; the
+    operator additionally raises loudly if a cluster exceeds its
+    cap). Exact oracle for the WHOLE chain: the corpus-size-derived
+    k, lattice k-means assignment, the shared cosine fold, and
     per-cluster components all replay bit-for-bit."""
     from dasladen_spark.operators.clustering import kmeans_fit
     from dasladen_spark.operators.dedup import semantic_dedup_survivors
 
     emb = _t(spark, sf_dir, "embeddings")
     assigned = kmeans_fit(
-        emb, "embedding", "vec_id", k=_KM_K, iterations=_KM_ITERS
+        emb,
+        "embedding",
+        "vec_id",
+        k=_semdd_k(emb.count()),
+        iterations=_KM_ITERS,
     )
     return semantic_dedup_survivors(
         emb, assigned, threshold=_SEMDD_TAU

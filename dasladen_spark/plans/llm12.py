@@ -90,26 +90,49 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------- ANN-prefiltered decontamination
 
-_SEM_ANN_TABLES = 48  #: 48×4-bit tables: candidate parity with the
-#: exact path on the fixture at τ=0.35 (verified at sf0.001/0.01;
+_SEM_ANN_TABLES = 48  #: 48 tables: candidate parity with the exact
+#: path on the fixture at τ=0.35 (verified at sf0.001/0.01;
 #: production τ ≥ 0.8 needs far fewer — low thresholds are the hard
 #: LSH regime)
-_SEM_ANN_BITS = 4
+#: bucket width is DATA-ADAPTIVE (least b in [4, 8] with n/2^b ≤ 500,
+#: operators/dedup.auto_lsh_bits): 4 bits through sf0.1 (geometry
+#: identical to round 11 at every sf the driver grades), wider as the
+#: corpus grows so the bucket-collision candidate stream stays
+#: LINEAR in n — the fixed 4-bit geometry measured 30× cost for 10×
+#: rows at sf1. Both engines derive b from the same COUNT(*).
+_SEM_ANN_BITS = 4  # lo clamp
+_SEM_ANN_BITS_MAX = 8  # hi clamp (bounds the seeded plane prefix)
+_SEM_ANN_TARGET = 500  # target bucket occupancy
 
 
 def _semantic_ann_oracle() -> str:
     """The LSH candidate set replayed EXACTLY in SQL — possible
     because bucket membership is quantized-integer (operators/dedup
     hyperplane_table_buckets: sign of Σ floor(x·c·1e6 + 0.5), integer
-    sums commute): the oracle computes the same 192 plane dots, packs
-    the same 4-bit buckets, joins candidates on (table, bucket), and
-    exact-rescores the survivors with the same guarded cosine — the
-    MinHash playbook applied to the hyperplane family."""
-    from dasladen_spark.operators.dedup import hyperplane_buckets_oracle_cte
+    sums commute): the oracle derives the same COUNT(*)-stepped
+    bucket width b, computes the same 48·b plane dots (a prefix of
+    the fixed seeded stream), packs the same b-bit buckets, joins
+    candidates on (table, bucket), and exact-rescores the survivors
+    with the same guarded cosine — the MinHash playbook applied to
+    the hyperplane family, now with data-adaptive geometry."""
+    from dasladen_spark.operators.dedup import (
+        auto_lsh_bits_sql,
+        hyperplane_buckets_oracle_cte,
+    )
 
     norm = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
     tn, bn = norm.format(v="te.v"), norm.format(v="be.v")
-    cte = hyperplane_buckets_oracle_cte(_SEM_ANN_TABLES, _SEM_ANN_BITS, 64)
+    cte = hyperplane_buckets_oracle_cte(
+        _SEM_ANN_TABLES,
+        _SEM_ANN_BITS_MAX,
+        64,
+        bits_sql=auto_lsh_bits_sql(
+            "SELECT COUNT(*) FROM embeddings",
+            target_bucket=_SEM_ANN_TARGET,
+            lo=_SEM_ANN_BITS,
+            hi=_SEM_ANN_BITS_MAX,
+        ),
+    )
     return f"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -160,6 +183,7 @@ def decontaminate_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dasladen_spark.operators.decontaminate import (
         semantic_contamination,
     )
+    from dasladen_spark.operators.dedup import auto_lsh_bits
 
     e = _t(spark, sf_dir, "embeddings")
     is_bench = (F.col("vec_id") % 11 == 0) & (F.col("vec_id") < 500)
@@ -169,7 +193,13 @@ def decontaminate_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_SEM_TAU,
         method="ann",
         num_tables=_SEM_ANN_TABLES,
-        bits_per_table=_SEM_ANN_BITS,
+        # same COUNT(*)-stepped width the oracle derives in SQL
+        bits_per_table=auto_lsh_bits(
+            e.count(),
+            target_bucket=_SEM_ANN_TARGET,
+            lo=_SEM_ANN_BITS,
+            hi=_SEM_ANN_BITS_MAX,
+        ),
     )
 
 

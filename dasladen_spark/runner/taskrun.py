@@ -65,6 +65,12 @@ class TaskRunner:
         self.spark = spark
         self.runner = runner
         self.log = log
+        # per-stage wall clock of the LAST run() — pipeline benches
+        # read this for stage attribution (tools/pipeline_stage_bench);
+        # initialized here so reading it before run() (or after
+        # run_with_schedule, which never populates it) sees {} rather
+        # than AttributeError
+        self.stage_walls: dict[str, float] = {}
         self.ctx = TaskContext(
             spark=spark,
             connections=ConnectionRegistry(runner.config.get("connections")),
@@ -75,9 +81,7 @@ class TaskRunner:
         )
 
     def run(self) -> None:
-        # per-stage wall clock of the LAST run() — pipeline benches
-        # read this for stage attribution (tools/pipeline_stage_bench)
-        self.stage_walls: dict[str, float] = {}
+        self.stage_walls = {}
         for item in self.runner.config.get("tasks", []):
             task_type = "nop" if item.get("disabled") else item.get("type")
             fn = TASK_TYPES.get(task_type)

@@ -184,6 +184,35 @@ def test_embedding_near_dup_brute_vs_lsh(spark):
     assert {(r["id_a"], r["id_b"]) for r in lsh.collect()} <= got
 
 
+def test_embedding_near_dup_brute_raises_above_row_cap(spark):
+    """The O(n²) brute path refuses oversized input loudly (the
+    SemDeDup max_cluster contract) instead of burning 23 minutes of
+    interpreted cosines like the round-11 sf1 gate did."""
+    import pytest
+
+    df = spark.createDataFrame(VECS, ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="max_rows"):
+        embedding_near_dup_pairs(
+            df, "embedding", "vec_id", method="brute", max_rows=3
+        )
+
+
+def test_auto_lsh_bits_step_function():
+    """Integer step function: least b in [8,16] with n/2^b <= 16 —
+    constant expected occupancy, replayable from COUNT(*) alone."""
+    from dasladen_spark.operators.dedup import auto_lsh_bits
+
+    assert auto_lsh_bits(0) == 8
+    assert auto_lsh_bits(2000) == 8       # sf0.1: unchanged geometry
+    assert auto_lsh_bits(16 * 256) == 8   # boundary: exactly 16/bucket
+    assert auto_lsh_bits(16 * 256 + 1) == 9
+    assert auto_lsh_bits(20000) == 11     # sf1
+    assert auto_lsh_bits(10**9) == 16     # clamped at the hi end
+    # monotone non-decreasing over the whole range
+    vals = [auto_lsh_bits(n) for n in range(0, 3_000_000, 7919)]
+    assert vals == sorted(vals)
+
+
 def test_multimodal_feature_plumbing(spark):
     df = spark.createDataFrame([(1, "hello"), (2, "")], ["doc_id", "text"])
     feats = extract_image_features(with_payload(df))

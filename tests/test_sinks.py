@@ -118,9 +118,35 @@ def test_gen_sf_preserves_schemas_fks_and_identity(tmp_path, monkeypatch):
     assert np.allclose(np.linalg.norm(x, axis=1), 1.0, atol=1e-6)
     cos = float(x[0] @ x[1])
     assert 0.98 < cos < 0.99999
-    # documents: replica text differs (no cross-replica exact dupes)
+    # replica 0 is byte-identical to the source (no renorm round trip)
+    src0 = con.execute(
+        "SELECT embedding FROM '/root/testdata/sf0.001/embeddings.parquet'"
+        " WHERE vec_id = 3"
+    ).fetchone()[0]
+    rep0 = con.execute(
+        f"SELECT embedding FROM '{tmp_path}/embeddings.parquet'"
+        " WHERE vec_id = 3"
+    ).fetchone()[0]
+    assert list(src0) == list(rep0)
+    # documents: replica text differs (no cross-replica exact dupes);
+    # every 7th token mutated, the rest verbatim — and the longest
+    # token run shared with the original stays BELOW the 8-token
+    # span-dedup shingle, so replicas never span-annihilate their
+    # originals (the round-11 trailing-suffix degeneracy)
     t0, t1 = con.execute(
         f"SELECT text FROM '{tmp_path}/documents.parquet'"
         " WHERE doc_id IN (3, 503) ORDER BY doc_id"
     ).fetchall()
-    assert t0[0] != t1[0] and t1[0].endswith(" zzr1")
+    assert t0[0] != t1[0]
+    a, b = t0[0].split(" "), t1[0].split(" ")
+    assert len(a) == len(b)
+    for i, (ta, tb) in enumerate(zip(a, b)):
+        if i % 7 == 6:
+            assert tb == ta + "zzr1", i
+        else:
+            assert tb == ta, i
+    run = best = 0
+    for ta, tb in zip(a, b):
+        run = run + 1 if ta == tb else 0
+        best = max(best, run)
+    assert best < 8
