@@ -223,13 +223,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+#: stop-shingle document-frequency cap for the REGISTERED jaccard
+#: query, mirrored verbatim in its oracle: a shingle present in more
+#: than this many documents contributes no pairs (both engines drop
+#: it IDENTICALLY, so the match stays exact). Inactive through sf0.1
+#: (hottest fixture shingle df ≈ 300); above that it bounds the
+#: Σ df² pair expansion that a fixed synthetic vocabulary otherwise
+#: grows quadratically — the conventional cost bound for inverted-
+#: index similarity at corpus scale.
+_JACC_MAX_DF = 1000
+
+
 @query(
     "dedup_ngram_jaccard",
     # same inverted-index algorithm in DuckDB: unnest distinct word
-    # 3-grams, self-join on the shingle, count common per pair.
-    # (Spark buckets on xxhash64 of the shingle rather than the raw
-    # string — identical pairs barring a 64-bit collision.)
-    oracle=r"""
+    # 3-grams, drop shingles over the SAME df cap, self-join on the
+    # shingle, count common per pair. (Spark buckets on xxhash64 of
+    # the shingle rather than the raw string — identical pairs
+    # barring a 64-bit collision.)
+    oracle=rf"""
     WITH docs AS (
       SELECT doc_id AS id,
              list_distinct(list_transform(
@@ -239,10 +251,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     inv AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
+    kept AS (
+      SELECT shingle FROM inv
+      GROUP BY shingle HAVING COUNT(*) <= {_JACC_MAX_DF}
+    ),
+    inv2 AS (SELECT inv.* FROM inv JOIN kept USING (shingle)),
     common AS (
       SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
              COUNT(*) AS n_common
-      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+      FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.id < b.id
       GROUP BY 1, 2, 3, 4
     )
     SELECT id_a, id_b,
@@ -254,9 +271,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard ≥ 0.2 via shingle inverted index
-    with a document-frequency cap."""
+    with a document-frequency cap (df ≤ {_JACC_MAX_DF}, spelled
+    identically in the oracle — stop-shingles contribute no pairs on
+    either engine, the standard Σ df² bound)."""
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.2
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.2,
+        max_df=_JACC_MAX_DF,
     ).orderBy("id_a", "id_b")
 
 

