@@ -836,8 +836,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a deterministic function of the edge, so both engines draw the
 #: SAME sample and the estimate replays bit-for-bit.
 _TRI_TIERS = [
-    (60_000_000, "10000000", 4096),  # p=1/16 -> ×16³
-    (1_000_000, "40000000", 64),     # p=1/4  -> ×4³
+    (30_000_000, "10000000", 4096),  # p=1/16 -> ×16³ (sf10 and up)
+    (1_000_000, "40000000", 64),     # p=1/4  -> ×4³  (sf1)
     (0, "zzzzzzzz", 1),              # p=1 (every md5 prefix < 'zz…')
 ]
 

@@ -1783,6 +1783,7 @@ def test_triangle_estimate_tiers_and_identity_at_p1():
     assert _tri_tier(600) == ("zzzzzzzz", 1)          # sf0.001-ish
     assert _tri_tier(600_000) == ("zzzzzzzz", 1)      # sf0.1
     assert _tri_tier(6_000_000) == ("40000000", 64)   # sf1: p=1/4
+    assert _tri_tier(60_000_000) == ("10000000", 4096)   # sf10: p=1/16
     assert _tri_tier(600_000_000) == ("10000000", 4096)  # p=1/16
     # every md5 hex prefix sorts below the p=1 sentinel
     assert "ffffffff" < "zzzzzzzz"

@@ -451,6 +451,8 @@ _EXPECTED_FLAGS = {
     "text_zipf_slope": {"single-partition"},
     # 1-row triangle census scalar (only partial counts cross)
     "q_triangle_count": {"single-partition"},
+    # same 1-row census scalar, over the Doulion-sampled edge set
+    "q_triangle_count_estimate": {"single-partition"},
     # dense ranker: 1 query vector broadcast against the corpus (the
     # same tiny-side shape as ann_cosine_topk); fusion join is 100×100
     "retrieval_rrf_hybrid": {"bnlj"},
