@@ -72,11 +72,22 @@ def _expand_sorted_members(members: DataFrame, payload_col: str) -> DataFrame:
 def _bucket_pairs(
     exploded: DataFrame,
     bucket_cols: list[str],
-    payload_col: str,
+    payload_col: str | None,
     max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """(id, <payload>, bucket...) → member pairs per bucket:
     (id_a, id_b, payload_a, payload_b).
+
+    ``payload_col=None`` emits BARE (id_a, id_b) pairs. Use it
+    whenever the payload is wide (a 64-long MinHash signature, an
+    embedding vector): a candidate pair survives in ~1/bands of its
+    bucket duplicates, so shipping payloads through PAIR space
+    multiplies the widest column by the duplication factor — on a
+    duplicate-heavy corpus that is the difference between a 10 GB and
+    a 400 GB shuffle (the sf10 fixture's 101-replica cliques filled
+    the local disk through exactly this path). Callers join the
+    payload back AFTER dropDuplicates, paying one corpus-sized join
+    per side instead — linear in n, not in bucket-duplicated pairs.
 
     One hash shuffle on the bucket key; pairs are generated in place
     with codegen-friendly array ops, so upstream per-row signatures
@@ -98,14 +109,15 @@ def _bucket_pairs(
     re-check that follows while spoke pairs would pass — must opt
     out: for them a hot bucket is a hash-width tuning problem
     (more tables / more bits), not a duplicate cluster."""
+    member = (
+        F.struct(F.col("id"))
+        if payload_col is None
+        else F.struct(F.col("id"), F.col(payload_col))
+    )
     if max_bucket is None:
         members = (
             exploded.groupBy(*[F.col(c) for c in bucket_cols])
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("id"), F.col(payload_col)))
-                ).alias("ms")
-            )
+            .agg(F.array_sort(F.collect_list(member)).alias("ms"))
             .filter(F.size("ms") > 1)
         )
         pairs = _expand_sorted_members(members, payload_col)
@@ -117,33 +129,28 @@ def _bucket_pairs(
         w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
         sized = exploded.withColumn(
             "_cnt", F.count(F.lit(1)).over(w)
-        ).withColumn(
-            "_mn", F.min(F.struct(F.col("id"), F.col(payload_col))).over(w)
-        )
+        ).withColumn("_mn", F.min(member).over(w))
         members = (
             sized.filter((F.col("_cnt") > 1) & (F.col("_cnt") <= max_bucket))
             .groupBy(*[F.col(c) for c in bucket_cols])
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("id"), F.col(payload_col)))
-                ).alias("ms")
-            )
+            .agg(F.array_sort(F.collect_list(member)).alias("ms"))
         )
         star_pairs = sized.filter(
             (F.col("_cnt") > max_bucket) & (F.col("id") != F.col("_mn")["id"])
-        ).select(
-            F.col("_mn").alias("a"),
-            F.struct(F.col("id"), F.col(payload_col)).alias("b"),
-        )
+        ).select(F.col("_mn").alias("a"), member.alias("b"))
         pairs = _expand_sorted_members(members, payload_col).unionByName(
             star_pairs
         )
-    return pairs.select(
+    cols = [
         F.col("a")["id"].alias("id_a"),
         F.col("b")["id"].alias("id_b"),
-        F.col("a")[payload_col].alias(f"{payload_col}_a"),
-        F.col("b")[payload_col].alias(f"{payload_col}_b"),
-    )
+    ]
+    if payload_col is not None:
+        cols += [
+            F.col("a")[payload_col].alias(f"{payload_col}_a"),
+            F.col("b")[payload_col].alias(f"{payload_col}_b"),
+        ]
+    return pairs.select(*cols)
 
 
 def exact_dedup(
@@ -277,9 +284,20 @@ def minhash_lsh_pairs(
     — so bucket membership, hence the candidate set itself, is
     bit-replayable by the SQL oracle, and a bucket collision can only
     mean true slice equality.
+
+    Pair generation is PAYLOAD-FREE: buckets emit bare (id_a, id_b),
+    the cross-band dropDuplicates shuffles 16-byte rows, and the two
+    64-long signatures join back onto the DISTINCT pairs (sigs is
+    persisted, so the signature aggregate still runs once). Shipping
+    sigs through pair space instead multiplies ~0.5 KB by the
+    bucket-duplication factor — measured 400 GB of spill (disk-full
+    crash) on the sf10 fixture's 101-replica cliques — and pays the
+    interpreted zip_with estimate per DUPLICATE instead of per pair.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_len
+    ).persist()
 
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -293,16 +311,18 @@ def minhash_lsh_pairs(
             ).alias("bucket"),
         ),
     )
-    exploded = sigs.select("id", "sig", F.explode(band_arr).alias("bb")).select(
-        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    exploded = sigs.select("id", F.explode(band_arr).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
     # Single-pass bucket pairing: a naive self-join on (band, bucket)
     # runs the whole signature aggregate once per join side (no
     # exchange to reuse under BHJ) — at 100 TB that doubles the most
     # expensive stage. Instead: one shuffle to the bucket, collect
-    # the (tiny) member list, emit i<j pairs in place.
-    pairs = _bucket_pairs(exploded, ["band", "bucket"], "sig")
+    # the (tiny) member list, emit i<j id pairs in place.
+    pairs = _bucket_pairs(exploded, ["band", "bucket"], None).dropDuplicates(
+        ["id_a", "id_b"]
+    )
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -310,7 +330,14 @@ def minhash_lsh_pairs(
         )
     ).cast("double") / F.lit(float(num_hashes))
     return (
-        pairs.dropDuplicates(["id_a", "id_b"])
+        pairs.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
         .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
@@ -1316,6 +1343,7 @@ def embedding_near_dup_pairs(
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    base = base.persist()
     if bits_per_table == "auto":
         bits_per_table = auto_lsh_bits(base.count())
     exploded = hyperplane_table_buckets(
@@ -1325,12 +1353,28 @@ def embedding_near_dup_pairs(
     # the star degrade would drop true pairs whose spokes fail the
     # hub's cosine re-check — hot buckets here are a num_tables /
     # bits_per_table tuning problem, and the downstream exact
-    # re-check bounds what a hot bucket can emit
+    # re-check bounds what a hot bucket can emit. Pairing is
+    # payload-free (bare ids): the vectors join back onto the
+    # DISTINCT candidates below, so the wide vec column crosses the
+    # bucket shuffle once per ROW, not once per bucket-duplicated
+    # pair (× num_tables), and the cosine re-check runs once per
+    # distinct candidate.
     cand = _bucket_pairs(
-        exploded, ["t", "bkt"], "vec", max_bucket=None
+        exploded, ["t", "bkt"], None, max_bucket=None
     ).dropDuplicates(["id_a", "id_b"])
-    return cand.select(
-        "id_a",
-        "id_b",
-        cosine_sim(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    return (
+        cand.join(
+            base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            cosine_sim(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

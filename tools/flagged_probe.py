@@ -35,6 +35,9 @@ FLAGGED = [
     "dedup_ngram_jaccard",
     "decontaminate_semantic_ann",
     "dedup_near_rate_by_source",
+    "graph_kcore",
+    "graph_communities",
+    "ann_pq_indexed_topk",
 ]
 
 SFS = ["/root/testdata/sf0.1", "/root/repo/.localdata/sf1"]
