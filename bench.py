@@ -144,6 +144,22 @@ HEADLINE = [
 # it (exact oracle INCLUDING the candidate set) every round.
 
 
+#: queries whose first run pays a one-time materialization (ANN
+#: postings, PQ codes, NB model, history fingerprint index) or ~8s of
+#: whole-stage-codegen compilation for a 64-column signature aggregate
+#: (dedup_minhash_lsh / ann_lsh_topk) — warmed untimed so the timed
+#: reps measure the amortized, corpus-scale cost. Module-level so
+#: tools/time_queries.py applies the identical warm policy.
+WARM_FIRST = {
+    "ann_indexed_topk",
+    "ann_pq_indexed_topk",
+    "dedup_incremental_novel",
+    "text_nb_quality_score",
+    "dedup_minhash_lsh",
+    "ann_lsh_topk",
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -198,19 +214,7 @@ def main() -> None:
     # ensures every timed rep measures the amortized probe path (the
     # corpus-scale cost); the build cost is visible in the stderr log
     # line instead of randomly polluting one sample.
-    warm_first = {
-        "ann_indexed_topk",
-        "ann_pq_indexed_topk",
-        "dedup_incremental_novel",
-        "text_nb_quality_score",
-        # first run pays ~8s of whole-stage-codegen compilation for
-        # the 64-column signature aggregate; warm reps measure the
-        # ~2.5s execution that actually scales with data
-        "dedup_minhash_lsh",
-        # same signature-aggregate compile profile since round 9's
-        # pure-JVM hyperplane kernel (64 quantized-dot sum columns)
-        "ann_lsh_topk",
-    }
+    warm_first = WARM_FIRST
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:

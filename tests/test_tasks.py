@@ -939,11 +939,16 @@ def test_ann_index_task_append_and_compact(spark, workdir):
     # task defaults to self-matches allowed? search defaults True, so
     # check the appended vector appears as SOMEONE's neighbor instead
     assert any(r["neighbor_id"] >= 40 or r["query_id"] == 45 for r in res)
-    # compaction left one file per bucket
+    # compaction left one file per bucket — in the PHYSICAL snapshot
+    # table the logical name points at (operators/snapshot: the index
+    # lives at t_task_annidx2__<digest>, resolved via the pointer view)
+    from dasladen_spark.operators.snapshot import resolve_snapshot
+
+    phys = resolve_snapshot(spark, "t_task_annidx2")
     wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
     files = [
         f
-        for f in os.listdir(os.path.join(wh, "t_task_annidx2"))
+        for f in os.listdir(os.path.join(wh, phys))
         if f.endswith(".parquet")
     ]
     assert len(files) == 16, len(files)
