@@ -176,7 +176,17 @@ def dsir_weights(
     vocabulary-sized λ table shuffle-side (a corpus-scale vocabulary
     never broadcasts). λ rounds to 12 decimals before DECIMAL(38,18)
     accumulation — the bit-identical-replay discipline of the
-    bigram-LM scorer — and the per-token division rounds once."""
+    bigram-LM scorer — and the per-token division rounds once.
+
+    Deliberately NOT shared through a persisted occurrence rollup:
+    the rollup feeds three branches (models, totals, scoring) and an
+    interleaved A/B of the "persist occ+model" variant measured
+    1.132 s → 1.335 s (sf0.1, medians of 7, identical rows) — the
+    cache materialization barrier costs more than the branches'
+    repeated, embarrassingly-parallel tokenize whose per-branch
+    exchanges are all partially aggregated map-side. Revisit on a
+    cluster if three corpus scans ever dominate the occ-cache round
+    trip."""
     occ = (
         docs.select(
             F.col(id_col).alias("_id"),

@@ -116,7 +116,11 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     # three bench consumers (two probe-position projections, the exact
     # verify) re-tokenize that slice — at deployment the benchmark is a
     # SEPARATE MBs-sized table and those are three scans of a tiny
-    # input (same accepted shape as decontaminate_ngrams/containment)
+    # input (same accepted shape as decontaminate_ngrams/containment).
+    # Persisting bench was A/B-measured SLOWER (1.529 s → 2.288 s,
+    # sf0.1 interleaved medians of 7, identical rows): the cache
+    # materialization barrier serializes three branches that otherwise
+    # tokenize the slice in parallel.
     bench = g.filter(F.col("doc_id") % 7 == 0).select("ng").distinct()
     train = g.filter(F.col("doc_id") % 7 != 0).distinct()
     pos = (

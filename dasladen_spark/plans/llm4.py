@@ -1302,35 +1302,55 @@ def run_corpus_pipeline(
     t_tasks = _time.time()
     tr.run()
     t_audit = _time.time()
-    # ONE job audits all five funnel sinks (a union of independent
-    # aggregates — the five scans run in parallel instead of five
-    # sequential collect() jobs; ~0.7 s of the bench line)
-    audit = None
-    for fname, stage, label in (
+    # ONE aggregation job audits all five funnel sinks: union the
+    # SCANS (stage-labelled (stage, nt, real=1) rows), not five
+    # independent one-row aggregates — under AQE the
+    # union-of-aggregates shape materialized each branch's exchange
+    # as its own near-sequential job (profiled: 6 jobs, ~1.3 s of
+    # the bench line; now 1 grouped aggregation over one union, one
+    # exchange). A seed row per stage (real=0, nt=0) keeps a
+    # legitimately-emptied sink present in the report with
+    # n_docs=0 / n_tokens=0 — the COALESCE(SUM, 0) spelling both
+    # engines agreed on for empty stages.
+    stages = (
         ("s1_raw", 1, "raw"),
         ("s2_dedup.parquet", 2, "fingerprint_dedup"),
         ("s3_len.parquet", 3, "min_length"),
         ("s4_span.parquet", 4, "span_dedup"),
         ("s5_quality.parquet", 5, "quality_gate"),
-    ):
-        a = (
-            spark.read.parquet(os.path.join(out, fname))
-            .select(F.size(tokens_col()).alias("nt"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("nt"), F.lit(0)).alias("t"),
-            )
+    )
+    audit = spark.createDataFrame(
+        [(stage, 0, 0) for _, stage, _ in stages],
+        "stage int, nt int, real int",
+    )
+    for fname, stage, _label in stages:
+        audit = audit.unionByName(
+            # explicit one-column schema: the audit only needs text,
+            # and a user-supplied schema skips the per-sink footer
+            # read job spark.read.parquet otherwise runs (profiled:
+            # five 0.03 s schema jobs + their driver gaps)
+            spark.read.schema("text string")
+            .parquet(os.path.join(out, fname))
             .select(
                 F.lit(stage).alias("stage"),
-                F.lit(label).alias("stage_name"),
-                "n",
-                "t",
+                F.size(tokens_col()).alias("nt"),
+                F.lit(1).alias("real"),
             )
         )
-        audit = a if audit is None else audit.unionAll(a)
+    labels = {stage: label for _, stage, label in stages}
     rows = [
-        (r["stage"], r["stage_name"], int(r["n"]), int(r["t"]))
-        for r in audit.collect()
+        (
+            r["stage"],
+            labels[r["stage"]],
+            int(r["n"]),
+            int(r["t"]),
+        )
+        for r in audit.groupBy("stage")
+        .agg(
+            F.sum("real").alias("n"),
+            F.sum(F.col("nt") * F.col("real")).alias("t"),
+        )
+        .collect()
     ]
     rows.sort()
     if stage_walls_out is not None:
