@@ -454,8 +454,15 @@ _EXPECTED_FLAGS = {
     # same 1-row census scalar, over the Doulion-sampled edge set
     "q_triangle_count_estimate": {"single-partition"},
     # dense ranker: 1 query vector broadcast against the corpus (the
-    # same tiny-side shape as ann_cosine_topk); fusion join is 100×100
-    "retrieval_rrf_hybrid": {"bnlj"},
+    # same tiny-side shape as ann_cosine_topk); fusion join is 100×100.
+    # single-partition: bm25_scored's avgdl/n_docs corpus stats are a
+    # lazy 1-row aggregate broadcast (crossJoin) — only partial sums
+    # cross the exchange, same class as q6_forecast_revenue
+    "retrieval_rrf_hybrid": {"bnlj", "single-partition"},
+    # same 1-row avgdl/n_docs scalar broadcast: the bnlj IS the 1-row
+    # crossJoin (build side is one row by construction), replacing an
+    # eager collect that cost an extra tokenize action per plan build
+    "text_bm25_topk": {"bnlj", "single-partition"},
     # bounded probe sample broadcast against the corpus (exact-scan
     # audit; the ANN index is the at-scale path)
     "embedding_knn_label_agreement": {"bnlj"},
