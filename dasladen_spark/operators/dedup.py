@@ -124,23 +124,43 @@ def _bucket_pairs(
     else:
         # bucket size + min member come from WINDOW aggregates
         # (spill-safe for arbitrarily hot buckets); only ≤ max_bucket
-        # buckets ever reach collect_list, so no task buffers an
-        # unbounded member list
+        # buckets ever reach collect_list as a WHOLE — each member of
+        # a larger bucket rides through the aggregate as its OWN
+        # group (the ``_sk`` self key), so no task buffers an
+        # unbounded member list. Prepending the bucket minimum to
+        # those singleton groups lets the ONE i<j expansion below
+        # emit the star pairs too. The previous two-branch union
+        # (all-pairs ∪ star) re-exploded and re-shuffled the banded
+        # rows once per branch — Catalyst prunes the branches'
+        # columns differently, so exchange reuse never fired and the
+        # bucket shuffle ran twice (r12 plan audit: Exchange(12) and
+        # Exchange(29) over identical Generate subtrees).
         w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
-        sized = exploded.withColumn(
-            "_cnt", F.count(F.lit(1)).over(w)
-        ).withColumn("_mn", F.min(member).over(w))
-        members = (
-            sized.filter((F.col("_cnt") > 1) & (F.col("_cnt") <= max_bucket))
-            .groupBy(*[F.col(c) for c in bucket_cols])
-            .agg(F.array_sort(F.collect_list(member)).alias("ms"))
+        sized = (
+            exploded.withColumn("_cnt", F.count(F.lit(1)).over(w))
+            .withColumn("_mn", F.min(member).over(w))
+            .filter(F.col("_cnt") > 1)
         )
-        star_pairs = sized.filter(
-            (F.col("_cnt") > max_bucket) & (F.col("id") != F.col("_mn")["id"])
-        ).select(F.col("_mn").alias("a"), member.alias("b"))
-        pairs = _expand_sorted_members(members, payload_col).unionByName(
-            star_pairs
+        # same-bucket grouping keys extend the window's partitioning,
+        # so the aggregate reuses the one bucket exchange
+        grouped = sized.groupBy(
+            *[F.col(c) for c in bucket_cols],
+            F.when(F.col("_cnt") > max_bucket, F.col("id")).alias("_sk"),
+        ).agg(
+            F.array_sort(F.collect_list(member)).alias("_ms0"),
+            F.first("_cnt").alias("_bc"),
+            F.first("_mn").alias("_bmn"),
         )
+        # star groups hold one member; [min, member] is already
+        # sorted (min.id < member.id), and the min's own singleton
+        # stays size-1 → emits nothing, exactly the old star filter
+        ms = F.when(
+            (F.col("_bc") > max_bucket)
+            & (F.col("_ms0")[0]["id"] != F.col("_bmn")["id"]),
+            F.concat(F.array(F.col("_bmn")), F.col("_ms0")),
+        ).otherwise(F.col("_ms0"))
+        members = grouped.select(ms.alias("ms")).filter(F.size("ms") > 1)
+        pairs = _expand_sorted_members(members, payload_col)
     cols = [
         F.col("a")["id"].alias("id_a"),
         F.col("b")["id"].alias("id_b"),

@@ -122,11 +122,17 @@ def duplicated_span_coverage(
     Scale shape: shingles are built inside the row with
     ``transform(sequence(...))`` over the token array (no shuffle,
     no UDF) and reduced to (doc, pos, hash) before anything wide
-    runs; one hash-keyed shuffle counts global occurrences, one
-    equi-join keeps only duplicated shingles, and the interval union
-    (operators/intervals.merge_intervals) is a single doc-keyed
-    exchange. Returns (id, n_tokens, covered_tokens, dup_coverage)
-    for every input doc (0.0 where nothing repeats)."""
+    runs; ONE hash-keyed shuffle both counts global occurrences and
+    keeps the duplicated positions — a window count over ``h``
+    (spill-safe for arbitrarily hot boilerplate shingles) replaces
+    the previous groupBy + self-equi-join, which ran the whole
+    tokenize+md5 shingling projection TWICE (r12 job profile: the
+    two ~1 s single-stage jobs of the funnel's s4 stage were the two
+    scans feeding the count exchange and the join exchange). The
+    interval union (operators/intervals.merge_intervals) stays a
+    single doc-keyed exchange. Returns (id, n_tokens,
+    covered_tokens, dup_coverage) for every input doc (0.0 where
+    nothing repeats)."""
     base = docs.select(
         F.col(id_col).alias("__id"), tokens_col(text_col).alias("__a")
     ).withColumn("__n", F.size("__a"))
@@ -144,16 +150,15 @@ def duplicated_span_coverage(
         )
         .select("__id", F.col("sg.pos").alias("pos"), F.col("sg.h").alias("h"))
     )
-    dup = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-        .select("h")
-    )
-    ints = sh.join(dup, "h").select(
-        "__id",
-        F.col("pos").alias("start"),
-        (F.col("pos") + span).alias("end"),
+    w = Window.partitionBy("h")
+    ints = (
+        sh.withColumn("__cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("__cnt") >= min_count)
+        .select(
+            "__id",
+            F.col("pos").alias("start"),
+            (F.col("pos") + span).alias("end"),
+        )
     )
     cov = (
         merge_intervals(ints, "__id", "start", "end")

@@ -1058,6 +1058,13 @@ def q_ewma_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wts = F.array(*[F.lit(w).cast("decimal(13,11)") for w in _EWMA_W])
+    # the calendar-sized series feeds BOTH self-join sides —
+    # without a persist the whole fact-table join+rollup runs
+    # once per side (r12 plan audit: operators 1-16 duplicated
+    # verbatim at 18-33). ≤ |nations|x|weeks| rows at ANY
+    # corpus size, so the cache is bounded and the saved pass
+    # is over the fact table.
+    wk = wk.persist()
     a = wk.alias("a")
     b = wk.alias("b")
     diff_days = F.datediff(F.col("a.week"), F.col("b.week"))

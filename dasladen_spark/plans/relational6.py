@@ -72,7 +72,15 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n = b.agg(F.count_distinct("ok").alias("n_baskets"))
-    itm = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    # itm feeds BOTH rule sides (ia, ic) — without its own persist the
+    # item-support aggregate (a full pass over b plus an item-keyed
+    # exchange) runs once per side: the r12 plan audit showed the
+    # HashAggregate+Exchange subtree duplicated verbatim (operators
+    # 30-32 and 39-41), exchange reuse defeated by the per-side
+    # aliases. |items|-sized cache, corpus-pass saved.
+    itm = (
+        b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item")).persist()
+    )
     a = b.select(F.col("ok"), F.col("item").alias("antecedent"))
     c = b.select(F.col("ok").alias("ok2"), F.col("item").alias("consequent"))
     pair = (
