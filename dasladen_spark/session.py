@@ -30,6 +30,11 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # output codec: zstd reads back as fast as snappy and writes
+    # markedly smaller files (guide §6) — at 100 TB the sink bytes
+    # are the cost; locally A/B-measured a wash (pipeline_corpus_e2e
+    # interleaved medians 15.18 s snappy vs 14.98 s zstd)
+    "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     # columnar batch reads for parquet (vectorized reader is default-on,
