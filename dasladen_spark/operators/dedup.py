@@ -1223,6 +1223,19 @@ def semantic_dedup_survivors(
         ),
         "_sid",
     )
+    # explicit cluster-keyed repartition: the pair join's shuffle is
+    # BYTE-small (ids + one vector per row) so AQE coalesces it — the
+    # r12 job profile showed the entire Σ|cluster|² cosine fold of
+    # dedup_semantic_clusters running as ONE task (2.96 s of a 8.1 s
+    # wall on 32 cores). A user repartition pinned to
+    # defaultParallelism matches the join key, so no extra exchange
+    # appears (the self-join reuses it for both sides) and the
+    # compute-bound stage stays wide at every scale; interleaved A/B
+    # below in plans gate. Cluster count ≫ cores by the SemDeDup
+    # k ∝ n contract, so the hash spread is even.
+    m = m.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, "_sc"
+    )
     a, b = m.alias("a"), m.alias("b")
     pairs = (
         a.join(

@@ -258,8 +258,27 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     direct each edge from its (degree, id)-smaller endpoint, making
     every out-degree O(√E), and enumerate each triangle exactly once
     via two oriented hops plus a closing equi-join. All joins are
-    node-keyed equi-joins; nothing collects to the driver."""
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    node-keyed equi-joins; nothing collects to the driver.
+
+    The edge list materializes ONCE at entry and the oriented list
+    ONCE before the wedge join (localCheckpoint, the same lineage cut
+    every iterative operator here uses): without them Catalyst inlines
+    the ``edges`` subtree into every reference — und 2×, the degree
+    join 5×, orientation 10×, the three-way wedge join 30× — and a
+    caller deriving edges from a fact table (q_triangle_count's
+    co-purchase projection) shows 60 lineitem FileScans in one plan
+    (r12 sweep). AQE's ReuseExchange deduplicates MOST of that at
+    runtime (38 ReusedExchange nodes, so the measured sf0.1 win is
+    modest: interleaved medians 9.3 → 8.6 s, identical census), but
+    reuse is canonical-subtree-match best-effort — the r12 minhash
+    audit showed column pruning silently defeating it — where the
+    checkpoint is a guarantee, and it shrinks the executed DAG from
+    360 Exchange nodes to 22 (driver planning cost at every scale).
+    Both checkpoints hold exactly the algorithm's working set (E
+    rows, two ids)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
     und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     ej = e.join(deg.select("u", F.col("d").alias("du")), "u").join(
@@ -274,6 +293,7 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
         .unionByName(
             ej.filter(~lt).select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
+        .localCheckpoint(eager=True)
     )
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = e1.join(e2, on=F.expr("e2.u = e1.v")).join(

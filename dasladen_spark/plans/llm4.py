@@ -1129,17 +1129,41 @@ def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalize_text(F.col("text"))).alias("fp"),
         quality_score(F.col("text")).alias("q"),
     )
-    s2 = (
-        d0.withColumn(
-            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+
+    def _chain(base: DataFrame) -> tuple[DataFrame, DataFrame]:
+        c2 = (
+            base.withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("fp").orderBy("doc_id")),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
         )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        return c2, c2.filter(F.col("nt") >= _FUNNEL_MIN_TOK)
+
+    # the five scalar rollups read a NARROW persisted stats frame (no
+    # text): the tokenize/fingerprint/quality projection runs exactly
+    # once into a 4-column cache instead of once per stage branch that
+    # AQE's best-effort ReuseExchange fails to dedup (the raw-stage
+    # aggregate has no window exchange to reuse; r12 sweep counted 9
+    # documents FileScans in this one plan). Locally a wash
+    # (interleaved medians 3.22 s plain vs 3.20 s persisted, identical
+    # rows) — the point is the GUARANTEED pass count at scale, with
+    # text kept out of the cache. The span pass needs text, so it
+    # derives its own chain (text rides the same fp exchange it always
+    # did — no extra shuffle), and its narrow (doc_id, coverage)
+    # result persists because s4 feeds BOTH the stage-4 and stage-5
+    # rollups — one corpus-wide shingle pass, not two.
+    dn = d0.drop("text").persist()
+    s2, s3 = _chain(dn)
+    _, s3t = _chain(d0)
+    cov = (
+        duplicated_span_coverage(
+            s3t.select("doc_id", "text"), "doc_id", "text", span=_SPAN_N
+        )
+        .select("doc_id", "dup_coverage")
+        .persist()
     )
-    s3 = s2.filter(F.col("nt") >= _FUNNEL_MIN_TOK)
-    cov = duplicated_span_coverage(
-        s3.select("doc_id", "text"), "doc_id", "text", span=_SPAN_N
-    ).select("doc_id", "dup_coverage")
     s4 = s3.join(cov, "doc_id", "left").filter(
         F.coalesce("dup_coverage", F.lit(0.0)) <= _FUNNEL_MAX_COV
     )
@@ -1154,7 +1178,7 @@ def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        _stage(d0, 1, "raw")
+        _stage(dn, 1, "raw")
         .unionByName(_stage(s2, 2, "fingerprint_dedup"))
         .unionByName(_stage(s3, 3, "min_length"))
         .unionByName(_stage(s4, 4, "span_dedup"))

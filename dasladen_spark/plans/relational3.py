@@ -609,12 +609,20 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp. Three key-partitioned aggregates on the same user_id
     key — under AQE the shuffles reuse one partitioning, and no
     per-user event list is ever collected (the naive
-    collect_list+UDF funnel OOMs on power users at 100 TB)."""
+    collect_list+UDF funnel OOMs on power users at 100 TB).
+
+    s1/s2 persist: each feeds BOTH the next stage's join and its own
+    funnel count, and without the pin the plan re-derives them per
+    consumer — 6 events FileScans in one plan (r12 sweep; the view
+    filter alone scanned 3×). Both frames are user-keyed MINs — ≤
+    |users| narrow rows at any event volume, the bounded-cache class
+    (guide §5), and the saved passes are over the FACT table."""
     ev = _t(spark, sf_dir, "events")
     s1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist()
     )
     s2 = (
         ev.filter(F.col("event_type") == "click")
@@ -622,6 +630,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist()
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
