@@ -1,13 +1,13 @@
 """Distributed k-means over embedding columns.
 
 The iterative ML primitive beyond PageRank/connected-components: each
-iteration is ONE assignment pass (position-explode into a codegen'd
-hash aggregate with k BIGINT distance cells — the
-similarity.assign_cells kernel in raw-coordinate mode) plus ONE hash
-shuffle (recompute: lattice-point sums per (cluster, dim) with
-map-side partial aggregation). No driver ever holds more than
-k × dim floats, so the same loop runs a billion-row corpus; lineage
-is cut per iteration the same way the graph operators do it.
+iteration is ONE corpus pass (the similarity.assign_cells HOF kernel
+in raw-coordinate mode, fused with the recompute the way
+pq.fit_pq_codebooks fuses encode+means) ending in ONE tiny hash
+shuffle — lattice-point sums per (cluster, dim) with map-side partial
+aggregation, k × dim partial rows per task regardless of corpus
+size. No driver ever holds more than k × dim floats, so the same
+loop runs a billion-row corpus.
 
 Determinism (round 9 — the operators/pq lattice doctrine, applied in
 RAW coordinate space since k-means is not a cosine method): seeds are
@@ -29,8 +29,13 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dasladen_spark.operators.pq import PQ_QUANT
-from dasladen_spark.operators.similarity import assign_cells
+from dasladen_spark.operators.pq import PQ_QUANT, _lat
+from dasladen_spark.operators.similarity import (
+    _argmin_cell,
+    assign_cells,
+    cell_dist_array,
+    lattice_zx_frame,
+)
 
 
 def kmeans_fit(
@@ -84,31 +89,28 @@ def kmeans_fit(
                 f"kmeans_fit: corpus has {len(init)} rows, needs k={k}"
             )
         cent = [[float(x) for x in r["vec"]] for r in init]
-        # lattice positions of every vector, shared by all rounds
-        zpos = base.select(
-            "id",
-            F.posexplode(F.col("vec").cast("array<double>")).alias(
-                "_pos", "_x"
-            ),
-        ).select(
-            "id",
-            "_pos",
-            F.floor(
-                F.col("_x") * F.lit(PQ_QUANT) + F.lit(0.5)
-            ).alias("_zx"),
-        )
         for _ in range(iterations):
-            cells = assign_cells(
-                base, np.asarray(cent), "id", "vec", "cluster",
-                normalize=False,
-            )
-            # recompute: (cluster, dim)-keyed lattice sums — partial
+            # fused recompute (r12, the fit_pq_codebooks shape): ONE
+            # pass over the cache derives the lattice points AND the
+            # assignment per row, then position-explodes straight
+            # into the (cluster, dim)-keyed lattice sums — partial
             # (map-side) aggregation applies, the shuffle carries
             # k×dim partials per task, and no task ever materializes
             # a whole cluster (collect_list would — quadratic death
-            # when one cluster owns most of the corpus)
+            # when one cluster owns most of the corpus). The previous
+            # spelling re-shuffled the corpus TWICE per round: the
+            # assignment groupBy exchange plus an id-keyed join of
+            # dim rows per vector back onto the cells
+            zc = [
+                [_lat(v) for v in row] for row in np.asarray(cent)
+            ]
             stats = (
-                zpos.join(cells, "id")
+                lattice_zx_frame(base, [], "vec", normalize=False)
+                .select("_azx", cell_dist_array(zc).alias("_adarr"))
+                .select(
+                    _argmin_cell().alias("cluster"),
+                    F.posexplode("_azx").alias("_pos", "_zx"),
+                )
                 .groupBy("cluster", "_pos")
                 .agg(
                     F.sum("_zx").alias("_s"),

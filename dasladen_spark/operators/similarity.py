@@ -352,6 +352,73 @@ def _lsh_topk_broadcast(
 IVF_VERSION = 2
 
 
+def lattice_zx_frame(
+    df: DataFrame, id_cols: list, vec_col: str, normalize: bool
+) -> DataFrame:
+    """(*id_cols, _azx) — each row's array<bigint> of lattice points
+    ``floor((x/denom)·Q + 0.5)`` (denom = :func:`pq.lattice_denom`,
+    or the exact ``x/1.0`` raw-coordinate flavor). Two projections on
+    purpose: the cast and the O(dim) denom fold are each non-cheap
+    producer expressions referenced more than once downstream, so
+    CollapseProject leaves them materialized once per row. The denom
+    rides as an ``array_repeat`` ARGUMENT (never inside a lambda
+    body), so no optimizer rewrite can multiply the fold per element
+    (the lattice_denom O(dim²) trap)."""
+    from dasladen_spark.operators.pq import PQ_QUANT, lattice_denom
+
+    ids = [F.col(c) if isinstance(c, str) else c for c in id_cols]
+    v = df.select(
+        *ids, F.col(vec_col).cast("array<double>").alias("_av")
+    )
+    denom = (
+        lattice_denom(F.col("_av")) if normalize else F.lit(1.0)
+    )
+    zx = F.zip_with(
+        F.col("_av"),
+        F.array_repeat(denom, F.size(F.col("_av"))),
+        lambda x, d: F.floor((x / d) * F.lit(PQ_QUANT) + F.lit(0.5)),
+    )
+    keep = [c for c in v.columns if c != "_av"]
+    # empty/null vectors never produced an assignment row in the
+    # round-11 explode/aggregate shape (no exploded positions → no
+    # group) — keep that contract as an explicit cheap guard
+    return v.filter(F.size(F.col("_av")) > 0).select(
+        *keep, zx.alias("_azx")
+    )
+
+
+def cell_dist_array(zc: list) -> "F.Column":
+    """array<bigint> of per-cell squared lattice distances over the
+    ``_azx`` column — ONE expression per cell,
+    ``aggregate(zip_with(zx, zc_c, (a,b) -> (a-b)²), 0L, +)``. Higher-
+    order functions evaluate interpreted (never inlined into janino
+    methods), so unlike the flat per-position chain this never
+    degrades whole-stage codegen at dim=64, and unlike the
+    posexplode/hash-aggregate shape it needs NO exchange at all."""
+    from dasladen_spark.operators.pq import _zc_lit
+
+    return F.array(
+        *[
+            F.expr(
+                f"aggregate(zip_with(_azx, {_zc_lit(row)},"
+                " (a, b) -> (a - b) * (a - b)),"
+                " 0L, (s, v) -> s + v)"
+            )
+            for row in zc
+        ]
+    )
+
+
+#: argmin over the ``_adarr`` distance array with the lowest-index
+#: tie-break — the exact spelling every lattice argmin in the repo
+#: (and the SQL oracle) uses.
+def _argmin_cell() -> "F.Column":
+    return (
+        F.array_position(F.col("_adarr"), F.array_min(F.col("_adarr")))
+        - 1
+    ).cast("int")
+
+
 def assign_cells(
     df: DataFrame,
     cent_mat: np.ndarray,
@@ -368,60 +435,32 @@ def assign_cells(
     by the inverted-list build, the index append path, the Lloyd
     rounds, and the SQL oracle replay.
 
-    Execution shape: positions explode (dim rows per vector) into ONE
-    codegen'd hash aggregate with ``n_centroids`` BIGINT SUM cells —
-    ``d_c = Σ_pos (zx_pos - zc_{c,pos})²`` via element_at lookups into
-    per-cell split-string literals. A flat per-cell expression chain
-    (the PQ encode shape, right at dsub=4) blows janino's 64 KB
-    method limit at dsub=64 and silently falls back to interpreted —
-    this shape keeps each generated aggregate update small. Map-side
-    complete (the explode never crosses partitions; a row-unique salt
-    keys duplicates), so the exchange carries one row per vector.
+    Execution shape (r12): three narrow projections, ZERO exchanges —
+    lattice points per row (:func:`lattice_zx_frame`), then one
+    interpreted ``aggregate(zip_with(...))`` fold per cell
+    (:func:`cell_dist_array`), then the argmin. The previous shape
+    (posexplode into a codegen'd hash aggregate with ``n_centroids``
+    BIGINT SUM cells) computed the identical integers but shuffled
+    one k-cell row per vector through a groupBy exchange; the
+    corpus-scale assignment pass now stays entirely map-side. (A flat
+    per-position expression chain — the PQ encode shape at dsub=4 —
+    is still avoided: it blows janino's 64 KB method limit at dim=64;
+    the HOF folds never enter generated code.)
 
     ``normalize=False`` assigns in RAW coordinate space
     (``zx = floor(x·Q + 0.5)``, the ``x/1.0`` division is exact) —
     the k-means flavor (operators/clustering)."""
-    from dasladen_spark.operators.pq import PQ_QUANT, _lat, _zc_lit, lattice_denom
+    from dasladen_spark.operators.pq import _lat
 
     cm = np.asarray(cent_mat, np.float64)
-    ksub, dim = cm.shape
     zc = [[_lat(v) for v in row] for row in cm]
-    denom = (
-        lattice_denom(F.col(vec_col)) if normalize else F.lit(1.0)
+    zxf = lattice_zx_frame(
+        df, [F.col(id_col).alias("_aid")], vec_col, normalize
     )
-    ex = df.select(
-        F.col(id_col).alias("_aid"),
-        F.monotonically_increasing_id().alias("_asalt"),
-        F.col(vec_col).cast("array<double>").alias("_av"),
-        denom.alias("_adenom"),
-    ).select(
-        "_aid",
-        "_asalt",
-        "_adenom",
-        F.posexplode("_av").alias("_pos", "_x"),
-    )
-    ex = ex.select(
-        "_aid",
-        "_asalt",
-        "_pos",
-        F.floor(
-            (F.col("_x") / F.col("_adenom")) * F.lit(PQ_QUANT) + F.lit(0.5)
-        ).alias("_zx"),
-    )
-    sums = [
-        F.expr(
-            f"sum((_zx - element_at({_zc_lit(zc[c])}, _pos + 1))"
-            f" * (_zx - element_at({_zc_lit(zc[c])}, _pos + 1)))"
-        ).alias(f"_ad{c}")
-        for c in range(ksub)
-    ]
-    agg = ex.groupBy("_aid", "_asalt").agg(*sums)
-    darr = F.array(*[F.col(f"_ad{c}") for c in range(ksub)])
-    return agg.select(
+    d = zxf.select("_aid", cell_dist_array(zc).alias("_adarr"))
+    return d.select(
         F.col("_aid").alias(id_col),
-        (F.array_position(darr, F.array_min(darr)) - 1)
-        .cast("int")
-        .alias(out_col),
+        _argmin_cell().alias(out_col),
     )
 
 
@@ -432,12 +471,32 @@ def with_cells(
     out_col: str = "cell",
     id_col: str = "neighbor_id",
 ) -> DataFrame:
-    """``df`` + ``out_col`` — :func:`assign_cells` joined back on
-    ``id_col`` so the vector (and any other columns) ride through.
-    ``id_col`` must be unique in ``df`` (corpus contract — same
-    assumption the index build itself makes)."""
-    return df.join(
-        assign_cells(df, cent_mat, id_col, vec_col, out_col), id_col
+    """``df`` + ``out_col`` — the nearest-centroid cell attached as
+    per-row column expressions (r12). The round-11 spelling joined
+    :func:`assign_cells` back on ``id_col``, which at corpus scale
+    shuffled BOTH sides of an id-keyed self-join just to re-attach a
+    value derivable from the row itself; the HOF kernel makes the
+    assignment a projection, so callers keep their partitioning and
+    the only corpus shuffle left in an IVF build is the cell-keyed
+    one the inverted lists genuinely need. ``id_col`` is kept for
+    signature compatibility (uniqueness no longer required)."""
+    from dasladen_spark.operators.pq import _lat
+
+    cm = np.asarray(cent_mat, np.float64)
+    zc = [[_lat(v) for v in row] for row in cm]
+    zxf = lattice_zx_frame(df, list(df.columns), vec_col, normalize=True)
+    d = zxf.select(*df.columns, cell_dist_array(zc).alias("_adarr"))
+    # COALESCE(argmin, -1) marks the cell NON-NULLABLE: an inner join
+    # on the cell would otherwise infer isnotnull(cell) and predicate
+    # pushdown would inline the ENTIRE k-fold distance expression into
+    # a Filter below this projection — the whole kernel evaluated
+    # twice per row (caught by the re-inlining sweep test). A null
+    # argmin can only come from a contract-violating vector (null
+    # elements); -1 is never a probed cell, so such a row still never
+    # matches — exactly the join behavior a null cell had.
+    return d.select(
+        *df.columns,
+        F.coalesce(_argmin_cell(), F.lit(-1)).alias(out_col),
     )
 
 
@@ -481,16 +540,17 @@ def fit_ivf_centroids(
     md5('ivf-seed' || id) — a deterministic hash-ordered sample, so
     the seed set is spread uniformly over the corpus even when ids
     correlate with content. Only n_centroids × dim floats ever reach
-    the driver. Assignment goes through :func:`assign_cells` (the
-    agg shape — full-dim flat chains break janino, see there); the
+    the driver. Assignment uses the :func:`assign_cells` HOF kernel
+    (full-dim flat chains break janino, see there), fused with the
+    recompute into one corpus pass per round; the
     Lloyd means are ``Σ floor(xn·Q + 0.5) / (n·Q)`` — the same
     exact-integer construction as the PQ codebook means.
     ``fit_fraction`` fits on a deterministic id-hash sample (the
     100 TB shape — see pq.fit_pq_codebooks)."""
     from dasladen_spark.operators.pq import (
         PQ_QUANT,
+        _lat,
         collect_normalized,
-        lattice_denom,
     )
 
     base = c.select(
@@ -526,24 +586,22 @@ def fit_ivf_centroids(
                 f" needs at least n_centroids={n_centroids}"
             )
         cent = [[float(v) for v in xn] for _sid, xn in seeds]
-        # lattice positions of every vector, shared by all rounds
-        zpos = base.select(
-            "_id",
-            lattice_denom(F.col("_v")).alias("_d"),
-            F.posexplode(F.col("_v").cast("array<double>")).alias(
-                "_pos", "_x"
-            ),
-        ).select(
-            "_id",
-            "_pos",
-            F.floor(
-                (F.col("_x") / F.col("_d")) * F.lit(PQ_QUANT) + F.lit(0.5)
-            ).alias("_zx"),
-        )
         for _ in range(lloyd_iters):
-            cells = assign_cells(base, np.asarray(cent), "_id", "_v")
+            # fused round (r12, the fit_pq_codebooks shape): one pass
+            # over the cache derives lattice points + assignment per
+            # row, position-explodes into the (cell, dim)-keyed sums
+            # — map-side partial aggregation, n_centroids × dim
+            # partials per task on the wire. The previous spelling
+            # shuffled the corpus twice per round (assignment groupBy
+            # + an id-keyed join of dim rows per vector)
+            zc = [[_lat(v) for v in row] for row in np.asarray(cent)]
             stats = (
-                zpos.join(cells, "_id")
+                lattice_zx_frame(base, [], "_v", normalize=True)
+                .select("_azx", cell_dist_array(zc).alias("_adarr"))
+                .select(
+                    _argmin_cell().alias("cell"),
+                    F.posexplode("_azx").alias("_pos", "_zx"),
+                )
                 .groupBy("cell", "_pos")
                 .agg(
                     F.sum("_zx").alias("_s"), F.count(F.lit(1)).alias("_n")

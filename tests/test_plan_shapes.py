@@ -748,3 +748,50 @@ def test_brute_cosine_pairs_spread_before_nested_loop(spark, sf_dir):
         pairs.rdd.getNumPartitions()
         >= spark.sparkContext.defaultParallelism
     )
+
+
+def test_lattice_assignment_is_shuffle_free(spark, sf_dir):
+    """r12: the lattice cell assignment is per-row column expressions
+    (HOF distance folds + argmin), so assign_cells must plan ZERO
+    exchanges and ZERO generators, and with_cells must attach the
+    cell without any join. The round-11 shape shuffled one k-cell row
+    per vector through a groupBy exchange, and with_cells re-joined
+    the assignment onto the corpus by id — two corpus-scale shuffles
+    that a projection now replaces."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dasladen_spark.operators.similarity import (
+        assign_cells,
+        with_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = np.asarray(
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(4).collect()],
+        np.float64,
+    )
+
+    def fmt(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    cells = assign_cells(emb, cent, "vec_id", "embedding")
+    plan = fmt(cells)
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+
+    wc = with_cells(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        ),
+        cent,
+        "cv",
+    )
+    plan2 = fmt(wc)
+    assert "Exchange" not in plan2, plan2
+    assert "Join" not in plan2, plan2
+    # and the attach keeps every input column plus the cell
+    assert set(wc.columns) == {"neighbor_id", "cv", "cell"}
