@@ -29,6 +29,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dasladen_spark.operators.dedup import _spread
 from dasladen_spark.operators.pq import PQ_QUANT, _lat
 from dasladen_spark.operators.similarity import (
     _argmin_cell,
@@ -56,8 +57,18 @@ def kmeans_fit(
     deterministic id-hash sample (the 100 TB shape — see
     pq.fit_pq_codebooks); the FINAL assignment still covers every
     row."""
-    full = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    # spread BEFORE the kernel passes: k grows with the corpus
+    # (SemDeDup sizes one centroid per ~constant vectors), so the
+    # k×dim per-row distance folds are a genuinely heavy kernel — on
+    # a small single-file scan every Lloyd pass would otherwise run
+    # on one core (measured at sf1: 117 s → see OPTIMIZATION_r12 §7;
+    # the IVF callers already ride dedup._spread). No-op when the
+    # input is already wide — the 100 TB case.
+    full = _spread(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ),
+        "id",
     )
     base = full
     from dasladen_spark.operators.sampling import (

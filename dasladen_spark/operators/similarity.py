@@ -458,9 +458,17 @@ def assign_cells(
         df, [F.col(id_col).alias("_aid")], vec_col, normalize
     )
     d = zxf.select("_aid", cell_dist_array(zc).alias("_adarr"))
+    # COALESCE(argmin, -1): same non-nullability armor as with_cells
+    # — any downstream equi-join on the OUTPUT cell/cluster column
+    # would otherwise infer isnotnull(cell), and predicate pushdown
+    # inlines the entire k-fold kernel into a Filter below the spread
+    # exchange (measured: dedup_semantic_clusters at sf1 ran the
+    # k=80 kernel on the 2-task raw scan stage for 22 s). A null
+    # argmin only arises from a contract-violating vector; -1 joins
+    # with nothing, exactly like the null it replaces.
     return d.select(
         F.col("_aid").alias(id_col),
-        _argmin_cell().alias(out_col),
+        F.coalesce(_argmin_cell(), F.lit(-1)).alias(out_col),
     )
 
 

@@ -616,7 +616,33 @@ def test_no_expensive_expression_reinlined_into_lambdas_or_filters(spark):
       projection, rebuilding the whole array (and re-running split
       per lambda element) just to test its size. Cure: explode_outer
       + an isNotNull filter on the generate OUTPUT column.
+    - *inferred-notnull-hof*: a Filter whose ``isnotnull(...)``
+      argument contains a lambda — join constraint propagation
+      inferred isnotnull on a DERIVED join key and predicate pushdown
+      inlined the whole producing expression (e.g. the lattice argmin
+      kernel) below the projection: the kernel evaluated twice per
+      row, and on the raw scan side of the spread (caught live in
+      r12: dedup_semantic_clusters at sf1 ran the k=80 kernel on a
+      2-task stage for 22 s). Cure: make derived join keys
+      non-nullable (COALESCE(expr, sentinel)) so the constraint is
+      never generated. A plain cosine-threshold filter (HOF compared
+      to a constant, no isnotnull wrap) is the query's real work and
+      does NOT flag.
     """
+
+    def _isnotnull_wraps_lambda(line: str) -> bool:
+        for m in re.finditer(r"isnotnull\(", line):
+            depth, i = 1, m.end()
+            while i < len(line) and depth:
+                if line[i] == "(":
+                    depth += 1
+                elif line[i] == ")":
+                    depth -= 1
+                i += 1
+            if "lambdafunction(" in line[m.end(): i]:
+                return True
+        return False
+
     bad = {}
     for name, fn in sorted(QUERIES.items()):
         plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
@@ -630,6 +656,8 @@ def test_no_expensive_expression_reinlined_into_lambdas_or_filters(spark):
                 flags.add("nested-hof")
             if kind == "Filter" and "transform(" in line:
                 flags.add("filter-hof")
+            if kind == "Filter" and _isnotnull_wraps_lambda(line):
+                flags.add("inferred-notnull-hof")
         if flags:
             bad[name] = sorted(flags)
     assert not bad, f"expensive expressions re-inlined: {bad}"
