@@ -271,18 +271,20 @@ def minhash_signatures(
             F.substring(F.col("_t"), F.col("_i"), F.lit(shingle_len))
         ).alias("_h"),
     )
-    mins = hashed.groupBy("id").agg(
-        *[
-            F.min(
-                (F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_MERSENNE31)
-            ).alias(f"_m{k}")
-            for k, (a, b) in enumerate(coeffs)
-        ]
+    # one SQL string for the whole signature: the per-permutation
+    # Column-object spelling costs ~10 py4j round-trips per k (the
+    # listcomp alone measured 1.2 s of DRIVER time per plan build at
+    # num_hashes=64); one F.expr is one round-trip and analyzes to the
+    # IDENTICAL expressions (int literals promote against the bigint
+    # _h exactly as F.lit ints do), so the signature bits — and the
+    # DuckDB oracle — are unchanged. array(min...) rides the aggregate
+    # as its result projection, same physical agg buffer as before.
+    sig_sql = "array({}) as sig".format(
+        ",".join(
+            f"min(({a} * _h + {b}) % {_MERSENNE31})" for a, b in coeffs
+        )
     )
-    return mins.select(
-        "id",
-        F.array(*[F.col(f"_m{k}") for k in range(num_hashes)]).alias("sig"),
-    )
+    return hashed.groupBy("id").agg(F.expr(sig_sql))
 
 
 def minhash_lsh_pairs(

@@ -30,6 +30,20 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # PySpark 4 wraps EVERY DataFrame/Column API call in a call-site
+    # capture (a Python stack walk + a set/clear py4j round-trip pair)
+    # purely to enrich error messages with user line numbers. On
+    # plan-construction-heavy queries (the 64-permutation MinHash
+    # aggregate builds ~6.9k py4j calls) that is 15-50 % of the
+    # DRIVER-side plan build time — same-process A/B (toggling the
+    # pyspark gate): dedup_minhash_lsh build 1.31→0.64 s, ann_lsh
+    # 0.69→0.47 s, rrf 0.57→0.39 s. Driver plan time is a fixed cost
+    # that parallelizes on nothing (guide §7.3), so it is turned off
+    # here; errors still raise with the full JVM analysis message,
+    # only the "user code line" enrichment is lost. Static conf —
+    # effective only when THIS builder launches the JVM (same caveat
+    # as ReservedCodeCacheSize above).
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # output codec: zstd reads back as fast as snappy and writes
     # markedly smaller files (guide §6) — at 100 TB the sink bytes
     # are the cost; locally A/B-measured a wash (pipeline_corpus_e2e
